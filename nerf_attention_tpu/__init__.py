@@ -1,0 +1,73 @@
+"""nerf-attention-tpu: TPU-native SIREN compression study of LLM KV caches.
+
+A from-scratch JAX/XLA/Pallas rebuild of the nerf-attention research pipeline
+(reference: ruskaruma/nerf-attention). Public facade mirrors the reference's
+package API (`/root/reference/nerf_attention/__init__.py`).
+"""
+
+from nerf_attention_tpu.types import (
+    CONFIGS_FULL,
+    CONFIGS_QUICK,
+    AnalysisResult,
+    FitResult,
+    KVMetadata,
+    LayerSummary,
+    SIRENConfig,
+)
+from nerf_attention_tpu.models.siren import (
+    init_siren,
+    positions,
+    siren_apply,
+    siren_forward,
+)
+from nerf_attention_tpu.extract import (
+    extract_kv_cache,
+    extract_kv_cache_jax,
+    extract_kv_cache_synthetic,
+    get_sample_text,
+)
+from nerf_attention_tpu.synthetic import generate_synthetic_kv
+from nerf_attention_tpu.analyze import analyze_kv_cache
+from nerf_attention_tpu.fit import fit_kv_cache, fit_siren
+from nerf_attention_tpu.parallel.mesh import fit_mesh
+from nerf_attention_tpu.parallel.sweep import fit_batch
+from nerf_attention_tpu.evaluate import (
+    generate_summary_figure,
+    load_results,
+    plot_keys_vs_values,
+    plot_pareto_frontier,
+    plot_per_position_error,
+    profile_latency,
+)
+
+__all__ = [
+    "CONFIGS_FULL",
+    "CONFIGS_QUICK",
+    "AnalysisResult",
+    "FitResult",
+    "KVMetadata",
+    "LayerSummary",
+    "SIRENConfig",
+    "init_siren",
+    "positions",
+    "siren_apply",
+    "siren_forward",
+    "extract_kv_cache",
+    "extract_kv_cache_jax",
+    "extract_kv_cache_synthetic",
+    "generate_synthetic_kv",
+    "get_sample_text",
+    "analyze_kv_cache",
+    "fit_kv_cache",
+    "fit_siren",
+    "fit_mesh",
+    "fit_batch",
+    "load_results",
+    "plot_pareto_frontier",
+    "plot_keys_vs_values",
+    "plot_per_position_error",
+    "profile_latency",
+    "generate_summary_figure",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,487 @@
+"""Evaluation, figure generation, and the latency roofline.
+
+Figure set and JSON outputs match the reference
+(`/root/reference/nerf_attention/evaluate.py`), with one upgrade: on TPU the
+HBM-read side of the latency comparison is *measured* (a jitted reduction over
+a resident bf16 (S, D) block) in addition to the reference's theoretical
+bytes/bandwidth constants for RTX 4060 / H100 / TPU v5e.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+from matplotlib.gridspec import GridSpec
+
+import jax
+import jax.numpy as jnp
+
+from nerf_attention_tpu.io import checkpoint, kvstore
+from nerf_attention_tpu.models.siren import positions, siren_forward
+from nerf_attention_tpu.parallel.sweep import cosine_similarity
+
+# Color/marker contracts (reference evaluate.py:19-26) — figures key off names.
+CONFIG_COLORS = {
+    "tiny": "#e74c3c",
+    "small": "#e67e22",
+    "medium": "#2ecc71",
+    "large": "#3498db",
+    "deep": "#9b59b6",
+    "hifreq": "#1abc9c",
+    "lofreq": "#f1c40f",
+}
+CONFIG_MARKERS = {
+    "tiny": "v",
+    "small": "s",
+    "medium": "o",
+    "large": "D",
+    "deep": "^",
+    "hifreq": "P",
+    "lofreq": "X",
+}
+
+# Bandwidth constants for the theoretical roofline (bytes/s).
+HBM_BW = {
+    "rtx4060": 272e9,  # reference evaluate.py:210
+    "h100": 3350e9,  # reference evaluate.py:211
+    "tpu_v5e": 819e9,  # published v5e HBM bandwidth per chip
+}
+
+
+def load_results(siren_dir: Path) -> list[dict]:
+    with open(Path(siren_dir) / "fit_results.json") as f:
+        return json.load(f)
+
+
+def plot_pareto_frontier(
+    results: list[dict], output_dir: Path, svd_results: list[dict] | None = None
+) -> None:
+    """Log-x compression vs CosSim scatter with 0.95/0.90 guides."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(10, 7))
+
+    for cn in sorted({r["config_name"] for r in results}):
+        cr = [r for r in results if r["config_name"] == cn]
+        ax.scatter(
+            [r["compression_ratio"] for r in cr],
+            [r["final_cosine_mean"] for r in cr],
+            c=CONFIG_COLORS.get(cn, "#95a5a6"),
+            marker=CONFIG_MARKERS.get(cn, "o"),
+            s=80,
+            alpha=0.7,
+            label=f"SIREN {cn}",
+            edgecolors="black",
+            linewidth=0.5,
+        )
+
+    if svd_results:
+        for kv, color in (("key", "black"), ("value", "gray")):
+            pts = [r for r in svd_results if r["kv_type"] == kv]
+            if pts:
+                ax.scatter(
+                    [r["actual_compression"] for r in pts],
+                    [r["final_cosine_mean"] for r in pts],
+                    c=color,
+                    marker="D",
+                    s=100,
+                    alpha=0.8,
+                    label=f"SVD ({kv}s)",
+                    edgecolors="black",
+                    linewidth=0.5,
+                    zorder=6,
+                )
+
+    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.4, label="0.95 target")
+    ax.axhline(y=0.90, color="orange", linestyle="--", alpha=0.4, label="0.90 minimum")
+    ax.set(
+        xlabel="Compression Ratio (x)",
+        ylabel="Cosine Similarity",
+        title="SIREN vs SVD: Compression-Fidelity Tradeoff",
+    )
+    ax.set_xscale("log")
+    ax.legend(bbox_to_anchor=(1.05, 1), loc="upper left", fontsize=9)
+    ax.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    plt.savefig(output_dir / "pareto_frontier.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print("  Saved: pareto_frontier.png")
+
+
+def plot_keys_vs_values(results: list[dict], output_dir: Path) -> None:
+    """Medium-config K vs V: per-layer scatter + quality histograms."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+    medium = [r for r in results if r["config_name"] == "medium"]
+    keys = [r for r in medium if r["kv_type"] == "key"]
+    vals = [r for r in medium if r["kv_type"] == "value"]
+
+    ax = axes[0]
+    if keys:
+        ax.scatter(
+            [r["layer"] for r in keys],
+            [r["final_cosine_mean"] for r in keys],
+            c="blue", marker="o", s=60, label="Keys", alpha=0.7,
+        )
+    if vals:
+        ax.scatter(
+            [r["layer"] for r in vals],
+            [r["final_cosine_mean"] for r in vals],
+            c="red", marker="s", s=60, label="Values", alpha=0.7,
+        )
+    ax.set(
+        xlabel="Layer Index",
+        ylabel="Cosine Similarity",
+        title="Reconstruction Quality by Layer (Medium SIREN)",
+    )
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[1]
+    if keys and vals:
+        ax.hist([r["final_cosine_mean"] for r in keys], bins=15, alpha=0.5, label="Keys", color="blue")
+        ax.hist([r["final_cosine_mean"] for r in vals], bins=15, alpha=0.5, label="Values", color="red")
+    ax.set(xlabel="Cosine Similarity", ylabel="Count", title="Distribution of Reconstruction Quality")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    plt.savefig(output_dir / "keys_vs_values.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print("  Saved: keys_vs_values.png")
+
+
+def _checkpoint_forward(ckpt: dict, seq_len: int) -> np.ndarray:
+    """De-normalized reconstruction from a saved checkpoint."""
+    pos = positions(seq_len)
+    params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
+    pred_norm = siren_forward(params, ckpt["config"].omega_0, pos)
+    pred = pred_norm * jnp.asarray(ckpt["target_std"]) + jnp.asarray(ckpt["target_mean"])
+    return np.asarray(pred.reshape(seq_len, -1))
+
+
+def plot_per_position_error(
+    siren_dir: Path, kv_dir: Path, output_dir: Path
+) -> None:
+    """Reload <=4 medium checkpoints, recompute per-position CosSim vs the
+    original tensor, overlay a rolling mean (reference evaluate.py:123-170)."""
+    siren_dir, kv_dir, output_dir = Path(siren_dir), Path(kv_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    model_files = checkpoint.checkpoint_glob(siren_dir, "*medium_model.npz")
+    if not model_files:
+        print("  No medium models found, skipping per-position plot")
+        return
+
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+    fig.suptitle("Per-Position Reconstruction Error", fontsize=14)
+
+    for idx, model_file in enumerate(model_files[:4]):
+        ax = axes[idx // 2, idx % 2]
+        ckpt = checkpoint.load_siren_checkpoint(model_file)
+        metrics = ckpt["metrics"]
+
+        keys, values = kvstore.load_layer(kv_dir, metrics["layer"])
+        original = (keys if metrics["kv_type"] == "key" else values)[metrics["head"]]
+        seq_len = original.shape[0]
+
+        pred = _checkpoint_forward(ckpt, seq_len)
+        per_pos_cos = np.asarray(
+            cosine_similarity(jnp.asarray(pred), jnp.asarray(original))
+        )
+
+        ax.plot(range(seq_len), per_pos_cos, alpha=0.5, linewidth=0.5)
+        window = min(50, seq_len // 10)
+        if window > 1:
+            rolling = np.convolve(per_pos_cos, np.ones(window) / window, mode="valid")
+            ax.plot(
+                range(window // 2, window // 2 + len(rolling)),
+                rolling,
+                color="red",
+                linewidth=2,
+                label=f"Rolling avg (w={window})",
+            )
+
+        ax.set(
+            xlabel="Token Position",
+            ylabel="Cosine Similarity",
+            title=f"L{metrics['layer']} H{metrics['head']} {metrics['kv_type']}",
+        )
+        ax.set_ylim(bottom=max(0, per_pos_cos.min() - 0.05))
+        ax.legend(fontsize=8)
+        ax.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    plt.savefig(output_dir / "per_position_error.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print("  Saved: per_position_error.png")
+
+
+def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int = 100) -> float:
+    """Measured time to stream one (S, D) bf16 block out of HBM.
+
+    A jitted full reduction reads every byte once and writes one scalar —
+    the closest measurable analog of "read the KV slice for one decode step".
+    This is the measured counterpart to the reference's theoretical
+    bytes/bandwidth numbers (evaluate.py:210-211).
+    """
+    x = jnp.zeros((seq_len, d_head), dtype=jnp.bfloat16)
+    read = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
+    read(x).block_until_ready()
+    for _ in range(10):
+        read(x)
+    read(x).block_until_ready()
+    start = time.perf_counter()
+    for _ in range(num_runs):
+        out = read(x)
+    out.block_until_ready()
+    return (time.perf_counter() - start) / num_runs * 1000
+
+
+def profile_latency(
+    siren_dir: Path, output_dir: Path, max_models: int = 8, num_runs: int = 100
+) -> list[dict]:
+    """SIREN decode forward vs HBM read: measured on-device + theoretical."""
+    siren_dir, output_dir = Path(siren_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    model_files = checkpoint.checkpoint_glob(siren_dir)
+    if not model_files:
+        print("  No models found for latency profiling")
+        return []
+
+    backend = jax.default_backend()
+    results = []
+    hbm_measured_cache: dict[tuple[int, int], float] = {}
+
+    for model_file in model_files[:max_models]:
+        ckpt = checkpoint.load_siren_checkpoint(model_file)
+        metrics = ckpt["metrics"]
+        seq_len = metrics["seq_len"]
+        d_head = ckpt["out_features"]
+
+        pos = positions(seq_len)
+        params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
+        omega = ckpt["config"].omega_0
+
+        # Warmup (compile), then timed loop with a single trailing sync.
+        siren_forward(params, omega, pos).block_until_ready()
+        for _ in range(10):
+            siren_forward(params, omega, pos)
+        siren_forward(params, omega, pos).block_until_ready()
+        start = time.perf_counter()
+        for _ in range(num_runs):
+            out = siren_forward(params, omega, pos)
+        out.block_until_ready()
+        elapsed = (time.perf_counter() - start) / num_runs
+
+        key = (seq_len, d_head)
+        if key not in hbm_measured_cache:
+            hbm_measured_cache[key] = measure_hbm_read_ms(seq_len, d_head, num_runs)
+
+        raw_bytes = metrics["raw_size_bytes"]
+        result = {
+            "name": metrics["name"],
+            "config": metrics["config_name"],
+            "siren_time_ms": elapsed * 1000,
+            "hbm_time_measured_ms": hbm_measured_cache[key],
+            "hbm_backend": backend,
+            "hbm_time_4060_ms": raw_bytes / HBM_BW["rtx4060"] * 1000,
+            "hbm_time_h100_ms": raw_bytes / HBM_BW["h100"] * 1000,
+            "hbm_time_v5e_ms": raw_bytes / HBM_BW["tpu_v5e"] * 1000,
+            "speedup_vs_4060": (raw_bytes / HBM_BW["rtx4060"]) / max(elapsed, 1e-10),
+            "speedup_vs_h100": (raw_bytes / HBM_BW["h100"]) / max(elapsed, 1e-10),
+            "speedup_vs_v5e": (raw_bytes / HBM_BW["tpu_v5e"]) / max(elapsed, 1e-10),
+            "num_params": sum(w.size + b.size for w, b in ckpt["params"]),
+        }
+        results.append(result)
+        print(
+            f"  {metrics['name']}: SIREN={elapsed * 1000:.3f}ms | "
+            f"HBM(measured/{backend})={result['hbm_time_measured_ms']:.4f}ms | "
+            f"HBM(v5e theor.)={result['hbm_time_v5e_ms']:.4f}ms | "
+            f"HBM(H100 theor.)={result['hbm_time_h100_ms']:.4f}ms"
+        )
+
+    if results:
+        fig, ax = plt.subplots(figsize=(10, 6))
+        x = np.arange(len(results))
+        width = 0.2
+        ax.bar(x - 1.5 * width, [r["siren_time_ms"] for r in results], width,
+               label="SIREN Forward (measured)", color="#3498db")
+        ax.bar(x - 0.5 * width, [r["hbm_time_measured_ms"] for r in results], width,
+               label=f"HBM read (measured, {backend})", color="#9b59b6")
+        ax.bar(x + 0.5 * width, [r["hbm_time_v5e_ms"] for r in results], width,
+               label="HBM v5e (theoretical)", color="#e74c3c")
+        ax.bar(x + 1.5 * width, [r["hbm_time_h100_ms"] for r in results], width,
+               label="HBM H100 (theoretical)", color="#2ecc71")
+        ax.set(ylabel="Time (ms)", title="SIREN Inference vs Memory Read Latency")
+        ax.set_xticks(x)
+        ax.set_xticklabels([r["name"] for r in results], rotation=45, ha="right", fontsize=8)
+        ax.set_yscale("log")
+        ax.legend()
+        ax.grid(True, alpha=0.3, axis="y")
+        plt.tight_layout()
+        plt.savefig(output_dir / "latency_comparison.png", dpi=150, bbox_inches="tight")
+        plt.close()
+        print("  Saved: latency_comparison.png")
+
+    with open(output_dir / "latency_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def generate_summary_figure(results: list[dict], output_dir: Path) -> None:
+    """6-panel figure combining key results (reference evaluate.py:245-343)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig = plt.figure(figsize=(16, 10))
+    gs = GridSpec(2, 3, figure=fig, hspace=0.35, wspace=0.35)
+    fig.suptitle(
+        "NeRF-Attention: SIREN Compression of LLM KV Cache",
+        fontsize=16, fontweight="bold", y=1.02,
+    )
+
+    # Pareto
+    ax = fig.add_subplot(gs[0, 0])
+    for cn in sorted({r["config_name"] for r in results}):
+        cr = [r for r in results if r["config_name"] == cn]
+        ax.scatter(
+            [r["compression_ratio"] for r in cr],
+            [r["final_cosine_mean"] for r in cr],
+            s=40, alpha=0.7, label=cn,
+        )
+    ax.set(xlabel="Compression Ratio (x)", ylabel="Cosine Similarity", title="Compression vs Fidelity")
+    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
+    ax.legend(fontsize=7)
+    ax.grid(True, alpha=0.2)
+
+    # Keys vs Values boxplot
+    ax = fig.add_subplot(gs[0, 1])
+    medium = [r for r in results if r["config_name"] == "medium"]
+    k_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "key"]
+    v_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "value"]
+    if k_cos and v_cos:
+        ax.boxplot([k_cos, v_cos], tick_labels=["Keys", "Values"])
+        ax.set(ylabel="Cosine Similarity", title="Keys vs Values")
+        ax.grid(True, alpha=0.2)
+
+    # Layer variation
+    ax = fig.add_subplot(gs[0, 2])
+    layer_data: dict[int, list[float]] = {}
+    for r in medium:
+        layer_data.setdefault(r["layer"], []).append(r["final_cosine_mean"])
+    if layer_data:
+        ls = sorted(layer_data.keys())
+        ax.errorbar(
+            ls,
+            [np.mean(layer_data[l]) for l in ls],
+            yerr=[np.std(layer_data[l]) for l in ls],
+            fmt="o-", capsize=3,
+        )
+        ax.set(xlabel="Layer Index", ylabel="Avg Cosine Similarity", title="Compressibility by Layer")
+        ax.grid(True, alpha=0.2)
+
+    # K/V split per architecture
+    ax = fig.add_subplot(gs[1, 0])
+    config_k: dict[str, list[float]] = {}
+    config_v: dict[str, list[float]] = {}
+    for r in results:
+        (config_k if r["kv_type"] == "key" else config_v).setdefault(
+            r["config_name"], []
+        ).append(r["final_cosine_mean"])
+    cfgs = sorted(set(config_k) & set(config_v))
+    if cfgs:
+        x = np.arange(len(cfgs))
+        width = 0.35
+        ax.bar(x - width / 2, [np.mean(config_k[c]) for c in cfgs], width,
+               label="Keys", color="#3498db", alpha=0.8)
+        ax.bar(x + width / 2, [np.mean(config_v[c]) for c in cfgs], width,
+               label="Values", color="#e74c3c", alpha=0.8)
+        ax.set_xticks(x)
+        ax.set_xticklabels(cfgs, fontsize=7, rotation=45, ha="right")
+        ax.set(ylabel="Avg CosSim", title="K/V Gap by Architecture")
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.2, axis="y")
+
+    # Architecture comparison
+    ax = fig.add_subplot(gs[1, 1])
+    config_stats: dict[str, list[float]] = {}
+    for r in results:
+        config_stats.setdefault(r["config_name"], []).append(r["final_cosine_mean"])
+    cfg_names = sorted(config_stats.keys())
+    ax.barh(
+        range(len(cfg_names)),
+        [np.mean(config_stats[c]) for c in cfg_names],
+        color="steelblue", alpha=0.7,
+    )
+    ax.set_yticks(range(len(cfg_names)))
+    ax.set_yticklabels(cfg_names)
+    ax.set(xlabel="Avg Cosine Similarity", title="Architecture Comparison")
+    ax.grid(True, alpha=0.2, axis="x")
+
+    # Key findings text
+    ax = fig.add_subplot(gs[1, 2])
+    ax.axis("off")
+    best = max(results, key=lambda r: r["final_cosine_mean"])
+    above = [r for r in results if r["final_cosine_mean"] > 0.9]
+    if above:
+        best_compress = max(above, key=lambda r: r["compression_ratio"])
+        compress_text = (
+            f"Best compression (>0.9):\n  {best_compress['compression_ratio']:.1f}x\n"
+            f"  CosSim={best_compress['final_cosine_mean']:.4f}"
+        )
+    else:
+        compress_text = "No config achieves >0.9 CosSim"
+    text = (
+        f"Key Findings\n{'─' * 30}\n\n"
+        f"Best fidelity:\n  CosSim={best['final_cosine_mean']:.4f}\n"
+        f"  {best['config_name']}, {best['compression_ratio']:.1f}x\n\n"
+        f"{compress_text}\n\n"
+        f"Experiments: {len(results)}"
+    )
+    ax.text(
+        0.1, 0.9, text, transform=ax.transAxes, fontsize=10,
+        verticalalignment="top", fontfamily="monospace",
+        bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
+    )
+
+    plt.savefig(output_dir / "summary_figure.png", dpi=200, bbox_inches="tight")
+    plt.close()
+    print("  Saved: summary_figure.png")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Evaluate SIREN compression")
+    parser.add_argument("--kv_dir", type=str, default="results/kv_cache")
+    parser.add_argument("--siren_dir", type=str, default="results/fits")
+    parser.add_argument("--output_dir", type=str, default="results/figures")
+    args = parser.parse_args()
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    print("Loading results...")
+    results = load_results(Path(args.siren_dir))
+
+    print("\nGenerating plots...")
+    plot_pareto_frontier(results, output_dir)
+    plot_keys_vs_values(results, output_dir)
+    plot_per_position_error(Path(args.siren_dir), Path(args.kv_dir), output_dir)
+    generate_summary_figure(results, output_dir)
+
+    print("\nProfiling latency...")
+    profile_latency(Path(args.siren_dir), output_dir)
+
+    print(f"\nAll figures saved to {output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

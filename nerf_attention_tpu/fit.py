@@ -1,0 +1,330 @@
+"""Fit SIRENs to KV cache tensors across architecture configurations.
+
+The sweep driver groups fits by architecture (same param shapes) and trains
+each group as a single batched XLA program — the reference runs the same 280
+fits sequentially (`/root/reference/nerf_attention/fit.py:20-92`). Sweep
+structure, experiment naming (``L{l}_H{h}_{kv}_{config}``), the
+fit_results.json record schema, medium-config checkpointing, and the printed
+summary all match the reference contracts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from nerf_attention_tpu.io import checkpoint, kvstore
+from nerf_attention_tpu.parallel.sweep import BatchFitMetrics, fit_batch, select_fit_params
+from nerf_attention_tpu.types import (
+    CONFIGS_FULL,
+    CONFIGS_QUICK,
+    FitResult,
+    SIRENConfig,
+)
+
+
+def fit_siren(
+    kv_tensor: np.ndarray,
+    config: SIRENConfig,
+    epochs: int = 5000,
+    lr: float = 1e-4,
+    seed: int = 0,
+    verbose: bool = True,
+) -> FitResult:
+    """Fit one SIREN to one (seq_len, d_head) tensor. Pure function.
+
+    API parity with reference siren.py:70-149; implemented as a batch of one
+    so single fits and sweep fits share the same compiled training path.
+    """
+    seq_len, d_head = kv_tensor.shape
+    batch = fit_batch(kv_tensor[None], config, epochs=epochs, lr=lr, seed=seed)
+    result = _batch_to_fit_result(batch, 0, config, seq_len, d_head)
+    if verbose:
+        print(
+            f"  CosSim: {result.final_cosine_mean:.4f} | "
+            f"MSE: {result.final_mse:.6f} | "
+            f"Time: {result.train_time_seconds:.2f}s"
+        )
+    return result
+
+
+def _batch_to_fit_result(
+    batch: BatchFitMetrics,
+    i: int,
+    config: SIRENConfig,
+    seq_len: int,
+    d_head: int,
+) -> FitResult:
+    params = select_fit_params(batch.params, i)
+    num_params = sum(w.size + b.size for w, b in params)
+    raw_size = seq_len * d_head * 2  # KV cache is natively fp16 (siren.py:127)
+    siren_size = num_params * 4  # params stored fp32
+    return FitResult(
+        params=params,
+        config=config,
+        target_mean=batch.target_mean[i],
+        target_std=batch.target_std[i],
+        losses=batch.losses[i].tolist(),
+        final_mse=float(batch.final_mse[i]),
+        final_cosine_mean=float(batch.cosine_mean[i]),
+        final_cosine_min=float(batch.cosine_min[i]),
+        final_cosine_std=float(batch.cosine_std[i]),
+        per_pos_mse=batch.per_pos_mse[i],
+        cosine_sims=batch.cosine_sims[i],
+        compression_ratio=raw_size / siren_size,
+        raw_size_bytes=raw_size,
+        siren_size_bytes=siren_size,
+        train_time_seconds=batch.seconds_per_fit,
+        seq_len=seq_len,
+        d_head=d_head,
+        num_parameters=num_params,
+    )
+
+
+@dataclass(frozen=True)
+class FitItem:
+    """One cell of the sweep grid."""
+
+    layer: int
+    head: int
+    kv_type: str  # 'key' | 'value'
+
+    @property
+    def name_prefix(self) -> str:
+        return f"L{self.layer}_H{self.head}_{self.kv_type}"
+
+
+def sweep_layers(num_layers: int, quick: bool) -> list[int]:
+    """Layer sampling: {0, L/2, L-1} quick, {0, L/4, L/2, 3L/4, L-1} full
+    (reference fit.py:39-49)."""
+    if quick:
+        layers = [0, num_layers // 2, num_layers - 1]
+    else:
+        layers = [
+            0,
+            num_layers // 4,
+            num_layers // 2,
+            3 * num_layers // 4,
+            num_layers - 1,
+        ]
+    return sorted({l for l in layers if l < num_layers})
+
+
+def fit_kv_cache(
+    kv_dir: Path,
+    output_dir: Path,
+    epochs: int = 5000,
+    quick: bool = False,
+    lr: float = 1e-4,
+    seed: int = 0,
+    mesh=None,
+    verbose: bool = True,
+) -> list[dict]:
+    """Run the architecture sweep over an extracted KV cache.
+
+    Grid (reference fit.py:39-50): quick = 3 layers x 1 head x 2 configs;
+    full = 5 layers x min(H,4) heads x 7 configs; both key and value — 280
+    fits for Llama-3.1-8B. Fits are grouped by architecture and each group
+    trains as one jit(vmap(scan)) program over the mesh.
+    """
+    kv_dir, output_dir = Path(kv_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    metadata = kvstore.load_metadata(kv_dir)
+
+    if verbose:
+        print(f"KV Cache: {metadata.num_layers} layers x {metadata.num_kv_heads} heads")
+        print(
+            f"Per tensor: ({metadata.seq_len}, {metadata.head_dim}) = "
+            f"{metadata.seq_len * metadata.head_dim * 2 / 1024:.1f} KB (float16 baseline)"
+        )
+        print(f"Epochs: {epochs}, grouped-batch training on "
+              f"{'mesh' if mesh is not None else 'default device'}")
+
+    configs = CONFIGS_QUICK if quick else CONFIGS_FULL
+    heads_per_layer = 1 if quick else min(metadata.num_kv_heads, 4)
+    layers_to_fit = sweep_layers(metadata.num_layers, quick)
+
+    # Load every needed tensor once; build the grid of fit items.
+    items: list[FitItem] = []
+    tensors: list[np.ndarray] = []
+    for layer_idx in layers_to_fit:
+        if not kvstore.has_layer(kv_dir, layer_idx):
+            if verbose:
+                print(f"  Skipping layer {layer_idx} (not found)")
+            continue
+        keys, values = kvstore.load_layer(kv_dir, layer_idx)
+        for head_idx in range(heads_per_layer):
+            for kv_type, tensor in (("key", keys[head_idx]), ("value", values[head_idx])):
+                items.append(FitItem(layer_idx, head_idx, kv_type))
+                tensors.append(np.asarray(tensor, dtype=np.float32))
+
+    total = len(items) * len(configs)
+    if verbose:
+        print(f"Sweep: {len(items)} tensors x {len(configs)} configs = {total} fits")
+
+    all_results: list[dict] = []
+    stacked = np.stack(tensors, axis=0)
+    start = time.perf_counter()
+
+    for gi, config in enumerate(configs):
+        if verbose:
+            print(
+                f"\n[group {gi + 1}/{len(configs)}] {config.name}: "
+                f"{len(items)} fits x {epochs} epochs ...",
+                flush=True,
+            )
+        batch = fit_batch(
+            stacked, config, epochs=epochs, lr=lr, seed=seed + gi * 10_000, mesh=mesh
+        )
+        if verbose:
+            print(
+                f"  done in {batch.train_time_seconds:.1f}s "
+                f"({batch.seconds_per_fit:.3f} s/fit)"
+            )
+
+        for i, item in enumerate(items):
+            result = _batch_to_fit_result(
+                batch, i, config, metadata.seq_len, metadata.head_dim
+            )
+            name = f"{item.name_prefix}_{config.name}"
+            record = result_to_record(name, item.layer, item.head, item.kv_type, result)
+            all_results.append(record)
+            if config.name == "medium":
+                checkpoint.save_siren_checkpoint(
+                    output_dir / f"{name}_model.npz",
+                    result.params,
+                    config,
+                    metadata.head_dim,
+                    result.target_mean,
+                    result.target_std,
+                    record,
+                )
+
+    wall = time.perf_counter() - start
+    with open(output_dir / "fit_results.json", "w") as f:
+        json.dump(all_results, f, indent=2)
+
+    if verbose:
+        print(f"\nTotal sweep wall-clock: {wall:.1f}s for {total} fits "
+              f"({total / max(wall, 1e-9):.2f} fits/s)")
+        print_summary(all_results, layers_to_fit)
+    return all_results
+
+
+def result_to_record(
+    name: str, layer: int, head: int, kv_type: str, result: FitResult
+) -> dict:
+    """Flat JSON record, schema-identical to reference fit.py:95-118."""
+    return {
+        "name": name,
+        "layer": layer,
+        "head": head,
+        "kv_type": kv_type,
+        "config_name": result.config.name,
+        "hidden_features": result.config.hidden_features,
+        "hidden_layers": result.config.hidden_layers,
+        "omega_0": result.config.omega_0,
+        "final_mse": result.final_mse,
+        "final_cosine_mean": result.final_cosine_mean,
+        "final_cosine_min": result.final_cosine_min,
+        "final_cosine_std": result.final_cosine_std,
+        "compression_ratio": result.compression_ratio,
+        "raw_size_bytes": result.raw_size_bytes,
+        "siren_size_bytes": result.siren_size_bytes,
+        "train_time_seconds": result.train_time_seconds,
+        "num_parameters": result.num_parameters,
+        "seq_len": result.seq_len,
+        "d_head": result.d_head,
+    }
+
+
+def print_summary(all_results: list[dict], layers_to_fit: list[int]) -> None:
+    """Ranked table + aggregate findings (content parity: fit.py:140-180)."""
+    print(f"\n{'=' * 80}")
+    print("RESULTS SUMMARY")
+    print(f"{'=' * 80}")
+    print(f"{'Name':<35} {'CosSim':>8} {'MSE':>10} {'Compress':>10} {'Time':>8}")
+    print(f"{'-' * 35} {'-' * 8} {'-' * 10} {'-' * 10} {'-' * 8}")
+    for r in sorted(all_results, key=lambda x: x["final_cosine_mean"], reverse=True):
+        print(
+            f"{r['name']:<35} {r['final_cosine_mean']:>8.4f} "
+            f"{r['final_mse']:>10.6f} {r['compression_ratio']:>9.1f}x "
+            f"{r['train_time_seconds']:>7.2f}s"
+        )
+
+    print(f"\n{'=' * 80}")
+    print("KEY FINDINGS")
+    print(f"{'=' * 80}")
+    for cn in sorted({r["config_name"] for r in all_results}):
+        cr = [r for r in all_results if r["config_name"] == cn]
+        print(
+            f"  {cn:<10}: avg CosSim="
+            f"{np.mean([r['final_cosine_mean'] for r in cr]):.4f}, "
+            f"avg Compression="
+            f"{np.mean([r['compression_ratio'] for r in cr]):.1f}x"
+        )
+
+    key_r = [r for r in all_results if r["kv_type"] == "key"]
+    val_r = [r for r in all_results if r["kv_type"] == "value"]
+    if key_r and val_r:
+        k_avg = np.mean([r["final_cosine_mean"] for r in key_r])
+        v_avg = np.mean([r["final_cosine_mean"] for r in val_r])
+        print(f"\n  Keys avg CosSim:   {k_avg:.4f}")
+        print(f"  Values avg CosSim: {v_avg:.4f}")
+        diff = v_avg - k_avg
+        if diff > 0.01:
+            print("  -> Values compress better (smoother signal)")
+        elif diff < -0.01:
+            print("  -> Keys compress better (stronger positional structure)")
+        else:
+            print("  -> Similar compressibility")
+
+    for layer_idx in layers_to_fit:
+        lr_ = [
+            r
+            for r in all_results
+            if r["layer"] == layer_idx and r["config_name"] == "medium"
+        ]
+        if lr_:
+            print(
+                f"  Layer {layer_idx:2d} (medium): avg CosSim="
+                f"{np.mean([r['final_cosine_mean'] for r in lr_]):.4f}"
+            )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Fit SIRENs to KV cache")
+    parser.add_argument("--kv_dir", type=str, default="results/kv_cache")
+    parser.add_argument("--output_dir", type=str, default="results/fits")
+    parser.add_argument("--epochs", type=int, default=5000)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mesh", action="store_true", help="shard the fit axis over all devices"
+    )
+    args = parser.parse_args()
+
+    mesh = None
+    if args.mesh:
+        from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+        mesh = fit_mesh()
+        print(f"Mesh: {mesh.devices.size} device(s)")
+
+    fit_kv_cache(
+        Path(args.kv_dir),
+        Path(args.output_dir),
+        epochs=args.epochs,
+        quick=args.quick,
+        seed=args.seed,
+        mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""SIREN checkpoint save/load.
+
+Payload contract mirrors the reference checkpoints
+(`/root/reference/nerf_attention/fit.py:121-137`): model params, architecture
+config (+ out_features), target mean/std for de-normalization, and the metrics
+record. Stored as a single ``.npz`` (arrays + one JSON metadata entry) instead
+of a torch pickle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from nerf_attention_tpu.types import SIRENConfig
+
+
+def save_siren_checkpoint(
+    path: Path,
+    params: list[tuple[np.ndarray, np.ndarray]],
+    config: SIRENConfig,
+    out_features: int,
+    target_mean: np.ndarray,
+    target_std: np.ndarray,
+    metrics: dict,
+) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "config": {
+            "hidden_features": config.hidden_features,
+            "hidden_layers": config.hidden_layers,
+            "omega_0": config.omega_0,
+            "name": config.name,
+            "out_features": out_features,
+        },
+        "num_layers": len(params),
+        "metrics": metrics,
+    }
+    arrays: dict[str, np.ndarray] = {
+        "target_mean": np.asarray(target_mean, dtype=np.float32),
+        "target_std": np.asarray(target_std, dtype=np.float32),
+    }
+    for i, (w, b) in enumerate(params):
+        arrays[f"w_{i}"] = np.asarray(w, dtype=np.float32)
+        arrays[f"b_{i}"] = np.asarray(b, dtype=np.float32)
+    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    return path
+
+
+def load_siren_checkpoint(path: Path) -> dict:
+    """Load a checkpoint -> dict(params, config, out_features, target_mean/std, metrics)."""
+    with np.load(Path(path)) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        params = [
+            (data[f"w_{i}"], data[f"b_{i}"]) for i in range(meta["num_layers"])
+        ]
+        target_mean = data["target_mean"]
+        target_std = data["target_std"]
+    cfg = meta["config"]
+    config = SIRENConfig(
+        hidden_features=cfg["hidden_features"],
+        hidden_layers=cfg["hidden_layers"],
+        omega_0=cfg["omega_0"],
+        name=cfg.get("name", "medium"),
+    )
+    return {
+        "params": params,
+        "config": config,
+        "out_features": cfg["out_features"],
+        "target_mean": target_mean,
+        "target_std": target_std,
+        "metrics": meta["metrics"],
+    }
+
+
+def checkpoint_glob(directory: Path, pattern: str = "*_model.npz") -> list[Path]:
+    return sorted(Path(directory).glob(pattern))

@@ -1,0 +1,125 @@
+"""Deterministic synthetic KV-cache generator.
+
+Reproduces the reference's seeded signal recipe bit-for-bit
+(`/root/reference/nerf_attention/extract.py:182-259`): every (layer, head) gets
+its own ``np.random.RandomState(layer * num_heads + head)`` stream, and per key
+dimension the draws happen in the exact same order, so tensors generated here
+are numerically identical to the reference's. That makes every downstream
+stage (analyze, fit, evaluate) hermetically testable against reference-grade
+inputs without Llama weights.
+
+Signal structure per key dimension: low-frequency sines + a mid-frequency
+sentence-scale component + sparse Gaussian attention spikes that sharpen with
+layer depth + white noise. Values are a single smooth sine + noise (values are
+smoother than keys, matching real KV caches).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from nerf_attention_tpu.io import kvstore
+from nerf_attention_tpu.types import KVMetadata
+
+
+def _spike_train(
+    rng: np.random.RandomState, seq_len: int, layer_sharpness: float
+) -> np.ndarray:
+    """Sparse Gaussian bumps; count and sharpness grow with layer depth."""
+    spikes = np.zeros(seq_len)
+    num_spikes = int(3 * layer_sharpness)
+    max_width = max(2, int(5 / layer_sharpness))
+    for _ in range(num_spikes):
+        pos = rng.randint(0, seq_len)
+        width = rng.randint(1, max_width)
+        amp = rng.uniform(0.5, 2.0)
+        offsets = np.arange(-width, width + 1)
+        centers = pos + offsets
+        valid = (centers >= 0) & (centers < seq_len)
+        sigma = max(1, width / 2)
+        bump = amp * np.exp(-0.5 * (offsets / sigma) ** 2)
+        np.add.at(spikes, centers[valid], bump[valid])
+    return spikes
+
+
+def _head_signals(
+    rng: np.random.RandomState,
+    t: np.ndarray,
+    head_dim: int,
+    layer_sharpness: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate (S, D) key and value matrices for one head.
+
+    Draw order per dimension is the bit-parity contract: freq1, freq2,
+    freq_mid, phase, spike params, key noise, value freq, value noise.
+    """
+    seq_len = len(t)
+    k = np.empty((seq_len, head_dim), dtype=np.float32)
+    v = np.empty((seq_len, head_dim), dtype=np.float32)
+    two_pi = 2 * np.pi
+
+    for d in range(head_dim):
+        freq1 = rng.uniform(1, 5)
+        freq2 = rng.uniform(3, 10)
+        base = 0.5 * np.sin(two_pi * freq1 * t) + 0.3 * np.cos(two_pi * freq2 * t)
+
+        freq_mid = rng.uniform(10, 30)
+        mid = 0.2 * np.sin(two_pi * freq_mid * t + rng.uniform(0, two_pi))
+
+        spikes = _spike_train(rng, seq_len, layer_sharpness)
+        noise = rng.randn(seq_len) * 0.1
+        k[:, d] = (base + mid + spikes + noise).astype(np.float32)
+
+        v_base = 0.6 * np.sin(two_pi * rng.uniform(1, 8) * t)
+        v[:, d] = (v_base + rng.randn(seq_len) * 0.15).astype(np.float32)
+
+    return k, v
+
+
+def generate_synthetic_kv(
+    seq_len: int = 2048,
+    num_layers: int = 32,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    output_dir: Path = Path("results/kv_cache_synthetic"),
+    verbose: bool = True,
+) -> KVMetadata:
+    """Generate and persist a synthetic KV cache in the standard layout."""
+    if verbose:
+        print("Generating synthetic KV cache...")
+        print(
+            f"  {num_layers} layers, {num_kv_heads} heads, "
+            f"seq_len={seq_len}, head_dim={head_dim}"
+        )
+
+    output_dir = Path(output_dir)
+    t = np.linspace(0, 1, seq_len)
+
+    for layer_idx in range(num_layers):
+        # Later layers get sharper, more frequent attention spikes.
+        layer_sharpness = 1.0 + 2.0 * (layer_idx / max(num_layers - 1, 1))
+        keys = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
+        values = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
+        for head_idx in range(num_kv_heads):
+            rng = np.random.RandomState(layer_idx * num_kv_heads + head_idx)
+            keys[head_idx], values[head_idx] = _head_signals(
+                rng, t, head_dim, layer_sharpness
+            )
+        kvstore.save_layer(output_dir, layer_idx, keys, values)
+
+    metadata = KVMetadata(
+        model_name="synthetic",
+        num_layers=num_layers,
+        num_kv_heads=num_kv_heads,
+        seq_len=seq_len,
+        head_dim=head_dim,
+        actual_tokens=seq_len,
+    )
+    kvstore.save_metadata(output_dir, metadata)
+
+    if verbose:
+        total_mb = num_layers * num_kv_heads * seq_len * head_dim * 2 * 4 / 1024 / 1024
+        print(f"Saved to {output_dir}/ ({total_mb:.1f} MB)")
+    return metadata

@@ -1,0 +1,46 @@
+"""Test harness: all tests run on CPU JAX with 8 virtual devices.
+
+This is the fake-backend multi-chip strategy the reference lacks entirely
+(SURVEY.md §4): sharding/mesh code paths are exercised hermetically without
+TPU hardware. Environment must be set before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Some images pre-import jax from sitecustomize (TPU plugin registration)
+# before this file runs; backends are still lazy, so a config update works.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+
+@pytest.fixture(scope="session")
+def tiny_kv_dir(tmp_path_factory):
+    """A small deterministic synthetic KV cache shared across tests."""
+    kv_dir = tmp_path_factory.mktemp("kv") / "kv_cache"
+    generate_synthetic_kv(
+        seq_len=128,
+        num_layers=4,
+        num_kv_heads=2,
+        head_dim=16,
+        output_dir=kv_dir,
+        verbose=False,
+    )
+    return kv_dir
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)

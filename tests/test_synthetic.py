@@ -1,0 +1,96 @@
+"""Synthetic KV generator: determinism, shapes, and bit-parity with the
+reference recipe (a direct per-element oracle of extract.py:202-234)."""
+
+import numpy as np
+
+from nerf_attention_tpu.io import kvstore
+from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+
+def _reference_recipe_oracle(seq_len, num_layers, num_kv_heads, head_dim):
+    """Straight-line transcription of the reference's draw/accumulate order,
+    used as an independent oracle for the vectorized implementation."""
+    t = np.linspace(0, 1, seq_len)
+    out = {}
+    for layer_idx in range(num_layers):
+        layer_sharpness = 1.0 + 2.0 * (layer_idx / max(num_layers - 1, 1))
+        keys = np.zeros((num_kv_heads, seq_len, head_dim), dtype=np.float32)
+        values = np.zeros((num_kv_heads, seq_len, head_dim), dtype=np.float32)
+        for head_idx in range(num_kv_heads):
+            rng = np.random.RandomState(layer_idx * num_kv_heads + head_idx)
+            for d in range(head_dim):
+                freq1, freq2 = rng.uniform(1, 5), rng.uniform(3, 10)
+                base = 0.5 * np.sin(2 * np.pi * freq1 * t) + 0.3 * np.cos(
+                    2 * np.pi * freq2 * t
+                )
+                freq_mid = rng.uniform(10, 30)
+                mid = 0.2 * np.sin(2 * np.pi * freq_mid * t + rng.uniform(0, 2 * np.pi))
+                spikes = np.zeros(seq_len)
+                for _ in range(int(3 * layer_sharpness)):
+                    pos = rng.randint(0, seq_len)
+                    width = rng.randint(1, max(2, int(5 / layer_sharpness)))
+                    amp = rng.uniform(0.5, 2.0)
+                    for offset in range(-width, width + 1):
+                        if 0 <= pos + offset < seq_len:
+                            spikes[pos + offset] += amp * np.exp(
+                                -0.5 * (offset / max(1, width / 2)) ** 2
+                            )
+                noise = rng.randn(seq_len) * 0.1
+                keys[head_idx, :, d] = (base + mid + spikes + noise).astype(np.float32)
+                v_base = 0.6 * np.sin(2 * np.pi * rng.uniform(1, 8) * t)
+                values[head_idx, :, d] = (v_base + rng.randn(seq_len) * 0.15).astype(
+                    np.float32
+                )
+        out[layer_idx] = (keys, values)
+    return out
+
+
+def test_bit_parity_with_reference_recipe(tmp_path):
+    kv_dir = tmp_path / "kv"
+    generate_synthetic_kv(
+        seq_len=64, num_layers=3, num_kv_heads=2, head_dim=5,
+        output_dir=kv_dir, verbose=False,
+    )
+    oracle = _reference_recipe_oracle(64, 3, 2, 5)
+    for layer_idx in range(3):
+        keys, values = kvstore.load_layer(kv_dir, layer_idx)
+        ok, ov = oracle[layer_idx]
+        np.testing.assert_array_equal(keys, ok)
+        np.testing.assert_array_equal(values, ov)
+
+
+def test_determinism(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    for d in (a, b):
+        generate_synthetic_kv(
+            seq_len=32, num_layers=2, num_kv_heads=2, head_dim=4,
+            output_dir=d, verbose=False,
+        )
+    ka, _ = kvstore.load_layer(a, 1)
+    kb, _ = kvstore.load_layer(b, 1)
+    np.testing.assert_array_equal(ka, kb)
+
+
+def test_metadata_and_shapes(tiny_kv_dir):
+    metadata = kvstore.load_metadata(tiny_kv_dir)
+    assert metadata.model_name == "synthetic"
+    assert (metadata.num_layers, metadata.num_kv_heads) == (4, 2)
+    assert (metadata.seq_len, metadata.head_dim) == (128, 16)
+    keys, values = kvstore.load_layer(tiny_kv_dir, 0)
+    assert keys.shape == values.shape == (2, 128, 16)
+    assert keys.dtype == np.float32
+
+
+def test_values_smoother_than_keys(tiny_kv_dir):
+    """Values are a single smooth sine + noise; keys add spikes + mid-freq.
+    Lag-1 autocorrelation should reflect that (the recipe's design goal) —
+    clearest at the last layer, where key spikes are sharpest/densest."""
+    keys, values = kvstore.load_layer(tiny_kv_dir, 3)
+
+    def lag1(sig):
+        s = sig - sig.mean()
+        return float((s[:-1] * s[1:]).sum() / (s**2).sum())
+
+    k_ac = np.mean([lag1(keys[0, :, d]) for d in range(16)])
+    v_ac = np.mean([lag1(values[0, :, d]) for d in range(16)])
+    assert v_ac > k_ac
