@@ -1,0 +1,13 @@
+from nerf_attention_tpu.experiments.scaling import (
+    plot_full_layer_profile,
+    plot_scaling_crossover,
+    plot_scaling_quality,
+    run_full_layer_profile,
+    run_scaling_experiment,
+)
+from nerf_attention_tpu.experiments.multi_prompt import (
+    plot_multi_prompt,
+    run_multi_prompt_experiment,
+)
+from nerf_attention_tpu.experiments.svd import plot_siren_vs_svd, run_svd_experiment
+from nerf_attention_tpu.experiments.summary import generate_final_summary

@@ -1,0 +1,246 @@
+"""Experiment 2: multi-prompt robustness.
+
+Tests whether the K/V compressibility asymmetry holds across content types
+(`/root/reference/nerf_attention/experiments/multi_prompt.py`). Extraction is
+backend-pluggable; the synthetic backend gives each prompt a distinct seeded
+cache (statistically identical structure), so the experiment harness runs
+hermetically — with real weights the hf/jax backends reproduce the
+content-invariance finding (FINDINGS.md:118-123).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from nerf_attention_tpu.analyze import analyze_kv_cache
+from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
+from nerf_attention_tpu.fit import _batch_to_fit_result
+from nerf_attention_tpu.io import kvstore
+from nerf_attention_tpu.parallel.sweep import fit_batch
+from nerf_attention_tpu.synthetic import generate_synthetic_kv
+from nerf_attention_tpu.types import KVMetadata, SIRENConfig
+
+MEDIUM = SIRENConfig(256, 2, 30.0, "medium")
+
+
+def _extract_prompt_cache(
+    prompt_idx: int,
+    prompt_name: str,
+    prompt_text: str,
+    kv_dir: Path,
+    model_name: str,
+    backend: str,
+    seq_len: int,
+    hf_state: dict,
+    synth_layers: int = 32,
+    synth_heads: int = 8,
+    synth_dim: int = 128,
+) -> KVMetadata:
+    if (kv_dir / "metadata.json").exists():
+        return kvstore.load_metadata(kv_dir)
+
+    if backend == "synthetic":
+        return generate_synthetic_kv(
+            seq_len=seq_len,
+            num_layers=synth_layers,
+            num_kv_heads=synth_heads,
+            head_dim=synth_dim,
+            output_dir=kv_dir,
+            verbose=False,
+            seed_offset=100_000 * (prompt_idx + 1),
+        )
+    if backend == "hf":
+        import torch
+        from nerf_attention_tpu.extract import save_torch_cache
+
+        if "model" not in hf_state:  # model loaded once for all prompts
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            print(f"Loading {model_name}...")
+            hf_state["tokenizer"] = AutoTokenizer.from_pretrained(model_name)
+            model = AutoModelForCausalLM.from_pretrained(
+                model_name, device_map="auto", torch_dtype="auto"
+            )
+            model.eval()
+            hf_state["model"] = model
+        inputs = hf_state["tokenizer"](
+            prompt_text, return_tensors="pt", max_length=seq_len, truncation=True
+        )
+        actual = inputs["input_ids"].shape[1]
+        with torch.no_grad():
+            outputs = hf_state["model"](**inputs, use_cache=True)
+        return save_torch_cache(outputs.past_key_values, kv_dir, model_name, actual)
+    if backend == "jax":
+        from nerf_attention_tpu.extract import extract_kv_cache_jax
+
+        return extract_kv_cache_jax(model_name, seq_len, kv_dir, text=prompt_text)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def run_multi_prompt_experiment(
+    model_name: str,
+    base_dir: Path,
+    epochs: int = 2000,
+    seq_len: int = 2048,
+    backend: str = "synthetic",
+    synth_layers: int = 32,
+    verbose: bool = True,
+) -> dict[str, dict]:
+    """Extract per-content-type KV caches, fit medium SIRENs, compare K/V.
+
+    Per prompt (reference multi_prompt.py:53-117): extract, analyze, fit on
+    layers {0, L/2, L-1} x 2 heads x {K, V} = 12 fits — one batched program.
+    """
+    base_dir = Path(base_dir)
+    base_dir.mkdir(parents=True, exist_ok=True)
+    prompt_results: dict[str, dict] = {}
+    hf_state: dict = {}
+
+    for prompt_idx, (prompt_name, prompt_text) in enumerate(ALL_PROMPTS.items()):
+        if verbose:
+            print(f"\n{'=' * 60}")
+            print(f"PROMPT: {prompt_name}")
+            print(f"{'=' * 60}")
+
+        prompt_dir = base_dir / prompt_name
+        kv_dir = prompt_dir / "kv_cache"
+        metadata = _extract_prompt_cache(
+            prompt_idx, prompt_name, prompt_text, kv_dir, model_name,
+            backend, seq_len, hf_state, synth_layers=synth_layers,
+        )
+
+        analysis = analyze_kv_cache(kv_dir, prompt_dir / "analysis", verbose=verbose)
+
+        layers_to_fit = sorted(
+            {0, metadata.num_layers // 2, metadata.num_layers - 1}
+        )
+        grid: list[str] = []
+        tensors: list[np.ndarray] = []
+        for layer_idx in layers_to_fit:
+            keys, values = kvstore.load_layer(kv_dir, layer_idx)
+            for head_idx in range(min(metadata.num_kv_heads, 2)):
+                for kv_type, tensor in (
+                    ("key", keys[head_idx]),
+                    ("value", values[head_idx]),
+                ):
+                    grid.append(kv_type)
+                    tensors.append(np.asarray(tensor, dtype=np.float32))
+
+        batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs)
+        key_cossims = [
+            float(batch.cosine_mean[i]) for i, kv in enumerate(grid) if kv == "key"
+        ]
+        val_cossims = [
+            float(batch.cosine_mean[i]) for i, kv in enumerate(grid) if kv == "value"
+        ]
+
+        prompt_results[prompt_name] = {
+            "actual_tokens": metadata.actual_tokens,
+            "autocorr_keys": analysis.avg_autocorr_keys,
+            "autocorr_values": analysis.avg_autocorr_values,
+            "spectral_keys": analysis.avg_spectral_keys,
+            "spectral_values": analysis.avg_spectral_values,
+            "avg_cossim_keys": float(np.mean(key_cossims)),
+            "avg_cossim_values": float(np.mean(val_cossims)),
+            "std_cossim_keys": float(np.std(key_cossims)),
+            "std_cossim_values": float(np.std(val_cossims)),
+        }
+        if verbose:
+            pr = prompt_results[prompt_name]
+            print(
+                f"\n  {prompt_name}: keys={pr['avg_cossim_keys']:.4f}, "
+                f"values={pr['avg_cossim_values']:.4f} "
+                f"({batch.train_time_seconds:.1f}s for {len(grid)} fits)"
+            )
+
+    if "model" in hf_state:
+        del hf_state["model"]
+
+    with open(base_dir / "multi_prompt_results.json", "w") as f:
+        json.dump(prompt_results, f, indent=2)
+
+    if verbose:
+        print_summary_table(prompt_results)
+    return prompt_results
+
+
+def print_summary_table(prompt_results: dict[str, dict]) -> None:
+    print(f"\n{'=' * 80}")
+    print(
+        f"{'Prompt':<16} {'K AutoCorr':>11} {'V AutoCorr':>11} "
+        f"{'K CosSim':>10} {'V CosSim':>10}"
+    )
+    print(f"{'-' * 16} {'-' * 11} {'-' * 11} {'-' * 10} {'-' * 10}")
+    for name, r in prompt_results.items():
+        print(
+            f"{name:<16} {r['autocorr_keys']:>11.3f} {r['autocorr_values']:>11.3f} "
+            f"{r['avg_cossim_keys']:>10.4f} {r['avg_cossim_values']:>10.4f}"
+        )
+
+
+def plot_multi_prompt(prompt_results: dict[str, dict], output_dir: Path) -> None:
+    """Grouped bars: CosSim and lag-1 autocorrelation per content type."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    names = list(prompt_results.keys())
+    x = np.arange(len(names))
+    width = 0.35
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+
+    ax = axes[0]
+    ax.bar(
+        x - width / 2,
+        [prompt_results[n]["avg_cossim_keys"] for n in names],
+        width,
+        yerr=[prompt_results[n]["std_cossim_keys"] for n in names],
+        label="Keys", color="#3498db", capsize=5, alpha=0.8,
+        edgecolor="black", linewidth=0.5,
+    )
+    ax.bar(
+        x + width / 2,
+        [prompt_results[n]["avg_cossim_values"] for n in names],
+        width,
+        yerr=[prompt_results[n]["std_cossim_values"] for n in names],
+        label="Values", color="#e74c3c", capsize=5, alpha=0.8,
+        edgecolor="black", linewidth=0.5,
+    )
+    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3, label="0.95 target")
+    ax.set_xticks(x)
+    ax.set_xticklabels([n.capitalize() for n in names])
+    ax.set(ylabel="Avg Cosine Similarity", title="SIREN Reconstruction by Content Type")
+    ax.legend()
+    ax.grid(True, alpha=0.3, axis="y")
+    ax.set_ylim(0, 1.05)
+
+    ax = axes[1]
+    ax.bar(
+        x - width / 2,
+        [prompt_results[n]["autocorr_keys"] for n in names],
+        width, label="Keys", color="#3498db", alpha=0.8,
+        edgecolor="black", linewidth=0.5,
+    )
+    ax.bar(
+        x + width / 2,
+        [prompt_results[n]["autocorr_values"] for n in names],
+        width, label="Values", color="#e74c3c", alpha=0.8,
+        edgecolor="black", linewidth=0.5,
+    )
+    ax.set_xticks(x)
+    ax.set_xticklabels([n.capitalize() for n in names])
+    ax.set(ylabel="Lag-1 Autocorrelation", title="KV Structure by Content Type")
+    ax.legend()
+    ax.grid(True, alpha=0.3, axis="y")
+
+    plt.tight_layout()
+    plt.savefig(output_dir / "multi_prompt_comparison.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print(f"  Saved: {output_dir}/multi_prompt_comparison.png")

@@ -1,0 +1,263 @@
+"""Prompt corpus for the multi-prompt content study.
+
+Four content types — fiction, code, conversational, technical — each repeated
+to comfortably fill a 2048-token context, mirroring the role of the
+reference's corpus (`/root/reference/nerf_attention/experiments/prompts.py`).
+The texts themselves are original to this framework: the experiment's claim
+(KV structure is architectural, not content-driven — FINDINGS.md:118-123)
+is about *content categories*, so parity is at the metric level.
+"""
+
+FICTION_PROMPT = """
+The lighthouse keeper's daughter had counted ships for eleven years before
+she saw one sail backwards. It came out of the fog on a Tuesday morning,
+stern-first, its wake running the wrong way like film spooled in reverse.
+Mara put down her logbook and watched it cross the bay, and when it reached
+the harbor mouth it paused, as if reconsidering, and slid back into the fog.
+
+Her father had warned her about the fog. Not in the way fathers warn
+daughters about storms or strangers, but quietly, over supper, the way a man
+confesses a debt. "The fog keeps what it takes," he said. "Your grandmother
+used to leave the lamp burning all night, even in summer, even when the
+ships stopped coming. She said the light was a promise, and promises are the
+only currency the fog respects."
+
+Mara wrote the backwards ship into the logbook because the logbook was the
+law of the house: everything seen gets written, everything written gets
+kept. The entries went back ninety years in four different hands. Her
+grandmother's entries were the strangest — whole weeks where the only note
+was "light held," and then, in October of her thirty-first year, a single
+line that Mara had read a hundred times: "The ship came back for him. I did
+not put out the lamp."
+
+That night Mara climbed the hundred and twelve stairs with her father's old
+storm lantern, because the electric light had failed at dusk for the first
+time in her memory. From the gallery she could see the fog assembling out
+over the water, patient as a jury. Somewhere inside it, a bell was ringing —
+not the harbor bell, which rang on the half hour, but an older bell, cracked
+and sweet, ringing the hours of some other day entirely.
+
+She thought about her grandmother's line, and about promises, and she
+trimmed the wick and set the lantern in the great lens where its small flame
+multiplied into a blade of light that swung across the water. The fog
+stopped at the edge of the beam. She watched it test the light the way a
+wolf tests a fence, all night, until the sun came up red and ordinary and
+the fog went home hungry.
+
+In the morning there was salt on the gallery rail and a ship's bell, cracked
+and green with age, sitting outside the lighthouse door like an offering, or
+a receipt.
+""" * 5
+
+CODE_PROMPT = '''
+import heapq
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@dataclass(order=True)
+class Task:
+    priority: int
+    name: str = field(compare=False)
+    deps: set = field(default_factory=set, compare=False)
+    done: bool = field(default=False, compare=False)
+
+
+class Scheduler:
+    """Topological priority scheduler with cycle detection."""
+
+    def __init__(self):
+        self.tasks = {}
+        self.dependents = defaultdict(set)
+
+    def add(self, name, priority=0, deps=()):
+        task = Task(priority=priority, name=name, deps=set(deps))
+        self.tasks[name] = task
+        for dep in deps:
+            self.dependents[dep].add(name)
+        return task
+
+    def _ready(self):
+        return [
+            t for t in self.tasks.values()
+            if not t.done and all(self.tasks[d].done for d in t.deps)
+        ]
+
+    def run(self, executor):
+        completed = []
+        heap = self._ready()
+        heapq.heapify(heap)
+        while heap:
+            task = heapq.heappop(heap)
+            if task.done:
+                continue
+            executor(task.name)
+            task.done = True
+            completed.append(task.name)
+            for child_name in self.dependents[task.name]:
+                child = self.tasks[child_name]
+                if all(self.tasks[d].done for d in child.deps):
+                    heapq.heappush(heap, child)
+        if len(completed) != len(self.tasks):
+            stuck = [n for n, t in self.tasks.items() if not t.done]
+            raise RuntimeError(f"dependency cycle involving: {stuck}")
+        return completed
+
+
+class LRUCache:
+    """Doubly-linked-list LRU with O(1) get/put."""
+
+    class Node:
+        __slots__ = ("key", "value", "prev", "next")
+
+        def __init__(self, key=None, value=None):
+            self.key, self.value = key, value
+            self.prev = self.next = None
+
+    def __init__(self, capacity):
+        self.capacity = capacity
+        self.map = {}
+        self.head, self.tail = self.Node(), self.Node()
+        self.head.next, self.tail.prev = self.tail, self.head
+
+    def _unlink(self, node):
+        node.prev.next, node.next.prev = node.next, node.prev
+
+    def _push_front(self, node):
+        node.next, node.prev = self.head.next, self.head
+        self.head.next.prev = node
+        self.head.next = node
+
+    def get(self, key, default=None):
+        node = self.map.get(key)
+        if node is None:
+            return default
+        self._unlink(node)
+        self._push_front(node)
+        return node.value
+
+    def put(self, key, value):
+        if key in self.map:
+            node = self.map[key]
+            node.value = value
+            self._unlink(node)
+            self._push_front(node)
+            return
+        if len(self.map) >= self.capacity:
+            lru = self.tail.prev
+            self._unlink(lru)
+            del self.map[lru.key]
+        node = self.Node(key, value)
+        self.map[key] = node
+        self._push_front(node)
+
+
+def merge_intervals(intervals):
+    if not intervals:
+        return []
+    intervals = sorted(intervals)
+    merged = [list(intervals[0])]
+    for start, end in intervals[1:]:
+        if start <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], end)
+        else:
+            merged.append([start, end])
+    return [tuple(iv) for iv in merged]
+''' * 3
+
+CONVERSATIONAL_PROMPT = """
+User: I keep hearing that my laptop's SSD will wear out if I write to it too
+much. Should I actually be worried about that?
+
+Assistant: For normal use, almost certainly not. Modern consumer SSDs are
+rated for hundreds of terabytes written — often 300 to 600 TBW for a typical
+1 TB drive. If you wrote 50 GB every single day, which is a lot for ordinary
+work, you'd take over sixteen years to reach 300 TB. Most laptops are retired
+long before the flash wears out.
+
+User: What actually wears out, physically?
+
+Assistant: Each flash cell stores charge in an insulated gate, and writing
+means forcing electrons through that insulator. Every program/erase cycle
+degrades the insulation slightly, and after a few thousand cycles a cell can
+no longer hold charge reliably. The drive's controller hides this from you:
+it spreads writes across all cells evenly — that's wear leveling — and keeps
+spare blocks in reserve to replace the ones that fail.
+
+User: Is there anything that genuinely does shorten an SSD's life?
+
+Assistant: A few things. Running the drive nearly full is the big one,
+because wear leveling needs free space to shuffle data around; a drive at 95
+percent capacity concentrates writes on the remaining cells. Heavy swap
+usage on a machine with too little RAM adds constant small writes. And some
+workloads — video surveillance recording, database write-ahead logs, heavy
+virtual machine churn — really do write tens of gigabytes an hour, which is
+why there are endurance-rated drives for those jobs.
+
+User: How would I even know if mine is wearing out?
+
+Assistant: Check the SMART data. There's usually an attribute called
+"percentage used" or "wear leveling count" that ticks up over the drive's
+life. On most systems a free tool will read it — smartctl on Linux and macOS,
+or the manufacturer's dashboard on Windows. If percentage used is under 10
+after a couple of years, which is typical, you can stop thinking about it.
+
+User: Okay, last question: does the same logic apply to my phone?
+
+Assistant: Yes, with one caveat. Phone storage uses the same flash
+technology and the same wear mechanisms, and typical phone workloads are
+light. The caveat is that you can't replace the storage when it does wear,
+and phones keep less spare area. The practical advice is identical though:
+don't run it constantly near full, and the flash will outlive the battery,
+the charging port, and probably your interest in the phone.
+""" * 4
+
+TECHNICAL_PROMPT = """
+Error-correcting codes turn unreliable channels into reliable ones by adding
+structured redundancy. A rate-k/n block code maps k information symbols into
+n transmitted symbols; the minimum Hamming distance d between any two valid
+codewords determines its power, correcting up to floor((d-1)/2) symbol
+errors. The Singleton bound says d can be at most n - k + 1, and
+Reed-Solomon codes achieve it with equality, which is why they anchor
+storage systems: a RS(255, 223) code over GF(256) corrects any 16 corrupted
+bytes in a 255-byte block.
+
+The decoding cost structure matters as much as the bound. Syndrome
+computation is a matrix-vector product, O(n(n-k)) finite-field operations.
+The Berlekamp-Massey algorithm finds the error locator polynomial in
+O((n-k)^2), and a Chien search locates roots in O(n(n-k)). For the 32
+checksum symbols of a typical RS configuration this is microseconds in
+hardware, which is why optical media, QR codes, and RAID-6 all settled on
+Reed-Solomon despite the half-century-old mathematics.
+
+Low-density parity-check codes trade guaranteed distance for probabilistic
+performance near the Shannon limit. An LDPC code is defined by a sparse
+bipartite graph: variable nodes on one side, parity checks on the other,
+with belief propagation passing log-likelihood ratios along edges. Each
+iteration costs O(E) where E is the edge count — linear in block length for
+fixed node degrees. Ten to fifty iterations typically suffice, and the
+sparseness keeps the silicon area proportional to throughput. 5G and Wi-Fi 6
+use LDPC for data precisely because the decoder parallelizes: every check
+node update in an iteration is independent.
+
+Polar codes, adopted for 5G control channels, take a third route. Channel
+polarization applies the kernel [[1,0],[1,1]] recursively, log2(N) stages of
+butterflies, so that as N grows each synthetic bit-channel becomes either
+nearly noiseless or nearly useless. Information bits ride the good channels;
+frozen bits pin the bad ones to zero. Successive-cancellation decoding costs
+O(N log N) but is inherently serial; list decoding with L parallel
+hypotheses and a CRC restores most of the performance lost at short block
+lengths, at L times the work.
+
+The engineering rule of thumb across all three families: coding gain comes
+from block length, latency comes from block length, and decoder power comes
+from iterations times edges. A designer picks the code by deciding which of
+the three they can afford to spend.
+""" * 4
+
+ALL_PROMPTS = {
+    "fiction": FICTION_PROMPT,
+    "code": CODE_PROMPT,
+    "conversational": CONVERSATIONAL_PROMPT,
+    "technical": TECHNICAL_PROMPT,
+}

@@ -85,8 +85,14 @@ def generate_synthetic_kv(
     head_dim: int = 128,
     output_dir: Path = Path("results/kv_cache_synthetic"),
     verbose: bool = True,
+    seed_offset: int = 0,
 ) -> KVMetadata:
-    """Generate and persist a synthetic KV cache in the standard layout."""
+    """Generate and persist a synthetic KV cache in the standard layout.
+
+    ``seed_offset=0`` (default) reproduces the reference recipe bit-for-bit;
+    a nonzero offset shifts every (layer, head) stream, giving statistically
+    identical but distinct caches (used by the synthetic multi-prompt mode).
+    """
     if verbose:
         print("Generating synthetic KV cache...")
         print(
@@ -103,7 +109,7 @@ def generate_synthetic_kv(
         keys = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
         values = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
         for head_idx in range(num_kv_heads):
-            rng = np.random.RandomState(layer_idx * num_kv_heads + head_idx)
+            rng = np.random.RandomState(seed_offset + layer_idx * num_kv_heads + head_idx)
             keys[head_idx], values[head_idx] = _head_signals(
                 rng, t, head_dim, layer_sharpness
             )

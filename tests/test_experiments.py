@@ -1,0 +1,135 @@
+"""Experiment drivers end-to-end on the synthetic backend (tiny shapes)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.experiments.multi_prompt import (
+    plot_multi_prompt,
+    run_multi_prompt_experiment,
+)
+from nerf_attention_tpu.experiments.scaling import (
+    plot_full_layer_profile,
+    plot_scaling_crossover,
+    plot_scaling_quality,
+    run_full_layer_profile,
+    run_scaling_experiment,
+)
+from nerf_attention_tpu.experiments.summary import generate_final_summary
+
+
+@pytest.fixture(scope="module")
+def scaling_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("scaling")
+    results = run_scaling_experiment(
+        model_name="synthetic",
+        seq_lengths=[64, 128],
+        base_dir=base,
+        epochs=60,
+        backend="synthetic",
+        synth_layers=3,
+        verbose=False,
+    )
+    return base, results
+
+
+def test_scaling_experiment(scaling_run):
+    base, results = scaling_run
+    assert sorted(results) == [64, 128]
+    for seq_len, rec in results.items():
+        assert rec["seq_len"] == seq_len
+        assert rec["num_experiments"] == 6  # 3 layers x {K,V} x head 0
+        assert rec["siren_time_ms"] > 0
+        assert rec["hbm_measured_ms"] > 0
+        assert rec["hbm_v5e_ms"] > 0
+    data = json.loads((base / "scaling_results.json").read_text())
+    assert set(data) == {"64", "128"}
+    # Resume: second call must reuse extracted caches (no exception, fast).
+    again = run_scaling_experiment(
+        model_name="synthetic", seq_lengths=[64], base_dir=base,
+        epochs=10, backend="synthetic", synth_layers=3, verbose=False,
+    )
+    assert 64 in again
+
+
+def test_scaling_plots(scaling_run, tmp_path):
+    _, results = scaling_run
+    plot_scaling_crossover(results, tmp_path)
+    plot_scaling_quality(results, tmp_path)
+    assert (tmp_path / "scaling_crossover.png").exists()
+    assert (tmp_path / "scaling_quality.png").exists()
+    data = json.loads((tmp_path / "crossover_data.json").read_text())
+    assert "siren_fit_log_slope" in data
+    assert data["latency_ratio_range"][0] > 0
+    assert data["crossover_v5e_tokens"] is not None
+
+
+def test_layer_profile(tiny_kv_dir, tmp_path):
+    results = run_full_layer_profile(tiny_kv_dir, tmp_path, epochs=60, verbose=False)
+    assert len(results) == 8  # 4 layers x {K,V}
+    assert {r["layer"] for r in results} == {0, 1, 2, 3}
+    plot_full_layer_profile(results, tmp_path)
+    assert (tmp_path / "full_layer_profile.json").exists()
+    assert (tmp_path / "full_layer_profile.png").exists()
+
+
+@pytest.fixture(scope="module")
+def multi_prompt_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("mp")
+    results = run_multi_prompt_experiment(
+        model_name="synthetic",
+        base_dir=base,
+        epochs=60,
+        seq_len=64,
+        backend="synthetic",
+        synth_layers=3,
+        verbose=False,
+    )
+    return base, results
+
+
+def test_multi_prompt_experiment(multi_prompt_run):
+    base, results = multi_prompt_run
+    assert set(results) == {"fiction", "code", "conversational", "technical"}
+    for rec in results.values():
+        assert 0 <= rec["avg_cossim_keys"] <= 1
+        assert rec["actual_tokens"] == 64
+    # Synthetic caches per prompt are distinct (different seed offsets).
+    from nerf_attention_tpu.io import kvstore
+
+    k_f, _ = kvstore.load_layer(base / "fiction" / "kv_cache", 0)
+    k_c, _ = kvstore.load_layer(base / "code" / "kv_cache", 0)
+    assert not np.array_equal(k_f, k_c)
+    assert (base / "multi_prompt_results.json").exists()
+
+
+def test_multi_prompt_plot(multi_prompt_run, tmp_path):
+    _, results = multi_prompt_run
+    plot_multi_prompt(results, tmp_path)
+    assert (tmp_path / "multi_prompt_comparison.png").exists()
+
+
+def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path):
+    _, scaling = scaling_run
+    _, prompts = multi_prompt_run
+    siren = [
+        {
+            "config_name": "medium", "kv_type": kv, "layer": 0,
+            "final_cosine_mean": 0.8, "compression_ratio": 1.0,
+        }
+        for kv in ("key", "value")
+    ]
+    svd = [
+        {
+            "kv_type": "key", "actual_compression": 2.0,
+            "final_cosine_mean": 0.95, "target_compression": 2,
+        }
+    ]
+    generate_final_summary(scaling, prompts, siren, svd, tmp_path)
+    assert (tmp_path / "final_summary.png").exists()
+
+    # Partial inputs render placeholders instead of crashing.
+    generate_final_summary(None, None, None, None, tmp_path / "partial")
+    assert (tmp_path / "partial" / "final_summary.png").exists()
