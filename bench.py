@@ -1,0 +1,141 @@
+"""Headline benchmark: the 280-fit SIREN sweep, wall-clock.
+
+Reference baseline (BASELINE.md): the same 280 fits (7 architectures x 5
+layers x 4 KV heads x {K,V}, 2000 epochs, S=2048, D=128) take ~20 min
+sequentially on an RTX 4060 (~0.233 fits/s). Here every architecture group
+trains as one jit(vmap(scan)) program on the local accelerator.
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+All progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REFERENCE_SWEEP_SECONDS = 1200.0  # ~20 min on RTX 4060 (BASELINE.md)
+REFERENCE_FITS = 280
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="280-fit sweep benchmark")
+    parser.add_argument("--epochs", type=int, default=2000)
+    parser.add_argument("--seq_len", type=int, default=2048)
+    parser.add_argument("--head_dim", type=int, default=128)
+    parser.add_argument(
+        "--dryrun", action="store_true",
+        help="tiny smoke run on the virtual CPU mesh (shapes shrunk)",
+    )
+    parser.add_argument("--kv_dir", type=str, default="results/bench_kv")
+    parser.add_argument("--out_dir", type=str, default="results/bench_fits")
+    args = parser.parse_args()
+
+    if args.dryrun:
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.epochs = 20
+        args.seq_len = 128
+        args.head_dim = 16
+
+    import jax
+
+    # Persistent compilation cache: repeat runs skip the 7 group compiles.
+    cache_dir = Path("results/.jax_cache")
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache flags vary across jax versions; benchmark still valid
+
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    n_devices = len(jax.devices())
+    log(f"backend={jax.default_backend()} devices={n_devices}")
+
+    # Reference sweep geometry: 32-layer/8-head metadata, but only the 5
+    # swept layers {0,8,16,24,31} are materialized (bit-identical to a full
+    # generation; fit_kv_cache skips absent layers by design).
+    kv_dir = Path(args.kv_dir)
+    num_layers = 32
+    sweep_layers = [0, 8, 16, 24, 31]
+    if not (kv_dir / "metadata.json").exists():
+        log(f"generating synthetic KV cache ({args.seq_len} tokens) ...")
+        generate_synthetic_kv(
+            seq_len=args.seq_len,
+            num_layers=num_layers,
+            num_kv_heads=8,
+            head_dim=args.head_dim,
+            output_dir=kv_dir,
+            verbose=False,
+            layer_indices=sweep_layers,
+        )
+        log("synthetic KV cache ready")
+
+    mesh = fit_mesh() if n_devices > 1 else None
+    if mesh is not None:
+        log(f"sharding fit axis over {n_devices} devices")
+
+    log(f"running full sweep: epochs={args.epochs} ...")
+    start = time.perf_counter()
+    results = fit_kv_cache(
+        kv_dir,
+        Path(args.out_dir),
+        epochs=args.epochs,
+        quick=False,
+        mesh=mesh,
+        verbose=False,
+    )
+    wall = time.perf_counter() - start
+
+    n_fits = len(results)
+    fits_per_sec = n_fits / wall
+    # Baseline rate: 280 fits / 20 min. vs_baseline is the per-chip speedup
+    # of this run's rate over the reference's.
+    baseline_rate = REFERENCE_FITS / REFERENCE_SWEEP_SECONDS
+    vs_baseline = (fits_per_sec / max(n_devices, 1)) / baseline_rate
+
+    import numpy as np
+
+    keys_cos = float(
+        np.mean([r["final_cosine_mean"] for r in results if r["kv_type"] == "key"])
+    )
+    vals_cos = float(
+        np.mean([r["final_cosine_mean"] for r in results if r["kv_type"] == "value"])
+    )
+    log(
+        f"{n_fits} fits in {wall:.1f}s = {fits_per_sec:.2f} fits/s "
+        f"(keys CosSim {keys_cos:.4f}, values {vals_cos:.4f})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "siren_fits_per_sec_per_chip_280_sweep",
+                "value": round(fits_per_sec / max(n_devices, 1), 4),
+                "unit": "fits/s/chip",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

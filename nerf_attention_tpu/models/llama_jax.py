@@ -1,0 +1,374 @@
+"""Minimal JAX Llama decoder with per-layer post-RoPE K/V capture.
+
+The native extraction path: instead of the reference's torch/bitsandbytes
+pipeline (`/root/reference/nerf_attention/extract.py:95-179`), a Llama-family
+checkpoint is loaded straight from safetensors into a JAX pytree and one
+prefill forward runs on the TPU (optionally tensor-sharded over a mesh),
+emitting each layer's (num_kv_heads, S, head_dim) keys/values — the same
+tensors HF's DynamicCache would hold (keys post-RoPE), so downstream analysis
+and fitting are backend-agnostic.
+
+Only what extraction needs is implemented: prefill, batch 1, no generation,
+no lm_head (logits are never used). Layers are stacked and scanned, so
+compile time is O(1) in depth.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_attention_tpu.io import kvstore
+from nerf_attention_tpu.types import KVMetadata
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    # Llama-3.1-style rope scaling (None = plain RoPE)
+    rope_scaling_factor: float | None = None
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "LlamaConfig":
+        scaling = d.get("rope_scaling") or {}
+        is_llama3 = scaling.get("rope_type", scaling.get("type")) == "llama3"
+        num_heads = d["num_attention_heads"]
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=num_heads,
+            num_key_value_heads=d.get("num_key_value_heads", num_heads),
+            head_dim=d.get("head_dim") or d["hidden_size"] // num_heads,
+            rope_theta=d.get("rope_theta", 500000.0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
+            rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
+            rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
+            rope_original_max_position=scaling.get(
+                "original_max_position_embeddings", 8192
+            ),
+        )
+
+
+def _rope_frequencies(config: LlamaConfig) -> np.ndarray:
+    """Inverse frequencies, with Llama-3.1 long-context rescaling if set."""
+    d = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    )
+    if config.rope_scaling_factor is None:
+        return inv_freq.astype(np.float32)
+
+    # Llama-3.1 "llama3" rope: low-frequency bands divided by `factor`,
+    # high-frequency bands kept, smooth interpolation between.
+    factor = config.rope_scaling_factor
+    low = config.rope_low_freq_factor
+    high = config.rope_high_freq_factor
+    orig = config.rope_original_max_position
+
+    wavelen = 2 * np.pi / inv_freq
+    low_wavelen = orig / low
+    high_wavelen = orig / high
+    scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+    smooth = (orig / wavelen - low) / (high - low)
+    interp = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+    is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+    return np.where(is_medium, interp, scaled).astype(np.float32)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF-style rotate-half RoPE. x: (heads, S, D); cos/sin: (S, D)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[None, :, :] + rotated * sin[None, :, :]
+
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (norm * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin, mask):
+    """One decoder layer. h: (S, hidden). Returns (h, (keys, values))."""
+    n_q, n_kv, d = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    s = h.shape[0]
+
+    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
+    q = (x @ lp["q"]).reshape(s, n_q, d).transpose(1, 0, 2)
+    k = (x @ lp["k"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+    v = (x @ lp["v"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
+
+    # GQA: repeat kv heads up to the query head count.
+    group = n_q // n_kv
+    k_full = jnp.repeat(k, group, axis=0)
+    v_full = jnp.repeat(v, group, axis=0)
+
+    logits = jnp.einsum(
+        "hqd,hkd->hqk", q, k_full, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(d))
+    logits = jnp.where(mask[None, :, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+    attn = jnp.einsum("hqk,hkd->hqd", probs, v_full)
+    attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
+    h = h + attn @ lp["o"]
+
+    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps)
+    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
+    h = h + gated @ lp["down"]
+    return h, (k, v)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
+    """One prefill pass -> per-layer post-RoPE KV.
+
+    Returns (keys, values), each (num_layers, num_kv_heads, S, head_dim).
+    """
+    s = input_ids.shape[0]
+    h = params["embed"][input_ids]
+
+    inv_freq = jnp.asarray(_rope_frequencies(config))
+    pos = jnp.arange(s, dtype=jnp.float32)
+    angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
+    cos, sin = jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+
+    def scan_layer(h, lp):
+        h, kv = _layer_forward(config, h, lp, cos, sin, mask)
+        return h, kv
+
+    _, (keys, values) = jax.lax.scan(scan_layer, h, params["layers"])
+    return keys, values
+
+
+# ---------------------------------------------------------------------------
+# Weight loading (safetensors / torch .bin) and random init
+# ---------------------------------------------------------------------------
+
+_LAYER_MAP = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj",
+    "gate": "mlp.gate_proj",
+    "up": "mlp.up_proj",
+    "down": "mlp.down_proj",
+}
+
+
+def _open_hf_weights(model_dir: Path):
+    """Return get(name) -> np.ndarray over all checkpoint shards."""
+    model_dir = Path(model_dir)
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        handles = [safe_open(str(f), framework="np") for f in st_files]
+        index = {}
+        for h in handles:
+            for name in h.keys():
+                index[name] = h
+
+        def get(name: str) -> np.ndarray:
+            return index[name].get_tensor(name)
+
+        return get, set(index)
+
+    bin_files = sorted(model_dir.glob("pytorch_model*.bin"))
+    if bin_files:
+        import torch
+
+        state: dict = {}
+        for f in bin_files:
+            state.update(torch.load(f, map_location="cpu", weights_only=True))
+
+        def get(name: str) -> np.ndarray:
+            t = state[name]
+            return t.float().numpy() if t.dtype == torch.bfloat16 else t.numpy()
+
+        return get, set(state)
+
+    raise FileNotFoundError(f"no safetensors/bin weights under {model_dir}")
+
+
+def load_llama_params(
+    model_dir: Path, dtype=jnp.bfloat16
+) -> tuple[LlamaConfig, dict]:
+    """Load a HF Llama checkpoint directory into (config, params pytree).
+
+    Layer weights are stacked along a leading layer axis for lax.scan; HF's
+    (out, in) projection layout is transposed to (in, out) matmul layout.
+    """
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        config = LlamaConfig.from_hf_dict(json.load(f))
+    get, names = _open_hf_weights(model_dir)
+
+    def arr(name: str, transpose: bool = False) -> jnp.ndarray:
+        x = np.asarray(get(name))
+        if x.dtype == np.dtype("V2"):  # raw bf16 from safetensors numpy
+            import ml_dtypes
+
+            x = x.view(ml_dtypes.bfloat16)
+        if transpose:
+            x = x.T
+        return jnp.asarray(x, dtype=dtype)
+
+    layers: dict[str, list] = {k: [] for k in (*_LAYER_MAP, "input_norm", "post_norm")}
+    for i in range(config.num_hidden_layers):
+        prefix = f"model.layers.{i}"
+        for short, hf in _LAYER_MAP.items():
+            layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
+        layers["input_norm"].append(arr(f"{prefix}.input_layernorm.weight"))
+        layers["post_norm"].append(arr(f"{prefix}.post_attention_layernorm.weight"))
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "layers": {k: jnp.stack(v) for k, v in layers.items()},
+    }
+    return config, params
+
+
+def init_random_llama(
+    config: LlamaConfig, seed: int = 0, dtype=jnp.float32
+) -> dict:
+    """Random small-scale init (tests / dry runs without weights)."""
+    rng = np.random.RandomState(seed)
+    h, i_sz, d = config.hidden_size, config.intermediate_size, config.head_dim
+    n_q, n_kv, n_l = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.num_hidden_layers,
+    )
+
+    def w(*shape):
+        scale = 0.02
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=dtype)
+
+    layers = {
+        "q": w(n_l, h, n_q * d),
+        "k": w(n_l, h, n_kv * d),
+        "v": w(n_l, h, n_kv * d),
+        "o": w(n_l, n_q * d, h),
+        "gate": w(n_l, h, i_sz),
+        "up": w(n_l, h, i_sz),
+        "down": w(n_l, i_sz, h),
+        "input_norm": jnp.ones((n_l, h), dtype=dtype),
+        "post_norm": jnp.ones((n_l, h), dtype=dtype),
+    }
+    return {"embed": w(config.vocab_size, h), "layers": layers}
+
+
+def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
+    """Tensor-shard attention heads / MLP intermediate over a mesh axis.
+
+    q/k/v and gate/up shard their output dim; o and down shard their input
+    dim — the Megatron layout, so XLA inserts exactly one all-reduce per
+    block. Norms and embeddings replicate.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    lp = params["layers"]
+    sharded = {
+        "q": put(lp["q"], P(None, None, axis)),
+        "k": put(lp["k"], P(None, None, axis)),
+        "v": put(lp["v"], P(None, None, axis)),
+        "o": put(lp["o"], P(None, axis, None)),
+        "gate": put(lp["gate"], P(None, None, axis)),
+        "up": put(lp["up"], P(None, None, axis)),
+        "down": put(lp["down"], P(None, axis, None)),
+        "input_norm": put(lp["input_norm"], P(None, None)),
+        "post_norm": put(lp["post_norm"], P(None, None)),
+    }
+    return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
+
+
+def prefill_and_save_kv(
+    config: LlamaConfig,
+    params: dict,
+    input_ids: np.ndarray,
+    output_dir: Path,
+    model_name: str,
+) -> KVMetadata:
+    """Run one prefill and persist per-layer KV in the standard layout."""
+    keys, values = llama_prefill_kv(
+        config, params, jnp.asarray(input_ids, dtype=jnp.int32)
+    )
+    keys = np.asarray(keys, dtype=np.float32)
+    values = np.asarray(values, dtype=np.float32)
+
+    output_dir = Path(output_dir)
+    for layer_idx in range(config.num_hidden_layers):
+        kvstore.save_layer(output_dir, layer_idx, keys[layer_idx], values[layer_idx])
+
+    actual_tokens = int(len(input_ids))
+    metadata = KVMetadata(
+        model_name=str(model_name),
+        num_layers=config.num_hidden_layers,
+        num_kv_heads=config.num_key_value_heads,
+        seq_len=actual_tokens,
+        head_dim=config.head_dim,
+        actual_tokens=actual_tokens,
+    )
+    kvstore.save_metadata(output_dir, metadata)
+    return metadata
+
+
+def extract_kv_with_jax_llama(
+    model_dir: str,
+    seq_len: int,
+    output_dir: Path,
+    text: str,
+    mesh=None,
+    dtype=jnp.bfloat16,
+) -> KVMetadata:
+    """Native extraction: tokenize, prefill on the TPU, persist per-layer KV."""
+    from transformers import AutoTokenizer
+
+    print(f"Loading {model_dir} into JAX...")
+    config, params = load_llama_params(Path(model_dir), dtype=dtype)
+    if mesh is not None:
+        params = shard_llama_params(params, mesh)
+
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    ids = np.asarray(
+        tokenizer(text, truncation=True, max_length=seq_len)["input_ids"]
+    )
+    print(f"Sequence length: {len(ids)} tokens")
+
+    print("Running prefill...")
+    metadata = prefill_and_save_kv(config, params, ids, output_dir, model_dir)
+    print(f"Saved {config.num_hidden_layers} layers to {output_dir}/")
+    return metadata

@@ -86,12 +86,18 @@ def generate_synthetic_kv(
     output_dir: Path = Path("results/kv_cache_synthetic"),
     verbose: bool = True,
     seed_offset: int = 0,
+    layer_indices: list[int] | None = None,
 ) -> KVMetadata:
     """Generate and persist a synthetic KV cache in the standard layout.
 
     ``seed_offset=0`` (default) reproduces the reference recipe bit-for-bit;
     a nonzero offset shifts every (layer, head) stream, giving statistically
     identical but distinct caches (used by the synthetic multi-prompt mode).
+
+    ``layer_indices`` generates only the given layers (metadata still reports
+    ``num_layers``; each layer's stream depends only on its absolute index,
+    so partial generation is bit-identical to the full run). Downstream
+    drivers skip missing layer files, matching the reference's behavior.
     """
     if verbose:
         print("Generating synthetic KV cache...")
@@ -102,8 +108,9 @@ def generate_synthetic_kv(
 
     output_dir = Path(output_dir)
     t = np.linspace(0, 1, seq_len)
+    layers = range(num_layers) if layer_indices is None else sorted(layer_indices)
 
-    for layer_idx in range(num_layers):
+    for layer_idx in layers:
         # Later layers get sharper, more frequent attention spikes.
         layer_sharpness = 1.0 + 2.0 * (layer_idx / max(num_layers - 1, 1))
         keys = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)

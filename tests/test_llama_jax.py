@@ -1,0 +1,167 @@
+"""JAX Llama: numeric KV parity against HF transformers on a tiny model."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from nerf_attention_tpu.models.llama_jax import (
+    LlamaConfig,
+    init_random_llama,
+    llama_prefill_kv,
+    load_llama_params,
+)
+
+
+TINY_HF_KWARGS = dict(
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=64,
+    rope_theta=10000.0,
+    tie_word_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_model(tmp_path_factory):
+    """A random tiny HF Llama saved to disk (no network)."""
+    cfg = transformers.LlamaConfig(**TINY_HF_KWARGS)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("tiny_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def test_config_from_hf_dict(tiny_hf_model):
+    d, _ = tiny_hf_model
+    with open(d / "config.json") as f:
+        config = LlamaConfig.from_hf_dict(json.load(f))
+    assert config.num_hidden_layers == 2
+    assert config.num_key_value_heads == 2
+    assert config.head_dim == 8
+    assert config.rope_scaling_factor is None
+
+
+def test_kv_parity_with_hf(tiny_hf_model):
+    """Our prefill emits the same post-RoPE KV tensors HF caches."""
+    d, model = tiny_hf_model
+    config, params = load_llama_params(d, dtype=jnp.float32)
+
+    ids = np.array([3, 17, 42, 9, 9, 120, 64, 5], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):  # transformers v5 layout
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    assert keys.shape == (2, 2, 8, 8)  # (L, H_kv, S, D)
+
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]),
+            hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]),
+            hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_llama31_rope_scaling_parity():
+    """llama3 rope rescaling matches HF's implementation."""
+    from nerf_attention_tpu.models.llama_jax import _rope_frequencies
+
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, rope_theta=500000.0,
+        rope_scaling_factor=8.0, rope_low_freq_factor=1.0,
+        rope_high_freq_factor=4.0, rope_original_max_position=8192,
+    )
+    got = _rope_frequencies(config)
+
+    # Independent oracle: HF's rope_utils formula.
+    inv_freq = 1.0 / (500000.0 ** (np.arange(0, 8, 2) / 8))
+    wavelen = 2 * np.pi / inv_freq
+    want = []
+    for ifq, wl in zip(inv_freq, wavelen):
+        if wl < 8192 / 4.0:
+            want.append(ifq)
+        elif wl > 8192 / 1.0:
+            want.append(ifq / 8.0)
+        else:
+            smooth = (8192 / wl - 1.0) / (4.0 - 1.0)
+            want.append((1 - smooth) * ifq / 8.0 + smooth * ifq)
+    np.testing.assert_allclose(got, np.array(want, dtype=np.float32), rtol=1e-6)
+
+
+def test_random_init_forward_runs():
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=4,
+    )
+    params = init_random_llama(config)
+    keys, values = llama_prefill_kv(
+        config, params, jnp.arange(10, dtype=jnp.int32)
+    )
+    assert keys.shape == values.shape == (3, 4, 10, 4)
+    assert np.isfinite(np.asarray(keys)).all()
+
+
+def test_prefill_and_save_kv(tiny_hf_model, tmp_path):
+    """Native extraction (minus tokenization) writes the standard layout."""
+    from nerf_attention_tpu.analyze import analyze_kv_cache
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.models.llama_jax import prefill_and_save_kv
+
+    d, _ = tiny_hf_model
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = np.arange(16, dtype=np.int32) % 100
+    metadata = prefill_and_save_kv(config, params, ids, tmp_path, "tiny")
+
+    assert metadata.num_layers == 2
+    assert metadata.seq_len == 16
+    keys, values = kvstore.load_layer(tmp_path, 0)
+    assert keys.shape == (2, 16, 8)
+    assert keys.dtype == np.float32
+    # The cache is consumable by the rest of the pipeline.
+    result = analyze_kv_cache(tmp_path, tmp_path / "analysis", verbose=False)
+    assert len(result.layer_summaries) == 2
+
+
+def test_shard_llama_params_tp_mesh(tiny_hf_model):
+    """Tensor-sharded prefill on a 4-way mesh matches the unsharded KV."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    d, _ = tiny_hf_model
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sharded = shard_llama_params(params, mesh)
+
+    ids = jnp.asarray(np.array([5, 3, 8, 1, 2, 99], dtype=np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
