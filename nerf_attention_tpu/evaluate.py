@@ -226,25 +226,18 @@ def plot_per_position_error(
     print("  Saved: per_position_error.png")
 
 
-def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int = 100) -> float:
-    """Measured time to stream one (S, D) bf16 block out of HBM.
+def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int = 200) -> float:
+    """Measured time to stream one (S, D) bf16 block through HBM.
 
-    A jitted full reduction reads every byte once and writes one scalar —
-    the closest measurable analog of "read the KV slice for one decode step".
-    This is the measured counterpart to the reference's theoretical
-    bytes/bandwidth numbers (evaluate.py:210-211).
+    The measured counterpart to the reference's theoretical bytes/bandwidth
+    numbers (evaluate.py:210-211). Uses the dependent-loop timer (one
+    dispatch, num_runs serialized iterations) — per-call timing of a
+    microsecond-scale op would measure dispatch latency instead
+    (utils/timing.py).
     """
-    x = jnp.zeros((seq_len, d_head), dtype=jnp.bfloat16)
-    read = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
-    read(x).block_until_ready()
-    for _ in range(10):
-        read(x)
-    read(x).block_until_ready()
-    start = time.perf_counter()
-    for _ in range(num_runs):
-        out = read(x)
-    out.block_until_ready()
-    return (time.perf_counter() - start) / num_runs * 1000
+    from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
+
+    return measured_hbm_read_ms(seq_len, d_head, num_runs)
 
 
 def profile_latency(
@@ -262,26 +255,20 @@ def profile_latency(
     results = []
     hbm_measured_cache: dict[tuple[int, int], float] = {}
 
+    from nerf_attention_tpu.utils.timing import time_siren_forward_ms
+
     for model_file in model_files[:max_models]:
         ckpt = checkpoint.load_siren_checkpoint(model_file)
         metrics = ckpt["metrics"]
         seq_len = metrics["seq_len"]
         d_head = ckpt["out_features"]
-
-        pos = positions(seq_len)
-        params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
         omega = ckpt["config"].omega_0
 
-        # Warmup (compile), then timed loop with a single trailing sync.
-        siren_forward(params, omega, pos).block_until_ready()
-        for _ in range(10):
-            siren_forward(params, omega, pos)
-        siren_forward(params, omega, pos).block_until_ready()
-        start = time.perf_counter()
-        for _ in range(num_runs):
-            out = siren_forward(params, omega, pos)
-        out.block_until_ready()
-        elapsed = (time.perf_counter() - start) / num_runs
+        # Dependent-loop timer: fused Pallas decode on TPU, XLA elsewhere.
+        elapsed = (
+            time_siren_forward_ms(ckpt["params"], omega, seq_len, reps=num_runs)
+            / 1000
+        )
 
         key = (seq_len, d_head)
         if key not in hbm_measured_cache:

@@ -242,28 +242,23 @@ def run_scaling_experiment(
 
 
 def _profile_siren_latency(fits_dir: Path, seq_len: int, max_models: int = 4) -> float:
-    """Average measured forward time across saved checkpoints (ms)."""
+    """Average measured decode forward time across saved checkpoints (ms).
+
+    Dependent-loop timing (utils/timing.py): fused Pallas kernel on TPU,
+    plain XLA elsewhere; immune to dispatch-latency floors.
+    """
+    from nerf_attention_tpu.utils.timing import time_siren_forward_ms
+
     model_files = checkpoint.checkpoint_glob(Path(fits_dir))
     if not model_files:
         return 0.0
 
     times = []
-    pos = positions(seq_len)
     for mf in model_files[:max_models]:
         ckpt = checkpoint.load_siren_checkpoint(mf)
-        params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
-        omega = ckpt["config"].omega_0
-
-        siren_forward(params, omega, pos).block_until_ready()
-        for _ in range(10):
-            siren_forward(params, omega, pos)
-        siren_forward(params, omega, pos).block_until_ready()
-        start = time.perf_counter()
-        for _ in range(100):
-            out = siren_forward(params, omega, pos)
-        out.block_until_ready()
-        times.append((time.perf_counter() - start) / 100 * 1000)
-
+        times.append(
+            time_siren_forward_ms(ckpt["params"], ckpt["config"].omega_0, seq_len)
+        )
     return float(np.mean(times)) if times else 0.0
 
 

@@ -1,0 +1,125 @@
+"""Fused SIREN decode kernel (Pallas/TPU).
+
+The decode-latency question at the heart of the study — "can computing
+f(position) beat reading the KV slice from HBM?" — deserves the fastest
+honest implementation. This kernel evaluates the ENTIRE network in one
+pallas_call:
+
+  * positions are synthesized on-chip from the grid index (broadcasted_iota),
+    so the kernel reads nothing from HBM except the weights (one VMEM-resident
+    copy, a few hundred KB);
+  * all layers (matmul -> sin) fuse into a single program per row-tile: zero
+    intermediate HBM traffic, no per-op dispatch;
+  * the first layer's degenerate (TILE,1)@(1,H) matmul is computed as a
+    broadcast multiply-add on the VPU instead of wasting an MXU pass.
+
+Reference equivalent: the eager per-layer torch forward timed in
+`/root/reference/nerf_attention/evaluate.py:173-219`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _siren_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
+    """One row-tile of the full network. refs = w0,b0,...,wn,bn,out."""
+    out_ref = refs[-1]
+    weight_refs = refs[:-1]
+
+    i = pl.program_id(0)
+    # positions = linspace(0, 1, S): row r -> r / (S-1). TPU iota is
+    # integer-only; cast afterwards.
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
+    x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
+
+    # First sine layer: x (tile,1) @ w (1,H) == broadcast multiply (VPU).
+    w0 = weight_refs[0][:]  # (1, H)
+    b0 = weight_refs[1][:]  # (1, H)
+    h = jnp.sin(omega * (x * w0 + b0))
+
+    # Hidden sine layers on the MXU.
+    for layer in range(1, n_layers - 1):
+        w = weight_refs[2 * layer][:]
+        b = weight_refs[2 * layer + 1][:]
+        h = jnp.sin(omega * (jnp.dot(h, w, preferred_element_type=jnp.float32) + b))
+
+    # Final plain linear.
+    wf = weight_refs[2 * (n_layers - 1)][:]
+    bf = weight_refs[2 * (n_layers - 1) + 1][:]
+    out_ref[:] = jnp.dot(h, wf, preferred_element_type=jnp.float32) + bf
+
+
+@partial(jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret"))
+def siren_decode_fused(
+    params,
+    omega: float,
+    seq_len: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Evaluate a SIREN at linspace(0,1,seq_len) in one fused kernel.
+
+    params: [(W, b), ...] with W laid out (in, out). Returns (seq_len, D).
+    """
+    n_layers = len(params)
+    d_out = params[-1][0].shape[1]
+
+    tile = min(tile, _round_up(seq_len, 8))
+    padded_s = _round_up(seq_len, tile)
+    grid = (padded_s // tile,)
+
+    # Biases as (1, H) rows so every operand is rank-2 in VMEM.
+    flat: list[jax.Array] = []
+    for w, b in params:
+        flat.append(w.astype(jnp.float32))
+        flat.append(b.reshape(1, -1).astype(jnp.float32))
+
+    kernel = partial(
+        _siren_kernel,
+        omega=float(omega),
+        seq_len=seq_len,
+        tile=tile,
+        n_layers=n_layers,
+    )
+
+    hidden = params[0][0].shape[1]
+    flops_per_row = sum(2 * w.shape[0] * w.shape[1] for w, _ in params)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(f.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for f in flat
+        ],
+        out_specs=pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_s, d_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=padded_s * flops_per_row,
+            bytes_accessed=sum(f.size * 4 for f in flat) + padded_s * d_out * 4,
+            transcendentals=padded_s * hidden * (n_layers - 1),
+        ),
+        interpret=interpret,
+    )(*flat)
+    return out[:seq_len]
+
+
+def siren_decode(params, omega: float, seq_len: int) -> jax.Array:
+    """Fused decode with automatic fallback off-TPU (interpret on CPU)."""
+    on_tpu = jax.default_backend() == "tpu"
+    params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    return siren_decode_fused(
+        params, float(omega), seq_len, interpret=not on_tpu
+    )

@@ -177,7 +177,9 @@ def fit_batch(
 
     start = time.perf_counter()
     params, metrics = _fit_batch_compiled(keys, targets, config=config, epochs=epochs, lr=lr)
-    jax.block_until_ready(metrics["final_mse"])
+    # Host-materialize a small output to mark completion: block_until_ready
+    # can return early on tunneled platforms (observed on axon).
+    final_mse_host = np.asarray(metrics["final_mse"])
     elapsed = time.perf_counter() - start
 
     take = lambda x: np.asarray(x[:n])
@@ -186,7 +188,7 @@ def fit_batch(
         target_mean=take(metrics["target_mean"]),
         target_std=take(metrics["target_std"]),
         losses=take(metrics["losses"]),
-        final_mse=take(metrics["final_mse"]),
+        final_mse=final_mse_host[:n],
         cosine_mean=take(metrics["cosine_mean"]),
         cosine_min=take(metrics["cosine_min"]),
         cosine_std=take(metrics["cosine_std"]),

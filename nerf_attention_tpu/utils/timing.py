@@ -1,0 +1,142 @@
+"""Honest on-device microbenchmarks.
+
+Per-call wall-clock timing of sub-millisecond ops measures dispatch overhead,
+not the device (remote/tunneled TPUs add ~0.4 ms per call; the reference's
+own 0.15 ms-vs-3 ms discrepancy, FINDINGS.md:97-100, is this same
+measurement-context trap). Every timer here therefore runs the op inside one
+jitted fori_loop with a *genuine data dependence* between iterations — each
+step's input depends on the previous step's output through a non-foldable
+perturbation — so XLA can neither hoist the op out of the loop nor overlap
+iterations. One dispatch, N serialized executions, amortized time.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out) -> None:
+    """Force completion. block_until_ready can return early on tunneled
+    platforms (observed on axon) — fetching the value to host cannot. All
+    timed fns therefore return a small (scalar-ish) output."""
+    np.asarray(jax.tree_util.tree_leaves(out)[-1])
+
+
+def _median_time(run, n: int, *args, samples: int = 3) -> float:
+    times = []
+    for _ in range(samples):
+        start = time.perf_counter()
+        _sync(run(*args, n))
+        times.append(time.perf_counter() - start)
+    return sorted(times)[len(times) // 2]
+
+
+def _per_iter_seconds(run, *args, reps: int = 200, samples: int = 3) -> float:
+    """Per-iteration device time via a two-point difference.
+
+    A single timed call includes a large constant (host->device dispatch +
+    scalar-fetch round-trip; tens of ms through a tunnel). Timing the loop at
+    n and 4n and differencing cancels the constant exactly.
+    """
+    n1, n2 = reps, 4 * reps
+    _sync(run(*args, n1))  # compile both loop lengths + warm
+    _sync(run(*args, n2))
+    t1 = _median_time(run, n1, *args, samples=samples)
+    t2 = _median_time(run, n2, *args, samples=samples)
+    return max(t2 - t1, 1e-12) / (n2 - n1)
+
+
+def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
+                          fused: bool = True) -> float:
+    """Amortized per-evaluation time of a full SIREN decode (ms).
+
+    Each iteration perturbs the first-layer bias by (prev output mean * 1e-30)
+    — numerically invisible, but it forces a full dependent re-evaluation.
+    """
+    from nerf_attention_tpu.models.siren import positions, siren_apply
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
+
+    if reps is None:
+        # Enough iterations that the n..4n delta rises above RTT jitter.
+        reps = max(100, 2_000_000 // max(seq_len, 1))
+    params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    use_fused = fused and jax.default_backend() == "tpu"
+    pos = positions(seq_len)
+
+    @jax.jit
+    def run(params, n):
+        def body(_, carry):
+            p, acc = carry
+            if use_fused:
+                out = siren_decode_fused(p, float(omega), seq_len)
+            else:
+                out = siren_apply(p, float(omega), pos)
+            delta = jnp.mean(out) * 1e-30
+            (w0, b0), rest = p[0], p[1:]
+            return ([(w0, b0 + delta)] + rest, acc + delta)
+
+        return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
+
+    return _per_iter_seconds(run, params, reps=reps) * 1e3
+
+
+MIN_POOL_BYTES = 128 * 1024 * 1024  # >> 16 MB VMEM: slices must come from HBM
+
+
+def measured_hbm_read_ms(
+    seq_len: int, d_head: int, reps: int | None = None, dtype=jnp.bfloat16
+) -> float:
+    """Measured time to read one (S, D) KV slice from HBM.
+
+    Each loop iteration reduces a different (S, D) slice of a pool far larger
+    than VMEM, so every read streams from HBM (a VMEM-sized carry would get
+    pinned on-chip by XLA and measure VMEM bandwidth instead). The slice
+    index depends on the running value, so iterations serialize like real
+    decode steps.
+    """
+    slice_bytes = seq_len * d_head * jnp.dtype(dtype).itemsize
+    if reps is None:
+        # Target ~15 GB of traffic between the two timing points so the
+        # delta dwarfs RTT jitter even for sub-microsecond slice reads.
+        reps = int(np.clip(15e9 / slice_bytes / 3, 200, 50_000))
+    k = max(2, MIN_POOL_BYTES // slice_bytes)
+    pool = jnp.ones((k, seq_len, d_head), dtype=dtype)
+
+    @jax.jit
+    def run(pool, n):
+        def body(i, acc):
+            # Index depends on acc (runtime, non-foldable) -> serialized.
+            jitter = (acc * jnp.float32(1e-30)).astype(jnp.int32)
+            idx = (i + jitter) % k
+            s = jnp.sum(
+                jax.lax.dynamic_index_in_dim(pool, idx, axis=0, keepdims=False),
+                dtype=jnp.float32,
+            )
+            return acc + s * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return _per_iter_seconds(run, pool, reps=reps) * 1e3
+
+
+def time_jitted_ms(fn, *args, reps: int = 100) -> float:
+    """Wall-clock per call for an already-jitted fn (includes dispatch).
+
+    Use only for ops >> dispatch latency; prefer the dependent-loop timers
+    above for microsecond-scale ops.
+    """
+    jax.block_until_ready(fn(*args))
+    for _ in range(5):
+        fn(*args)
+    jax.block_until_ready(fn(*args))
+    start = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / reps * 1e3

@@ -1,0 +1,34 @@
+"""Fused Pallas decode kernel vs the plain XLA forward (interpret on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.models.siren import init_siren, positions, siren_apply
+from nerf_attention_tpu.ops.siren_pallas import siren_decode
+from nerf_attention_tpu.types import CONFIGS_FULL, SIRENConfig
+
+
+@pytest.mark.parametrize("config", CONFIGS_FULL, ids=lambda c: c.name)
+def test_fused_decode_matches_xla(config):
+    params = init_siren(jax.random.PRNGKey(5), config, out_features=128)
+    want = np.asarray(siren_apply(params, config.omega_0, positions(777)))
+    got = np.asarray(siren_decode(params, config.omega_0, 777))
+    assert got.shape == want.shape == (777, 128)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_decode_small_seq():
+    config = SIRENConfig(64, 1, 30.0, "tiny")
+    params = init_siren(jax.random.PRNGKey(0), config, out_features=16)
+    want = np.asarray(siren_apply(params, 30.0, positions(33)))
+    got = np.asarray(siren_decode(params, 30.0, 33))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_decode_long_seq_tiled():
+    config = SIRENConfig(128, 1, 30.0, "small")
+    params = init_siren(jax.random.PRNGKey(2), config, out_features=64)
+    want = np.asarray(siren_apply(params, 30.0, positions(4096)))
+    got = np.asarray(siren_decode(params, 30.0, 4096))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
