@@ -226,7 +226,7 @@ def plot_per_position_error(
     print("  Saved: per_position_error.png")
 
 
-def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int = 200) -> float:
+def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int | None = None) -> float:
     """Measured time to stream one (S, D) bf16 block through HBM.
 
     The measured counterpart to the reference's theoretical bytes/bandwidth
@@ -241,7 +241,8 @@ def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int = 200) -> float
 
 
 def profile_latency(
-    siren_dir: Path, output_dir: Path, max_models: int = 8, num_runs: int = 100
+    siren_dir: Path, output_dir: Path, max_models: int = 8,
+    num_runs: int | None = None,
 ) -> list[dict]:
     """SIREN decode forward vs HBM read: measured on-device + theoretical."""
     siren_dir, output_dir = Path(siren_dir), Path(output_dir)

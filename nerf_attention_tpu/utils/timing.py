@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def _sync(out) -> None:
     """Force completion. block_until_ready can return early on tunneled
     platforms (observed on axon) — fetching the value to host cannot. All
@@ -62,8 +66,10 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
 
     if reps is None:
-        # Enough iterations that the n..4n delta rises above RTT jitter.
-        reps = max(100, 2_000_000 // max(seq_len, 1))
+        # Enough iterations that the n..4n delta rises above RTT jitter. On
+        # the CPU test backend the loop runs serially at ~10us/step — full
+        # TPU rep counts would take minutes, and there is no RTT to beat.
+        reps = max(100, 2_000_000 // max(seq_len, 1)) if _on_tpu() else 20
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
     use_fused = fused and jax.default_backend() == "tpu"
     pos = positions(seq_len)
@@ -103,8 +109,10 @@ def measured_hbm_read_ms(
     if reps is None:
         # Target ~15 GB of traffic between the two timing points so the
         # delta dwarfs RTT jitter even for sub-microsecond slice reads.
-        reps = int(np.clip(15e9 / slice_bytes / 3, 200, 50_000))
-    k = max(2, MIN_POOL_BYTES // slice_bytes)
+        # CPU (tests): tiny reps — functionality only, no RTT to amortize.
+        reps = int(np.clip(15e9 / slice_bytes / 3, 200, 50_000)) if _on_tpu() else 20
+    pool_bytes = MIN_POOL_BYTES if _on_tpu() else 4 * 1024 * 1024
+    k = max(2, pool_bytes // slice_bytes)
     pool = jnp.ones((k, seq_len, d_head), dtype=dtype)
 
     @jax.jit
