@@ -19,7 +19,13 @@ from pathlib import Path
 import numpy as np
 
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.parallel.sweep import BatchFitMetrics, fit_batch, select_fit_params
+from nerf_attention_tpu.parallel.sweep import (
+    BatchFitMetrics,
+    fit_batch,
+    fit_batch_collect,
+    fit_batch_dispatch,
+    select_fit_params,
+)
 from nerf_attention_tpu.types import (
     CONFIGS_FULL,
     CONFIGS_QUICK,
@@ -168,23 +174,45 @@ def fit_kv_cache(
         print(f"Sweep: {len(items)} tensors x {len(configs)} configs = {total} fits")
 
     all_results: list[dict] = []
-    stacked = np.stack(tensors, axis=0)
+    import jax.numpy as jnp
+
+    # One host->device transfer shared by all 7 group dispatches.
+    stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
     start = time.perf_counter()
 
+    # Dispatch every architecture group before collecting any: group k+1's
+    # compile / persistent-cache load (host-side, blocking) overlaps group
+    # k's execution (device-side, async), so the device never idles between
+    # groups. Groups execute in dispatch order on the device queue.
+    handles = []
     for gi, config in enumerate(configs):
         if verbose:
             print(
-                f"\n[group {gi + 1}/{len(configs)}] {config.name}: "
-                f"{len(items)} fits x {epochs} epochs ...",
+                f"[dispatch {gi + 1}/{len(configs)}] {config.name}: "
+                f"{len(items)} fits x {epochs} epochs",
                 flush=True,
             )
-        batch = fit_batch(
-            stacked, config, epochs=epochs, lr=lr, seed=seed + gi * 10_000, mesh=mesh
+        handles.append(
+            fit_batch_dispatch(
+                stacked, config, epochs=epochs, lr=lr,
+                seed=seed + gi * 10_000, mesh=mesh,
+            )
         )
+
+    prev_done = start
+    for gi, (config, handle) in enumerate(zip(configs, handles)):
+        np.asarray(handle[2]["final_mse"])  # wait for this group's completion
+        now = time.perf_counter()
+        # Groups run back-to-back on the device queue, so the gap between
+        # consecutive completions is this group's device time (the first
+        # gap also carries all overlapped compile time not yet amortized).
+        batch = fit_batch_collect(handle, now - prev_done)
+        prev_done = now
         if verbose:
             print(
-                f"  done in {batch.train_time_seconds:.1f}s "
-                f"({batch.seconds_per_fit:.3f} s/fit)"
+                f"[group {gi + 1}/{len(configs)}] {config.name}: done in "
+                f"{batch.train_time_seconds:.1f}s ({batch.seconds_per_fit:.3f} s/fit)",
+                flush=True,
             )
 
         for i, item in enumerate(items):
@@ -307,6 +335,10 @@ def main() -> None:
     parser.add_argument(
         "--mesh", action="store_true", help="shard the fit axis over all devices"
     )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace of the sweep into this directory",
+    )
     args = parser.parse_args()
 
     mesh = None
@@ -316,14 +348,17 @@ def main() -> None:
         mesh = fit_mesh()
         print(f"Mesh: {mesh.devices.size} device(s)")
 
-    fit_kv_cache(
-        Path(args.kv_dir),
-        Path(args.output_dir),
-        epochs=args.epochs,
-        quick=args.quick,
-        seed=args.seed,
-        mesh=mesh,
-    )
+    from nerf_attention_tpu.utils.tracing import trace
+
+    with trace(args.profile_dir):
+        fit_kv_cache(
+            Path(args.kv_dir),
+            Path(args.output_dir),
+            epochs=args.epochs,
+            quick=args.quick,
+            seed=args.seed,
+            mesh=mesh,
+        )
 
 
 if __name__ == "__main__":

@@ -146,7 +146,7 @@ def _fit_batch_compiled(keys, targets, *, config: SIRENConfig, epochs: int, lr: 
     return jax.vmap(fit)(keys, targets)
 
 
-def fit_batch(
+def fit_batch_dispatch(
     targets: np.ndarray,
     config: SIRENConfig,
     *,
@@ -155,11 +155,13 @@ def fit_batch(
     seed: int = 0,
     mesh=None,
     dtype=jnp.float32,
-) -> BatchFitMetrics:
-    """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
+):
+    """Enqueue one architecture group's batched training; don't block.
 
-    When ``mesh`` is given, the fit axis is sharded across its devices
-    (padding N up to a multiple of the device count; padded results dropped).
+    Returns an opaque (n, params, metrics) handle of device arrays. The jit
+    dispatch compiles (or loads from the persistent cache) synchronously on
+    the host, but execution proceeds asynchronously on the device — so
+    dispatching the next group overlaps its compile with this group's run.
     """
     n = targets.shape[0]
     targets = jnp.asarray(targets, dtype=dtype)
@@ -175,12 +177,16 @@ def fit_batch(
         targets = shard_batch(targets, mesh)
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim, FIT_AXIS))
 
-    start = time.perf_counter()
     params, metrics = _fit_batch_compiled(keys, targets, config=config, epochs=epochs, lr=lr)
-    # Host-materialize a small output to mark completion: block_until_ready
-    # can return early on tunneled platforms (observed on axon).
+    return n, params, metrics
+
+
+def fit_batch_collect(handle, train_time_seconds: float) -> BatchFitMetrics:
+    """Host-materialize a dispatched group's results."""
+    n, params, metrics = handle
+    # np.asarray forces completion: block_until_ready can return early on
+    # tunneled platforms (observed on axon).
     final_mse_host = np.asarray(metrics["final_mse"])
-    elapsed = time.perf_counter() - start
 
     take = lambda x: np.asarray(x[:n])
     return BatchFitMetrics(
@@ -194,9 +200,32 @@ def fit_batch(
         cosine_std=take(metrics["cosine_std"]),
         per_pos_mse=take(metrics["per_pos_mse"]),
         cosine_sims=take(metrics["cosine_sims"]),
-        train_time_seconds=elapsed,
+        train_time_seconds=train_time_seconds,
         num_fits=n,
     )
+
+
+def fit_batch(
+    targets: np.ndarray,
+    config: SIRENConfig,
+    *,
+    epochs: int = 2000,
+    lr: float = 1e-4,
+    seed: int = 0,
+    mesh=None,
+    dtype=jnp.float32,
+) -> BatchFitMetrics:
+    """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
+
+    When ``mesh`` is given, the fit axis is sharded across its devices
+    (padding N up to a multiple of the device count; padded results dropped).
+    """
+    start = time.perf_counter()
+    handle = fit_batch_dispatch(
+        targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype
+    )
+    np.asarray(handle[2]["final_mse"])  # block
+    return fit_batch_collect(handle, time.perf_counter() - start)
 
 
 def select_fit_params(batch_params, i: int):
