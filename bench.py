@@ -55,7 +55,8 @@ def main() -> None:
     import jax
 
     # Persistent compilation cache: repeat runs skip the 7 group compiles.
-    cache_dir = Path("results/.jax_cache")
+    # Lives outside results/ so cleaning experiment outputs keeps it warm.
+    cache_dir = Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))

@@ -447,6 +447,8 @@ def generate_summary_figure(results: list[dict], output_dir: Path) -> None:
 
 
 def main() -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Evaluate SIREN compression")
     parser.add_argument("--kv_dir", type=str, default="results/kv_cache")
     parser.add_argument("--siren_dir", type=str, default="results/fits")

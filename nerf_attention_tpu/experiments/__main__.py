@@ -35,6 +35,8 @@ from nerf_attention_tpu.experiments.svd import plot_siren_vs_svd, run_svd_experi
 
 
 def main() -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Run follow-up experiments")
     parser.add_argument(
         "experiment",

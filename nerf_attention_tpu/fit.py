@@ -326,6 +326,8 @@ def print_summary(all_results: list[dict], layers_to_fit: list[int]) -> None:
 
 
 def main() -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Fit SIRENs to KV cache")
     parser.add_argument("--kv_dir", type=str, default="results/kv_cache")
     parser.add_argument("--output_dir", type=str, default="results/fits")

@@ -12,6 +12,8 @@ from pathlib import Path
 
 
 def main() -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="Force CPU mode")
     parser.add_argument("--epochs", type=int, default=2000)
