@@ -1,0 +1,263 @@
+"""Fused SIREN training step (loss + gradients) as one Pallas TPU kernel.
+
+The sweep's hot loop is 2000 optimizer steps over a batch of independent tiny
+MLPs (`parallel/sweep.py`). Under plain XLA each step writes every layer's
+activations to HBM in the forward pass and reads them back in the backward
+pass — for a 40-fit medium group that is ~20x more HBM traffic than the
+targets themselves. This kernel computes the per-fit loss AND all parameter
+gradients in a single fused pass: activations live only in VMEM scratch,
+positions are synthesized on-chip from the grid index, and the only HBM
+traffic per step is the (N, S, D) normalized-target read plus the tiny
+parameter/gradient tensors.
+
+Grid: (fit n, row-tile t) with both dimensions sequential; gradient outputs
+are blocked per fit and accumulated across the row-tile axis (initialized at
+t == 0, summed thereafter — the standard Pallas revisiting pattern).
+
+The backward math is written out explicitly (no custom_vjp needed — the
+optimizer consumes gradients directly):
+
+    y    = h_{L-1} @ Wf + bf,   h_i = sin(omega * a_i),  a_i = h_{i-1} @ W_i + b_i
+    dy   = 2 (y - t) / (S * D)          # d mean((y-t)^2) / dy, masked past S
+    dWf  = h_{L-1}^T dy, dbf = colsum dy, dh = dy Wf^T
+    da_i = dh_i * omega * cos(a_i)
+    dW_i = h_{i-1}^T da_i, db_i = colsum da_i, dh_{i-1} = da_i W_i^T
+
+Status (measured, v5e, S=2048, 40 fits x 2000 epochs): within ~10-20% of the
+XLA autodiff path on every architecture, but never faster — XLA already fuses
+the sine epilogues into the batched matmuls for these sizes, so the sweep's
+'auto' impl stays on XLA (`parallel/sweep.py:resolve_impl`). The kernel is
+kept, parity-tested (tests/test_siren_train_pallas.py), as the substrate for
+deeper fusions (e.g. folding the Adam update in-kernel). Equivalent reference
+computation: the torch forward/backward inside
+`/root/reference/nerf_attention/siren.py:98-105`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+VMEM_BUDGET = 6 * 1024 * 1024  # measured-safe: medium @2048 rows blows 16 MB
+
+
+def pick_tile(seq_len: int, hidden: int, d_out: int, n_layers: int) -> int:
+    """Largest row tile whose *estimated* working set fits the VMEM budget.
+
+    Bigger tiles mean fewer grid cells (less per-cell overhead and fewer
+    revisits of the gradient accumulators). The estimate counts activation
+    scratch, double-buffered target tiles, and matmul/transpose temporaries;
+    the budget is calibrated against Mosaic's actual allocator (medium
+    hidden=256 fits at 1024 rows, OOMs at 2048).
+    """
+    for tile in (2048, 1024, 512, 256):
+        work = 4 * tile * hidden * (n_layers - 1)  # activation scratch
+        work += 2 * 4 * tile * d_out  # target tile, double-buffered
+        work += 2 * 4 * tile * hidden  # h / transpose temporaries
+        if work <= VMEM_BUDGET:
+            return tile
+    return 256
+
+
+def _train_kernel(
+    *refs,
+    omega: float,
+    seq_len: int,
+    tile: int,
+    n_layers: int,
+    n_tiles: int,
+):
+    """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
+
+    refs layout:
+      inputs:  w_0, b_0, ..., w_{L-1}, b_{L-1}, targets_tile
+      outputs: loss, dw_0, db_0, ..., dw_{L-1}, db_{L-1}
+      scratch: a_0 ... a_{L-2}   (pre-sine activations, (tile, H) each)
+    """
+    n_in = 2 * n_layers + 1
+    n_out = 2 * n_layers + 1
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in : n_in + n_out]
+    act_refs = refs[n_in + n_out :]
+
+    t_ref = in_refs[-1]
+    loss_ref = out_refs[0]  # (1, N) full-array block, revisited by every cell
+    grad_refs = out_refs[1:]
+
+    n_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+
+    # Positions for this row tile: row r of the full sequence -> r / (S-1),
+    # masked past the true sequence length (padding rows contribute nothing).
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t_idx * tile
+    x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
+    valid = (row < seq_len).astype(jnp.float32)  # (tile, 1)
+
+    omega_f = jnp.float32(omega)
+
+    def w(i):
+        return in_refs[2 * i][0]  # (in, out)
+
+    def b(i):
+        return in_refs[2 * i + 1][0]  # (1, out)
+
+    # ---- Forward: stash pre-sine activations in VMEM scratch ----
+    # First sine layer: (tile,1) @ (1,H) is a broadcast multiply (VPU).
+    act_refs[0][:] = omega_f * (x * w(0) + b(0))
+    h = jnp.sin(act_refs[0][:])
+    for i in range(1, n_layers - 1):
+        act_refs[i][:] = omega_f * (
+            jnp.dot(h, w(i), preferred_element_type=jnp.float32) + b(i)
+        )
+        h = jnp.sin(act_refs[i][:])
+    y = jnp.dot(h, w(n_layers - 1), preferred_element_type=jnp.float32) + b(
+        n_layers - 1
+    )
+
+    # ---- Loss + dy (masked, mean over S*D real elements) ----
+    target = t_ref[0]  # (tile, D)
+    d_out = target.shape[-1]
+    err = (y - target) * valid
+    inv_n = jnp.float32(1.0 / (seq_len * d_out))
+
+    @pl.when((n_idx == 0) & (t_idx == 0))
+    def _init_loss():
+        loss_ref[...] = jnp.zeros_like(loss_ref)
+
+    # Scatter this cell's contribution into lane n via a one-hot mask
+    # (dynamic lane stores are not supported; a masked vector add is).
+    lane = jax.lax.broadcasted_iota(jnp.int32, loss_ref.shape, 1)
+    onehot = (lane == n_idx).astype(jnp.float32)
+    loss_ref[...] += onehot * (jnp.sum(err * err) * inv_n)
+    dy = (2.0 * inv_n) * err  # (tile, D)
+
+    @pl.when(t_idx == 0)
+    def _init_grads():
+        for g in grad_refs:
+            g[...] = jnp.zeros_like(g)
+
+    # ---- Backward ----
+    def dw_ref(i):
+        return grad_refs[2 * i]
+
+    def db_ref(i):
+        return grad_refs[2 * i + 1]
+
+    # Final linear layer.
+    dw_ref(n_layers - 1)[0] += jnp.dot(
+        h.T, dy, preferred_element_type=jnp.float32
+    )
+    db_ref(n_layers - 1)[0] += jnp.sum(dy, axis=0, keepdims=True)
+    dh = jnp.dot(dy, w(n_layers - 1).T, preferred_element_type=jnp.float32)
+
+    # Hidden sine layers, last to first.
+    for i in range(n_layers - 2, 0, -1):
+        da = dh * omega_f * jnp.cos(act_refs[i][:])
+        h_prev = jnp.sin(act_refs[i - 1][:])
+        dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
+        db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
+        dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+
+    # First sine layer: dW0 = x^T da0 computed as a column sum (VPU).
+    da0 = dh * omega_f * jnp.cos(act_refs[0][:])
+    dw_ref(0)[0] += jnp.sum(x * da0, axis=0, keepdims=True)
+    db_ref(0)[0] += jnp.sum(da0, axis=0, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("omega", "tile", "interpret"))
+def siren_train_grads(
+    params,
+    targets_norm: jax.Array,
+    *,
+    omega: float,
+    tile: int | None = None,
+    interpret: bool = False,
+):
+    """Loss and gradients for a batch of SIRENs in one fused kernel.
+
+    params: [(W, b), ...] with W (N, in, out), b (N, out) — one network per
+    fit. targets_norm: (N, S, D) z-normalized targets. Returns
+    (loss (N,), grads) with grads shaped exactly like params.
+    """
+    n, seq_len, d_out = targets_norm.shape
+    n_layers = len(params)
+    hidden = params[0][0].shape[-1]
+
+    if tile is None:
+        tile = pick_tile(seq_len, hidden, d_out, n_layers)
+    tile = min(tile, _round_up(seq_len, 8))
+    padded_s = _round_up(seq_len, tile)
+    n_tiles = padded_s // tile
+    if padded_s != seq_len:
+        targets_norm = jnp.pad(
+            targets_norm, ((0, 0), (0, padded_s - seq_len), (0, 0))
+        )
+
+    # Flatten params to rank-3 VMEM operands: W (N, in, out), b (N, 1, out).
+    flat: list[jax.Array] = []
+    for w, b_ in params:
+        flat.append(w.astype(jnp.float32))
+        flat.append(b_.reshape(n, 1, -1).astype(jnp.float32))
+
+    # Per-fit blocks for weights/grads; per-(fit, tile) blocks for targets.
+    def fit_block(shape):
+        return pl.BlockSpec(
+            (1, *shape[1:]), lambda n_, t_: (n_, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [fit_block(f.shape) for f in flat]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, tile, d_out), lambda n_, t_: (n_, t_, 0), memory_space=pltpu.VMEM
+        )
+    )
+
+    loss_spec = pl.BlockSpec((1, n), lambda n_, t_: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [loss_spec] + [fit_block(f.shape) for f in flat]
+    out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32)] + [
+        jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat
+    ]
+
+    flops_per_row = sum(2 * w.shape[1] * w.shape[2] for w, _ in zip(flat[::2], flat[1::2]))
+    kernel = partial(
+        _train_kernel,
+        omega=float(omega),
+        seq_len=seq_len,
+        tile=tile,
+        n_layers=n_layers,
+        n_tiles=n_tiles,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(n_layers - 1)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * padded_s * flops_per_row,
+            bytes_accessed=targets_norm.size * 4 + sum(f.size * 8 for f in flat),
+            transcendentals=2 * n * padded_s * hidden * (n_layers - 1),
+        ),
+        interpret=interpret,
+    )(*flat, targets_norm)
+
+    loss = outs[0][0]
+    grads = [
+        (outs[1 + 2 * i], outs[2 + 2 * i].reshape(n, -1))
+        for i in range(n_layers)
+    ]
+    return loss, grads

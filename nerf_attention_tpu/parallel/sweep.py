@@ -117,33 +117,90 @@ def _single_fit(
     (params, _), losses = jax.lax.scan(step, (params, opt_state), length=epochs)
 
     # Final evaluation in real (de-normalized) space (siren.py:119-126).
+    metrics = _final_eval(params, omega, pos, target, mean, std)
+    metrics["losses"] = losses
+    metrics["target_mean"] = mean
+    metrics["target_std"] = std
+    return params, metrics
+
+
+def _final_eval(params, omega: float, pos, target, mean, std):
+    """De-normalized final metrics for one fit (siren.py:119-126)."""
     pred = siren_apply(params, omega, pos) * std + mean
     err = pred - target
-    final_mse = jnp.mean(err**2)
     cos = cosine_similarity(pred, target)
-    per_pos_mse = jnp.mean(err**2, axis=1)
-
-    metrics = {
-        "losses": losses,
-        "final_mse": final_mse,
+    return {
+        "final_mse": jnp.mean(err**2),
         "cosine_mean": jnp.mean(cos),
         "cosine_min": jnp.min(cos),
         "cosine_std": jnp.std(cos, ddof=1),
-        "per_pos_mse": per_pos_mse,
+        "per_pos_mse": jnp.mean(err**2, axis=1),
         "cosine_sims": cos,
-        "target_mean": mean,
-        "target_std": std,
     }
-    return params, metrics
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "epochs", "lr"),
+    static_argnames=("config", "epochs", "lr", "impl"),
 )
-def _fit_batch_compiled(keys, targets, *, config: SIRENConfig, epochs: int, lr: float):
-    fit = partial(_single_fit, config=config, epochs=epochs, lr=lr)
-    return jax.vmap(fit)(keys, targets)
+def _fit_batch_compiled(
+    keys, targets, *, config: SIRENConfig, epochs: int, lr: float, impl: str = "xla"
+):
+    if impl == "xla":
+        fit = partial(_single_fit, config=config, epochs=epochs, lr=lr)
+        return jax.vmap(fit)(keys, targets)
+
+    # impl == "pallas": the whole group's forward+backward is one fused TPU
+    # kernel per step (ops/siren_train_pallas.py); init, the Adam update, and
+    # the final evaluation stay in XLA. Numerics match the XLA path up to
+    # fp32 reduction-order rounding.
+    from nerf_attention_tpu.ops.siren_train_pallas import siren_train_grads
+
+    n, seq_len, d_head = targets.shape
+    omega = config.omega_0
+    pos = positions(seq_len, dtype=targets.dtype)
+    tx = _make_optimizer(lr, epochs)
+
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+
+    targets_norm, mean, std = jax.vmap(normalize_targets)(targets)
+    params = jax.vmap(lambda k: init_siren(k, config, d_head, dtype=targets.dtype))(
+        keys
+    )
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = siren_train_grads(p, targets_norm, omega=omega, interpret=interpret)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), length=epochs)
+
+    eval_fn = lambda p, t, m, sd: _final_eval(p, omega, pos, t, m, sd)
+    metrics = jax.vmap(eval_fn)(params, targets, mean, std)
+    metrics["losses"] = losses.T  # (N, epochs)
+    metrics["target_mean"] = mean
+    metrics["target_std"] = std
+    return params, metrics
+
+
+def resolve_impl(impl: str, mesh) -> str:
+    """'auto' -> XLA autodiff (measured winner), 'pallas' opt-in.
+
+    Measured on v5e @ S=2048, 40 fits x 2000 epochs: the fused Pallas
+    training kernel (ops/siren_train_pallas.py) lands within ~10-20% of the
+    XLA path on every architecture but never beats it — XLA already fuses
+    the sine epilogues into the batched matmuls and keeps these small
+    activations in registers/VMEM. The kernel stays available (impl='pallas',
+    parity-tested) as the substrate for future fusions; 'auto' picks XLA.
+    The mesh path requires XLA (a pallas_call under pjit would need
+    shard_map plumbing; the XLA path shards transparently).
+    """
+    if impl != "auto":
+        return impl
+    return "xla"
 
 
 def fit_batch_dispatch(
@@ -155,6 +212,7 @@ def fit_batch_dispatch(
     seed: int = 0,
     mesh=None,
     dtype=jnp.float32,
+    impl: str = "auto",
 ):
     """Enqueue one architecture group's batched training; don't block.
 
@@ -177,7 +235,10 @@ def fit_batch_dispatch(
         targets = shard_batch(targets, mesh)
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim, FIT_AXIS))
 
-    params, metrics = _fit_batch_compiled(keys, targets, config=config, epochs=epochs, lr=lr)
+    params, metrics = _fit_batch_compiled(
+        keys, targets, config=config, epochs=epochs, lr=lr,
+        impl=resolve_impl(impl, mesh),
+    )
     return n, params, metrics
 
 
@@ -214,15 +275,19 @@ def fit_batch(
     seed: int = 0,
     mesh=None,
     dtype=jnp.float32,
+    impl: str = "auto",
 ) -> BatchFitMetrics:
     """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
 
     When ``mesh`` is given, the fit axis is sharded across its devices
     (padding N up to a multiple of the device count; padded results dropped).
+    ``impl``: 'xla' (autodiff reference path), 'pallas' (fused TPU training
+    kernel), or 'auto'.
     """
     start = time.perf_counter()
     handle = fit_batch_dispatch(
-        targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype
+        targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype,
+        impl=impl,
     )
     np.asarray(handle[2]["final_mse"])  # block
     return fit_batch_collect(handle, time.perf_counter() - start)

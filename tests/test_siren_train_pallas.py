@@ -1,0 +1,96 @@
+"""Fused training kernel parity vs XLA autodiff (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.models.siren import init_siren, positions, siren_apply
+from nerf_attention_tpu.ops.siren_train_pallas import siren_train_grads
+from nerf_attention_tpu.parallel.sweep import (
+    _fit_batch_compiled,
+    normalize_targets,
+)
+from nerf_attention_tpu.types import CONFIGS_FULL, SIRENConfig
+
+
+def _batched_params(config, n, d_out, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    return jax.vmap(lambda k: init_siren(k, config, d_out))(keys)
+
+
+def _xla_loss_and_grads(params, targets_norm, omega):
+    """Reference: jax autodiff of the per-fit normalized MSE."""
+    n, s, d = targets_norm.shape
+    pos = positions(s)
+
+    def one(p, t):
+        return jnp.mean((siren_apply(p, omega, pos) - t) ** 2)
+
+    def total(p):
+        return jnp.sum(jax.vmap(one)(p, targets_norm))
+
+    losses = jax.vmap(one)(params, targets_norm)
+    grads = jax.grad(total)(params)  # sum over fits == per-fit grads (independent)
+    return losses, grads
+
+
+@pytest.mark.parametrize(
+    "config",
+    [CONFIGS_FULL[0], CONFIGS_FULL[2], CONFIGS_FULL[4]],  # tiny, medium, deep
+    ids=lambda c: c.name,
+)
+def test_fused_grads_match_autodiff(config, rng):
+    n, s, d = 3, 96, 16
+    targets = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
+    targets_norm = jax.vmap(lambda t: normalize_targets(t)[0])(targets)
+    params = _batched_params(config, n, d)
+
+    loss, grads = siren_train_grads(
+        params, targets_norm, omega=config.omega_0, interpret=True
+    )
+    want_loss, want_grads = _xla_loss_and_grads(params, targets_norm, config.omega_0)
+
+    np.testing.assert_allclose(loss, want_loss, rtol=1e-5, atol=1e-6)
+    for (gw, gb), (ww, wb) in zip(grads, want_grads):
+        np.testing.assert_allclose(gw, ww, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(gb, wb, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_grads_padding_masked(rng):
+    """Sequence not a multiple of the tile: padded rows must not leak."""
+    config = SIRENConfig(32, 1, 30.0, "t32")
+    n, s, d = 2, 77, 8  # tile rounds to a non-multiple of 77
+    targets = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
+    targets_norm = jax.vmap(lambda t: normalize_targets(t)[0])(targets)
+    params = _batched_params(config, n, d)
+
+    loss, grads = siren_train_grads(
+        params, targets_norm, omega=30.0, interpret=True, tile=32
+    )
+    want_loss, want_grads = _xla_loss_and_grads(params, targets_norm, 30.0)
+    np.testing.assert_allclose(loss, want_loss, rtol=1e-5, atol=1e-6)
+    for (gw, gb), (ww, wb) in zip(grads, want_grads):
+        np.testing.assert_allclose(gw, ww, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(gb, wb, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_training_path_matches_xla_quality(rng):
+    """Full short training run: fused path lands at the same optimum."""
+    config = SIRENConfig(32, 1, 30.0, "t32")
+    n, s, d = 2, 64, 8
+    t = np.linspace(0, 1, s, dtype=np.float32)[:, None]
+    targets = jnp.asarray(
+        np.stack([np.sin(2 * np.pi * (i + 2) * t) * np.ones((1, d), np.float32)
+                  for i in range(n)])
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+    _, m_xla = _fit_batch_compiled(keys, targets, config=config, epochs=150, lr=1e-4, impl="xla")
+    _, m_pal = _fit_batch_compiled(keys, targets, config=config, epochs=150, lr=1e-4, impl="pallas")
+
+    np.testing.assert_allclose(
+        m_pal["cosine_mean"], m_xla["cosine_mean"], atol=2e-3
+    )
+    np.testing.assert_allclose(m_pal["losses"], m_xla["losses"], rtol=1e-3, atol=1e-5)
+    assert m_pal["losses"].shape == (n, 150)
