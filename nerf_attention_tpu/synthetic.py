@@ -78,6 +78,22 @@ def _head_signals(
     return k, v
 
 
+def _head_signals_native(
+    lib, seed: int, seq_len: int, head_dim: int, layer_sharpness: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """C++ generator (native/synthkv.cpp): identical RNG stream, ~40x faster."""
+    import ctypes
+
+    k = np.empty((seq_len, head_dim), dtype=np.float32)
+    v = np.empty((seq_len, head_dim), dtype=np.float32)
+    lib.synth_head(
+        seed, seq_len, head_dim, layer_sharpness,
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return k, v
+
+
 def generate_synthetic_kv(
     seq_len: int = 2048,
     num_layers: int = 32,
@@ -110,16 +126,33 @@ def generate_synthetic_kv(
     t = np.linspace(0, 1, seq_len)
     layers = range(num_layers) if layer_indices is None else sorted(layer_indices)
 
+    from nerf_attention_tpu.native import load_synthkv
+
+    lib = load_synthkv()
+
     for layer_idx in layers:
         # Later layers get sharper, more frequent attention spikes.
         layer_sharpness = 1.0 + 2.0 * (layer_idx / max(num_layers - 1, 1))
         keys = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
         values = np.empty((num_kv_heads, seq_len, head_dim), dtype=np.float32)
-        for head_idx in range(num_kv_heads):
-            rng = np.random.RandomState(seed_offset + layer_idx * num_kv_heads + head_idx)
-            keys[head_idx], values[head_idx] = _head_signals(
-                rng, t, head_dim, layer_sharpness
+        if lib is not None:
+            import ctypes
+
+            # C++ path: all heads in parallel, one thread per head.
+            lib.synth_layer(
+                seed_offset + layer_idx * num_kv_heads,
+                num_kv_heads, seq_len, head_dim, layer_sharpness,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
+        else:
+            for head_idx in range(num_kv_heads):
+                rng = np.random.RandomState(
+                    seed_offset + layer_idx * num_kv_heads + head_idx
+                )
+                keys[head_idx], values[head_idx] = _head_signals(
+                    rng, t, head_dim, layer_sharpness
+                )
         kvstore.save_layer(output_dir, layer_idx, keys, values)
 
     metadata = KVMetadata(
