@@ -51,6 +51,11 @@ def main() -> None:
         args.epochs = 20
         args.seq_len = 128
         args.head_dim = 16
+        # Keep dryrun caches separate from real-run caches: the generator
+        # skips generation when metadata exists, so sharing the directory
+        # would make the smoke test train on full-size tensors.
+        args.kv_dir += "_dryrun"
+        args.out_dir += "_dryrun"
 
     import jax
 
@@ -94,6 +99,15 @@ def main() -> None:
     if mesh is not None:
         log(f"sharding fit axis over {n_devices} devices")
 
+    # Warm the device client before timing: the first dispatch through a
+    # tunneled backend costs 70-150s of pure client/tunnel setup, which the
+    # reference's ~20min baseline (a sum of per-fit train times) excludes.
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    log("device warm")
+
     log(f"running full sweep: epochs={args.epochs} ...")
     start = time.perf_counter()
     results = fit_kv_cache(
@@ -112,8 +126,6 @@ def main() -> None:
     # of this run's rate over the reference's.
     baseline_rate = REFERENCE_FITS / REFERENCE_SWEEP_SECONDS
     vs_baseline = (fits_per_sec / max(n_devices, 1)) / baseline_rate
-
-    import numpy as np
 
     keys_cos = float(
         np.mean([r["final_cosine_mean"] for r in results if r["kv_type"] == "key"])
