@@ -134,6 +134,11 @@ def analyze_kv_cache(kv_dir: Path, output_dir: Path, verbose: bool = True) -> An
                 f"Rank: {summary.avg_rank_ratio_v:.3f}"
             )
 
+    if not layer_summaries:
+        raise FileNotFoundError(
+            f"no layer files found under {kv_dir} for sampled layers — "
+            "nothing to analyze"
+        )
     avg_ac_k = float(np.mean([s.avg_autocorr_k for s in layer_summaries]))
     avg_ac_v = float(np.mean([s.avg_autocorr_v for s in layer_summaries]))
     avg_en_k = float(np.mean([s.avg_energy_10pct_k for s in layer_summaries]))

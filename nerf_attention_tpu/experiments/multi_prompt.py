@@ -25,9 +25,9 @@ from nerf_attention_tpu.fit import _batch_to_fit_result
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
-from nerf_attention_tpu.types import KVMetadata, SIRENConfig
+from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
-MEDIUM = SIRENConfig(256, 2, 30.0, "medium")
+MEDIUM = CONFIGS_BY_NAME["medium"]
 
 
 def _extract_prompt_cache(

@@ -15,26 +15,23 @@ scaling.py`). Differences from the reference, by design:
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-import jax.numpy as jnp
 import numpy as np
 
 from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.evaluate import HBM_BW, measure_hbm_read_ms
 from nerf_attention_tpu.fit import _batch_to_fit_result, result_to_record
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.models.siren import positions, siren_forward
 from nerf_attention_tpu.parallel.sweep import fit_batch
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
-from nerf_attention_tpu.types import KVMetadata, SIRENConfig
+from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
-MEDIUM = SIRENConfig(256, 2, 30.0, "medium")
+MEDIUM = CONFIGS_BY_NAME["medium"]
 
 
 def _extract_all_seq_lengths(

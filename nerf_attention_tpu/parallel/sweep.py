@@ -225,19 +225,28 @@ def fit_batch_dispatch(
     targets = jnp.asarray(targets, dtype=dtype)
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
-    if mesh is not None and np.prod(mesh.devices.shape) > 1:
+    impl = resolve_impl(impl, mesh)
+    multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
+    if impl == "pallas" and multi_device:
+        raise ValueError(
+            "impl='pallas' does not support a multi-device mesh (the fused "
+            "kernel is not shard_map-wrapped); use impl='xla' or 'auto'"
+        )
+
+    if multi_device:
         n_dev = int(np.prod(mesh.devices.shape))
         n_pad = pad_to_multiple(n, n_dev)
         if n_pad != n:
-            reps = n_pad - n
-            targets = jnp.concatenate([targets, targets[:reps]], axis=0)
-            keys = jnp.concatenate([keys, keys[:reps]], axis=0)
+            # Wrap-around indexing pads to any multiple, including when the
+            # pad amount exceeds the batch size (n < n_dev).
+            idx = jnp.arange(n_pad) % n
+            targets = targets[idx]
+            keys = keys[idx]
         targets = shard_batch(targets, mesh)
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim, FIT_AXIS))
 
     params, metrics = _fit_batch_compiled(
-        keys, targets, config=config, epochs=epochs, lr=lr,
-        impl=resolve_impl(impl, mesh),
+        keys, targets, config=config, epochs=epochs, lr=lr, impl=impl
     )
     return n, params, metrics
 

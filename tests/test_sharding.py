@@ -61,6 +61,23 @@ def test_sharded_sweep_pads_uneven_batches():
     assert np.isfinite(result.cosine_mean).all()
 
 
+def test_sharded_sweep_pad_exceeds_batch():
+    mesh = fit_mesh()
+    targets = _targets(3)  # pad amount (5) > batch size (3): wrap-around
+    result = fit_batch(targets, TINY, epochs=50, seed=0, mesh=mesh)
+    assert result.num_fits == 3
+    assert result.cosine_mean.shape == (3,)
+    assert np.isfinite(result.cosine_mean).all()
+
+
+def test_pallas_impl_rejects_mesh():
+    import pytest
+
+    mesh = fit_mesh()
+    with pytest.raises(ValueError, match="pallas"):
+        fit_batch(_targets(8), TINY, epochs=5, seed=0, mesh=mesh, impl="pallas")
+
+
 def test_batch_sharding_spec():
     mesh = fit_mesh()
     sharding = batch_sharding(mesh, ndim=3)
