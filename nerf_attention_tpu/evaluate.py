@@ -453,7 +453,13 @@ def main() -> None:
     parser.add_argument("--kv_dir", type=str, default="results/kv_cache")
     parser.add_argument("--siren_dir", type=str, default="results/fits")
     parser.add_argument("--output_dir", type=str, default="results/figures")
+    parser.add_argument(
+        "--device", type=str, default=None, choices=["cpu", "tpu"],
+        help="pin the jax platform (reference evaluate.py:351 --device parity)",
+    )
     args = parser.parse_args()
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)

@@ -341,7 +341,16 @@ def main() -> None:
         "--profile_dir", type=str, default=None,
         help="capture a jax.profiler trace of the sweep into this directory",
     )
+    parser.add_argument(
+        "--device", type=str, default=None, choices=["cpu", "tpu"],
+        help="pin the jax platform (reference fit.py:188 --device parity); "
+        "default: jax's platform auto-selection",
+    )
     args = parser.parse_args()
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     mesh = None
     if args.mesh:
