@@ -11,3 +11,7 @@ from nerf_attention_tpu.experiments.multi_prompt import (
 )
 from nerf_attention_tpu.experiments.svd import plot_siren_vs_svd, run_svd_experiment
 from nerf_attention_tpu.experiments.summary import generate_final_summary
+from nerf_attention_tpu.experiments.aggregate_decode import (
+    plot_aggregate_decode,
+    run_aggregate_decode_experiment,
+)

@@ -40,7 +40,10 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Run follow-up experiments")
     parser.add_argument(
         "experiment",
-        choices=["scaling", "multi_prompt", "svd", "layer_profile", "all"],
+        choices=[
+            "scaling", "multi_prompt", "svd", "layer_profile",
+            "aggregate_decode", "all",
+        ],
     )
     parser.add_argument("--model", type=str, default="unsloth/Llama-3.1-8B")
     parser.add_argument(
@@ -128,6 +131,20 @@ def main() -> None:
             epochs=args.epochs,
         )
         plot_full_layer_profile(layer_results, figures_dir)
+
+    if args.experiment in ("aggregate_decode", "all"):
+        print("\n" + "=" * 60)
+        print("EXPERIMENT 5: Aggregate Decode vs Full-Cache HBM Read")
+        print("=" * 60)
+        from nerf_attention_tpu.experiments.aggregate_decode import (
+            run_aggregate_decode_experiment,
+        )
+
+        siren_dir = Path(args.siren_dir)
+        run_aggregate_decode_experiment(
+            output_dir=Path("results/aggregate_decode"),
+            siren_dir=siren_dir if siren_dir.exists() else None,
+        )
 
     if args.experiment == "all":
         print("\n" + "=" * 60)

@@ -1,0 +1,213 @@
+"""Experiment 5 (beyond-reference): aggregate decode vs full-cache HBM read.
+
+The reference profiles ONE SIREN forward against reading ONE (S, D) slice
+(`/root/reference/nerf_attention/evaluate.py:173-219`). But the study's
+premise — replace the KV cache with networks — means a serving step must
+reconstruct EVERY (layer, head, K|V) slice: for Llama-3.1-8B that is
+32 layers x 8 kv-heads x 2 = 512 medium SIRENs per decode step. This
+experiment measures that aggregate, both sides on-device:
+
+  * SIREN side: all N networks evaluated by ONE batched fused Pallas kernel
+    (`ops/siren_pallas.py:siren_decode_batch`) — the most favorable honest
+    implementation of the compute-for-memory trade.
+  * HBM side: streaming the full (N, S, D) bf16 cache from HBM (dependent-
+    loop timer, pool larger than VMEM so reads can't be cached on-chip).
+
+If trained checkpoints exist (a completed sweep), their weights are used;
+otherwise SIREN-initialized random weights — decode cost is shape-dependent
+only, so the latency conclusion is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerf_attention_tpu.evaluate import HBM_BW
+from nerf_attention_tpu.io import checkpoint
+from nerf_attention_tpu.models.siren import init_siren, positions, siren_apply
+from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+MEDIUM = CONFIGS_BY_NAME["medium"]
+
+
+def _stack_params(param_list):
+    """[(w, b), ...] per network -> [(W, B), ...] with leading N axis."""
+    n_layers = len(param_list[0])
+    return [
+        (
+            jnp.stack([p[i][0] for p in param_list]),
+            jnp.stack([p[i][1] for p in param_list]),
+        )
+        for i in range(n_layers)
+    ]
+
+
+def _gather_networks(
+    siren_dir: Path | None, n_networks: int, seq_len: int, head_dim: int
+):
+    """Stacked medium-SIREN params: trained checkpoints if present, else init."""
+    loaded = []
+    if siren_dir is not None:
+        for f in checkpoint.checkpoint_glob(Path(siren_dir), "*medium_model.npz"):
+            ckpt = checkpoint.load_siren_checkpoint(f)
+            loaded.append([(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]])
+    source = f"{len(loaded)} trained checkpoints" if loaded else "SIREN init"
+    nets = list(loaded)
+    key = jax.random.PRNGKey(0)
+    while len(nets) < n_networks:
+        key, sub = jax.random.split(key)
+        nets.append(init_siren(sub, MEDIUM, head_dim))
+    return _stack_params(nets[:n_networks]), source
+
+
+def _time_batched_decode_ms(stacked, seq_len: int, reps: int | None = None) -> float:
+    """Dependent-loop timing of the batched fused decode (ms per full pass)."""
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+    from nerf_attention_tpu.utils.timing import _per_iter_seconds, _on_tpu
+
+    omega = MEDIUM.omega_0
+    use_fused = _on_tpu()
+    pos = positions(seq_len)
+    if reps is None:
+        reps = 30 if use_fused else 3
+
+    @jax.jit
+    def run(params, n):
+        def body(_, carry):
+            p, acc = carry
+            if use_fused:
+                out = siren_decode_batch(p, omega, seq_len)
+            else:
+                out = jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
+            delta = jnp.mean(out) * 1e-30
+            (w0, b0), rest = p[0], p[1:]
+            return ([(w0, b0 + delta)] + rest, acc + delta)
+
+        return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
+
+    return _per_iter_seconds(run, stacked, reps=reps) * 1e3
+
+
+def run_aggregate_decode_experiment(
+    output_dir: Path,
+    siren_dir: Path | None = None,
+    seq_len: int = 2048,
+    head_dim: int = 128,
+    num_layers: int = 32,
+    num_kv_heads: int = 8,
+    verbose: bool = True,
+) -> dict:
+    """Measure reconstructing the WHOLE cache vs reading it from HBM."""
+    from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    n_networks = num_layers * num_kv_heads * 2  # K and V per (layer, head)
+    stacked, source = _gather_networks(siren_dir, n_networks, seq_len, head_dim)
+    num_params = sum(int(w.size) + int(b.size) for w, b in stacked)
+
+    if verbose:
+        print(
+            f"Aggregate decode: {n_networks} medium SIRENs "
+            f"({num_layers}L x {num_kv_heads}H x K/V), weights from {source}"
+        )
+
+    t0 = time.perf_counter()
+    siren_ms = _time_batched_decode_ms(stacked, seq_len)
+    if verbose:
+        print(f"  batched fused decode: {siren_ms:.3f} ms "
+              f"(timed in {time.perf_counter() - t0:.0f}s)")
+
+    # HBM side: one (S, D) slice read, scaled to the full cache. (Streaming
+    # N slices back-to-back is bandwidth-bound either way; per-slice timing
+    # uses the anti-caching pool in utils/timing.py.)
+    slice_ms = measured_hbm_read_ms(seq_len, head_dim)
+    hbm_measured_ms = slice_ms * n_networks
+    cache_bytes = n_networks * seq_len * head_dim * 2  # bf16
+    results = {
+        "num_networks": n_networks,
+        "seq_len": seq_len,
+        "head_dim": head_dim,
+        "weights_source": source,
+        "total_siren_params": num_params,
+        "cache_bytes_bf16": cache_bytes,
+        "siren_aggregate_ms": siren_ms,
+        "hbm_measured_aggregate_ms": hbm_measured_ms,
+        "hbm_v5e_theoretical_ms": cache_bytes / HBM_BW["tpu_v5e"] * 1000,
+        "hbm_h100_theoretical_ms": cache_bytes / HBM_BW["h100"] * 1000,
+        "hbm_4060_theoretical_ms": cache_bytes / HBM_BW["rtx4060"] * 1000,
+        "ratio_vs_measured": siren_ms / max(hbm_measured_ms, 1e-12),
+        "ratio_vs_v5e_theoretical": siren_ms
+        / max(cache_bytes / HBM_BW["tpu_v5e"] * 1000, 1e-12),
+        "backend": jax.default_backend(),
+    }
+
+    if verbose:
+        print(
+            f"  full-cache HBM read: measured {hbm_measured_ms:.3f} ms, "
+            f"v5e roofline {results['hbm_v5e_theoretical_ms']:.3f} ms"
+        )
+        print(
+            f"  -> aggregate SIREN decode is {results['ratio_vs_measured']:.1f}x "
+            f"slower than the measured HBM read "
+            f"({results['ratio_vs_v5e_theoretical']:.1f}x vs the v5e roofline)"
+        )
+
+    with open(output_dir / "aggregate_decode.json", "w") as f:
+        json.dump(results, f, indent=2)
+    plot_aggregate_decode(results, output_dir)
+    return results
+
+
+def plot_aggregate_decode(results: dict, output_dir: Path) -> None:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    labels = [
+        "SIREN decode\n(batched fused kernel,\nmeasured)",
+        "HBM read\n(measured)",
+        "HBM read\n(v5e roofline)",
+        "HBM read\n(H100 roofline)",
+    ]
+    values = [
+        results["siren_aggregate_ms"],
+        results["hbm_measured_aggregate_ms"],
+        results["hbm_v5e_theoretical_ms"],
+        results["hbm_h100_theoretical_ms"],
+    ]
+    colors = ["#3498db", "#9b59b6", "#f39c12", "#2ecc71"]
+
+    fig, ax = plt.subplots(figsize=(9, 6))
+    bars = ax.bar(labels, values, color=colors, edgecolor="black", linewidth=0.5)
+    for bar, v in zip(bars, values):
+        ax.annotate(
+            f"{v:.3f} ms", xy=(bar.get_x() + bar.get_width() / 2, v),
+            xytext=(0, 4), textcoords="offset points",
+            ha="center", fontsize=9,
+        )
+    ax.set_yscale("log")
+    ax.set(
+        ylabel="Time per decode step (ms, log)",
+        title=(
+            f"Reconstructing the Full KV Cache "
+            f"({results['num_networks']} SIRENs, {results['seq_len']} tokens): "
+            f"{results['ratio_vs_measured']:.0f}x Slower Than Reading It"
+        ),
+    )
+    ax.grid(True, alpha=0.3, axis="y")
+    plt.tight_layout()
+    plt.savefig(output_dir / "aggregate_decode.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print(f"  Saved: {output_dir}/aggregate_decode.png")

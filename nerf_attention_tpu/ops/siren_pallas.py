@@ -123,3 +123,93 @@ def siren_decode(params, omega: float, seq_len: int) -> jax.Array:
     return siren_decode_fused(
         params, float(omega), seq_len, interpret=not on_tpu
     )
+
+
+def _siren_batch_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
+    """One (network, row-tile) cell of the batched decode.
+
+    refs = w_0, b_0, ..., w_{L-1}, b_{L-1} (each blocked per network), out.
+    """
+    out_ref = refs[-1]
+    weight_refs = refs[:-1]
+
+    t_idx = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t_idx * tile
+    x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
+
+    w0 = weight_refs[0][0]  # (1, H)
+    b0 = weight_refs[1][0]  # (1, H)
+    h = jnp.sin(omega * (x * w0 + b0))
+    for layer in range(1, n_layers - 1):
+        w = weight_refs[2 * layer][0]
+        b = weight_refs[2 * layer + 1][0]
+        h = jnp.sin(omega * (jnp.dot(h, w, preferred_element_type=jnp.float32) + b))
+    wf = weight_refs[2 * (n_layers - 1)][0]
+    bf = weight_refs[2 * (n_layers - 1) + 1][0]
+    out_ref[0] = jnp.dot(h, wf, preferred_element_type=jnp.float32) + bf
+
+
+@partial(jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret"))
+def siren_decode_batch(
+    params,
+    omega: float,
+    seq_len: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode N SIRENs at once: one fused kernel over a (network, tile) grid.
+
+    params: [(W, b), ...] with leading network axis — W (N, in, out),
+    b (N, out). Returns (N, seq_len, D). This is the serving shape of the
+    study's question: reconstructing EVERY (layer, head, K|V) slice of a KV
+    cache each decode step means evaluating hundreds of networks per token;
+    batching them into one kernel amortizes dispatch and keeps each
+    network's weights VMEM-resident for all of its row tiles.
+    """
+    n = params[0][0].shape[0]
+    n_layers = len(params)
+    d_out = params[-1][0].shape[-1]
+
+    tile = min(tile, _round_up(seq_len, 8))
+    padded_s = _round_up(seq_len, tile)
+    grid = (n, padded_s // tile)
+
+    flat: list[jax.Array] = []
+    for w, b in params:
+        flat.append(w.astype(jnp.float32))
+        flat.append(b.reshape(n, 1, -1).astype(jnp.float32))
+
+    kernel = partial(
+        _siren_batch_kernel,
+        omega=float(omega),
+        seq_len=seq_len,
+        tile=tile,
+        n_layers=n_layers,
+    )
+    hidden = params[0][0].shape[-1]
+    flops_per_row = sum(2 * w.shape[1] * w.shape[2] for w in flat[::2])
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, *f.shape[1:]), lambda ni, ti: (ni, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for f in flat
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, d_out), lambda ni, ti: (ni, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, padded_s, d_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * padded_s * flops_per_row,
+            bytes_accessed=sum(f.size * 4 for f in flat) + n * padded_s * d_out * 4,
+            transcendentals=n * padded_s * hidden * (n_layers - 1),
+        ),
+        interpret=interpret,
+    )(*flat)
+    return out[:, :seq_len, :]

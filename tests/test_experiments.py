@@ -133,3 +133,25 @@ def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path)
     # Partial inputs render placeholders instead of crashing.
     generate_final_summary(None, None, None, None, tmp_path / "partial")
     assert (tmp_path / "partial" / "final_summary.png").exists()
+
+
+def test_aggregate_decode_experiment(tmp_path):
+    from nerf_attention_tpu.experiments.aggregate_decode import (
+        run_aggregate_decode_experiment,
+    )
+
+    results = run_aggregate_decode_experiment(
+        output_dir=tmp_path,
+        siren_dir=None,
+        seq_len=64,
+        head_dim=8,
+        num_layers=2,
+        num_kv_heads=2,
+        verbose=False,
+    )
+    assert results["num_networks"] == 8
+    assert results["siren_aggregate_ms"] > 0
+    assert results["hbm_measured_aggregate_ms"] > 0
+    assert results["ratio_vs_measured"] > 0
+    assert (tmp_path / "aggregate_decode.json").exists()
+    assert (tmp_path / "aggregate_decode.png").exists()
