@@ -130,6 +130,7 @@ def fit_kv_cache(
     seed: int = 0,
     mesh=None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> list[dict]:
     """Run the architecture sweep over an extracted KV cache.
 
@@ -137,6 +138,11 @@ def fit_kv_cache(
     full = 5 layers x min(H,4) heads x 7 configs; both key and value — 280
     fits for Llama-3.1-8B. Fits are grouped by architecture and each group
     trains as one jit(vmap(scan)) program over the mesh.
+
+    ``resume=True`` skips architecture groups whose complete results already
+    exist in ``fit_results.json`` (group-level recovery — the reference can
+    only resume at extraction granularity, scaling.py:56-61; individual fits
+    there are 2000-epochs-or-nothing).
     """
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -173,6 +179,24 @@ def fit_kv_cache(
     if verbose:
         print(f"Sweep: {len(items)} tensors x {len(configs)} configs = {total} fits")
 
+    # Resume: a group is complete when every expected record for its config
+    # is already present in a prior fit_results.json.
+    done_records: dict[str, list[dict]] = {}
+    if resume and (output_dir / "fit_results.json").exists():
+        with open(output_dir / "fit_results.json") as f:
+            prior = json.load(f)
+        expected = {f"{it.name_prefix}_{c.name}" for it in items for c in configs}
+        by_config: dict[str, list[dict]] = {}
+        for r in prior:
+            if r["name"] in expected:
+                by_config.setdefault(r["config_name"], []).append(r)
+        for config in configs:
+            recs = by_config.get(config.name, [])
+            if len(recs) == len(items):
+                done_records[config.name] = recs
+        if verbose and done_records:
+            print(f"  Resume: skipping completed groups {sorted(done_records)}")
+
     all_results: list[dict] = []
     import jax.numpy as jnp
 
@@ -186,6 +210,9 @@ def fit_kv_cache(
     # groups. Groups execute in dispatch order on the device queue.
     handles = []
     for gi, config in enumerate(configs):
+        if config.name in done_records:
+            handles.append(None)
+            continue
         if verbose:
             print(
                 f"[dispatch {gi + 1}/{len(configs)}] {config.name}: "
@@ -201,6 +228,9 @@ def fit_kv_cache(
 
     prev_done = start
     for gi, (config, handle) in enumerate(zip(configs, handles)):
+        if handle is None:  # resumed group: reuse prior records verbatim
+            all_results.extend(done_records[config.name])
+            continue
         np.asarray(handle[2]["final_mse"])  # wait for this group's completion
         now = time.perf_counter()
         # Groups run back-to-back on the device queue, so the gap between
@@ -233,9 +263,14 @@ def fit_kv_cache(
                     record,
                 )
 
+        # Durable after every group: a crash mid-sweep leaves completed
+        # groups on disk for --resume (atomic replace, no torn JSON).
+        tmp = output_dir / "fit_results.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_results, f, indent=2)
+        tmp.replace(output_dir / "fit_results.json")
+
     wall = time.perf_counter() - start
-    with open(output_dir / "fit_results.json", "w") as f:
-        json.dump(all_results, f, indent=2)
 
     if verbose:
         print(f"\nTotal sweep wall-clock: {wall:.1f}s for {total} fits "
@@ -346,6 +381,10 @@ def main() -> None:
         help="pin the jax platform (reference fit.py:188 --device parity); "
         "default: jax's platform auto-selection",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="skip architecture groups already completed in fit_results.json",
+    )
     args = parser.parse_args()
     if args.device:
         import jax
@@ -369,6 +408,7 @@ def main() -> None:
             quick=args.quick,
             seed=args.seed,
             mesh=mesh,
+            resume=args.resume,
         )
 
 

@@ -103,3 +103,31 @@ def test_deterministic_given_seed():
     a = fit_batch(target[None], TINY, epochs=100, seed=3)
     b = fit_batch(target[None], TINY, epochs=100, seed=3)
     np.testing.assert_array_equal(a.final_mse, b.final_mse)
+
+
+def test_sweep_resume_skips_completed_groups(tiny_kv_dir, tmp_path, capsys):
+    from nerf_attention_tpu.fit import fit_kv_cache
+
+    first = fit_kv_cache(tiny_kv_dir, tmp_path, epochs=30, quick=True, verbose=False)
+    # Drop one config's records to simulate a crash mid-sweep.
+    import json
+
+    results_path = tmp_path / "fit_results.json"
+    records = json.loads(results_path.read_text())
+    kept = [r for r in records if r["config_name"] != "medium"]
+    results_path.write_text(json.dumps(kept))
+
+    resumed = fit_kv_cache(
+        tiny_kv_dir, tmp_path, epochs=30, quick=True, verbose=True, resume=True
+    )
+    out = capsys.readouterr().out
+    assert "Resume: skipping completed groups ['small']" in out
+    assert len(resumed) == len(first)
+    # The skipped group's records are identical to the first run's.
+    small_first = sorted(
+        (r["name"], r["final_cosine_mean"]) for r in first if r["config_name"] == "small"
+    )
+    small_resumed = sorted(
+        (r["name"], r["final_cosine_mean"]) for r in resumed if r["config_name"] == "small"
+    )
+    assert small_first == small_resumed
