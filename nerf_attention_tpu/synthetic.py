@@ -1,10 +1,13 @@
 """Deterministic synthetic KV-cache generator.
 
-Reproduces the reference's seeded signal recipe bit-for-bit
+Reproduces the reference's seeded signal recipe
 (`/root/reference/nerf_attention/extract.py:182-259`): every (layer, head) gets
 its own ``np.random.RandomState(layer * num_heads + head)`` stream, and per key
-dimension the draws happen in the exact same order, so tensors generated here
-are numerically identical to the reference's. That makes every downstream
+dimension the draws happen in the exact same order — RNG streams are
+bit-identical, and the assembled tensors match the reference's to float32
+grid rounding (the reference evaluates carriers on a torch.linspace float32
+time grid; verified against the actual reference code in
+tests/test_reference_parity.py, atol 5e-5). That makes every downstream
 stage (analyze, fit, evaluate) hermetically testable against reference-grade
 inputs without Llama weights.
 
