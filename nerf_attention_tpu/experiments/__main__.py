@@ -144,6 +144,7 @@ def main() -> None:
         run_aggregate_decode_experiment(
             output_dir=Path("results/aggregate_decode"),
             siren_dir=siren_dir if siren_dir.exists() else None,
+            figures_dir=figures_dir,
         )
 
     if args.experiment == "all":

@@ -53,14 +53,23 @@ def _stack_params(param_list):
     ]
 
 
-def _gather_networks(
-    siren_dir: Path | None, n_networks: int, seq_len: int, head_dim: int
-):
-    """Stacked medium-SIREN params: trained checkpoints if present, else init."""
+def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
+    """Stacked medium-SIREN params: trained checkpoints if present, else init.
+
+    Only checkpoints whose architecture matches the requested geometry are
+    used — a sweep fit on a different head_dim would otherwise make the
+    stack ragged.
+    """
     loaded = []
     if siren_dir is not None:
         for f in checkpoint.checkpoint_glob(Path(siren_dir), "*medium_model.npz"):
             ckpt = checkpoint.load_siren_checkpoint(f)
+            if (
+                ckpt["out_features"] != head_dim
+                or ckpt["config"].hidden_features != MEDIUM.hidden_features
+                or ckpt["config"].hidden_layers != MEDIUM.hidden_layers
+            ):
+                continue
             loaded.append([(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]])
     source = f"{len(loaded)} trained checkpoints" if loaded else "SIREN init"
     nets = list(loaded)
@@ -74,7 +83,7 @@ def _gather_networks(
 def _time_batched_decode_ms(stacked, seq_len: int, reps: int | None = None) -> float:
     """Dependent-loop timing of the batched fused decode (ms per full pass)."""
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
-    from nerf_attention_tpu.utils.timing import _per_iter_seconds, _on_tpu
+    from nerf_attention_tpu.utils.timing import _on_tpu, time_perturbed_forward_ms
 
     omega = MEDIUM.omega_0
     use_fused = _on_tpu()
@@ -82,21 +91,12 @@ def _time_batched_decode_ms(stacked, seq_len: int, reps: int | None = None) -> f
     if reps is None:
         reps = 30 if use_fused else 3
 
-    @jax.jit
-    def run(params, n):
-        def body(_, carry):
-            p, acc = carry
-            if use_fused:
-                out = siren_decode_batch(p, omega, seq_len)
-            else:
-                out = jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
-            delta = jnp.mean(out) * 1e-30
-            (w0, b0), rest = p[0], p[1:]
-            return ([(w0, b0 + delta)] + rest, acc + delta)
+    def forward(p):
+        if use_fused:
+            return siren_decode_batch(p, omega, seq_len)
+        return jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
 
-        return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
-
-    return _per_iter_seconds(run, stacked, reps=reps) * 1e3
+    return time_perturbed_forward_ms(stacked, forward, reps)
 
 
 def run_aggregate_decode_experiment(
@@ -107,6 +107,7 @@ def run_aggregate_decode_experiment(
     num_layers: int = 32,
     num_kv_heads: int = 8,
     verbose: bool = True,
+    figures_dir: Path | None = None,
 ) -> dict:
     """Measure reconstructing the WHOLE cache vs reading it from HBM."""
     from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
@@ -115,7 +116,7 @@ def run_aggregate_decode_experiment(
     output_dir.mkdir(parents=True, exist_ok=True)
 
     n_networks = num_layers * num_kv_heads * 2  # K and V per (layer, head)
-    stacked, source = _gather_networks(siren_dir, n_networks, seq_len, head_dim)
+    stacked, source = _gather_networks(siren_dir, n_networks, head_dim)
     num_params = sum(int(w.size) + int(b.size) for w, b in stacked)
 
     if verbose:
@@ -167,7 +168,7 @@ def run_aggregate_decode_experiment(
 
     with open(output_dir / "aggregate_decode.json", "w") as f:
         json.dump(results, f, indent=2)
-    plot_aggregate_decode(results, output_dir)
+    plot_aggregate_decode(results, figures_dir if figures_dir is not None else output_dir)
     return results
 
 

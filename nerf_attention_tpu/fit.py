@@ -180,22 +180,40 @@ def fit_kv_cache(
         print(f"Sweep: {len(items)} tensors x {len(configs)} configs = {total} fits")
 
     # Resume: a group is complete when every expected record for its config
-    # is already present in a prior fit_results.json.
+    # is already present in a prior fit_results.json AND the prior run used
+    # the same sweep parameters (sweep_meta.json stamp) — records carry no
+    # epochs/seed field, so without the stamp a 100-epoch run would be
+    # silently merged into a 5000-epoch one.
+    sweep_meta = {
+        "epochs": epochs, "lr": lr, "seed": seed, "quick": quick,
+        "seq_len": metadata.seq_len, "kv_dir": str(kv_dir),
+    }
     done_records: dict[str, list[dict]] = {}
     if resume and (output_dir / "fit_results.json").exists():
-        with open(output_dir / "fit_results.json") as f:
-            prior = json.load(f)
-        expected = {f"{it.name_prefix}_{c.name}" for it in items for c in configs}
-        by_config: dict[str, list[dict]] = {}
-        for r in prior:
-            if r["name"] in expected:
-                by_config.setdefault(r["config_name"], []).append(r)
-        for config in configs:
-            recs = by_config.get(config.name, [])
-            if len(recs) == len(items):
-                done_records[config.name] = recs
-        if verbose and done_records:
-            print(f"  Resume: skipping completed groups {sorted(done_records)}")
+        meta_path = output_dir / "sweep_meta.json"
+        prior_meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
+        if prior_meta != sweep_meta:
+            if verbose:
+                print(
+                    "  Resume: prior sweep used different parameters "
+                    f"({prior_meta} != {sweep_meta}) — rerunning everything"
+                )
+        else:
+            with open(output_dir / "fit_results.json") as f:
+                prior = json.load(f)
+            expected = {f"{it.name_prefix}_{c.name}" for it in items for c in configs}
+            by_config: dict[str, list[dict]] = {}
+            for r in prior:
+                if r["name"] in expected:
+                    by_config.setdefault(r["config_name"], []).append(r)
+            for config in configs:
+                recs = by_config.get(config.name, [])
+                if len(recs) == len(items):
+                    done_records[config.name] = recs
+            if verbose and done_records:
+                print(f"  Resume: skipping completed groups {sorted(done_records)}")
+    with open(output_dir / "sweep_meta.json", "w") as f:
+        json.dump(sweep_meta, f, indent=2)
 
     all_results: list[dict] = []
     import jax.numpy as jnp

@@ -55,13 +55,31 @@ def _per_iter_seconds(run, *args, reps: int = 200, samples: int = 3) -> float:
     return max(t2 - t1, 1e-12) / (n2 - n1)
 
 
-def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
-                          fused: bool = True) -> float:
-    """Amortized per-evaluation time of a full SIREN decode (ms).
+def time_perturbed_forward_ms(params, forward_fn, reps: int) -> float:
+    """Dependent-loop timer for any ``forward_fn(params) -> array`` (ms).
 
     Each iteration perturbs the first-layer bias by (prev output mean * 1e-30)
-    — numerically invisible, but it forces a full dependent re-evaluation.
+    — numerically invisible, but it forces a full dependent re-evaluation, so
+    XLA can neither hoist the forward out of the loop nor overlap iterations.
     """
+
+    @jax.jit
+    def run(params, n):
+        def body(_, carry):
+            p, acc = carry
+            out = forward_fn(p)
+            delta = jnp.mean(out) * 1e-30
+            (w0, b0), rest = p[0], p[1:]
+            return ([(w0, b0 + delta)] + rest, acc + delta)
+
+        return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
+
+    return _per_iter_seconds(run, params, reps=reps) * 1e3
+
+
+def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
+                          fused: bool = True) -> float:
+    """Amortized per-evaluation time of a full SIREN decode (ms)."""
     from nerf_attention_tpu.models.siren import positions, siren_apply
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
 
@@ -71,24 +89,15 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
         # TPU rep counts would take minutes, and there is no RTT to beat.
         reps = max(100, 2_000_000 // max(seq_len, 1)) if _on_tpu() else 20
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
-    use_fused = fused and jax.default_backend() == "tpu"
+    use_fused = fused and _on_tpu()
     pos = positions(seq_len)
 
-    @jax.jit
-    def run(params, n):
-        def body(_, carry):
-            p, acc = carry
-            if use_fused:
-                out = siren_decode_fused(p, float(omega), seq_len)
-            else:
-                out = siren_apply(p, float(omega), pos)
-            delta = jnp.mean(out) * 1e-30
-            (w0, b0), rest = p[0], p[1:]
-            return ([(w0, b0 + delta)] + rest, acc + delta)
+    def forward(p):
+        if use_fused:
+            return siren_decode_fused(p, float(omega), seq_len)
+        return siren_apply(p, float(omega), pos)
 
-        return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
-
-    return _per_iter_seconds(run, params, reps=reps) * 1e3
+    return time_perturbed_forward_ms(params, forward, reps)
 
 
 MIN_POOL_BYTES = 128 * 1024 * 1024  # >> 16 MB VMEM: slices must come from HBM

@@ -32,3 +32,19 @@ def test_fused_decode_long_seq_tiled():
     want = np.asarray(siren_apply(params, 30.0, positions(4096)))
     got = np.asarray(siren_decode(params, 30.0, 4096))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_batched_decode_matches_vmapped_xla():
+    """siren_decode_batch == vmap(siren_apply) for every network (interpret)."""
+    import jax
+
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+
+    config = SIRENConfig(64, 2, 30.0, "t64")
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    params = jax.vmap(lambda k: init_siren(k, config, 24))(keys)
+    got = np.asarray(siren_decode_batch(params, 30.0, 300, interpret=True))
+    pos = positions(300)
+    want = np.asarray(jax.vmap(lambda p: siren_apply(p, 30.0, pos))(params))
+    assert got.shape == want.shape == (6, 300, 24)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

@@ -56,14 +56,18 @@ def main() -> None:
 
     if jax.default_backend() == "tpu":
         from nerf_attention_tpu.models.siren import init_siren
-        from nerf_attention_tpu.ops.siren_pallas import siren_decode
+        from nerf_attention_tpu.ops.siren_pallas import siren_decode, siren_decode_batch
         from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
-        params = init_siren(
-            jax.random.PRNGKey(0), CONFIGS_BY_NAME["medium"], args.head_dim
-        )
+        medium = CONFIGS_BY_NAME["medium"]
+        params = init_siren(jax.random.PRNGKey(0), medium, args.head_dim)
         np.asarray(siren_decode(params, 30.0, args.seq_len))
         print("  decode kernel: compiled", flush=True)
+        # Aggregate-decode geometry (32L x 8H x K/V = 512 networks).
+        keys = jax.random.split(jax.random.PRNGKey(1), 512)
+        batched = jax.vmap(lambda k: init_siren(k, medium, args.head_dim))(keys)
+        np.asarray(siren_decode_batch(batched, 30.0, args.seq_len))
+        print("  batched decode kernel: compiled", flush=True)
 
     print("cache warm")
 
