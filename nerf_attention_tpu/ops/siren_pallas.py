@@ -125,6 +125,50 @@ def siren_decode(params, omega: float, seq_len: int) -> jax.Array:
     )
 
 
+def siren_decode_batch_sharded(
+    params,
+    omega: float,
+    seq_len: int,
+    mesh,
+    axis: str = "fit",
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched fused decode with the network axis sharded over a mesh.
+
+    Each device runs the Pallas kernel on its local shard of networks —
+    shard_map is the composition layer pjit can't provide for pallas_call
+    (a pallas_call under plain GSPMD would not be partitioned). Zero
+    collectives: the network axis is embarrassingly parallel, exactly like
+    the fit sweep. N must be divisible by the mesh size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = params[0][0].shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        raise ValueError(f"network count {n} not divisible by mesh size {n_dev}")
+
+    leaf_spec = P(axis, None, None)
+    bias_spec = P(axis, None)
+    in_specs = [(leaf_spec, bias_spec) for _ in params]
+    # pallas_call's out_shape carries no varying-mesh-axes annotation; the
+    # kernel is per-shard pure, so disable the replication/vma check (named
+    # check_vma on jax.shard_map, check_rep on the experimental API).
+    common = dict(mesh=mesh, in_specs=(in_specs,), out_specs=leaf_spec)
+    body = lambda p: siren_decode_batch(p, omega, seq_len, interpret=interpret)
+    try:
+        fn = jax.shard_map(body, check_vma=False, **common)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        fn = _shard_map(body, check_rep=False, **common)
+    params = jax.device_put(
+        [(w, b) for w, b in params],
+        [(NamedSharding(mesh, leaf_spec), NamedSharding(mesh, bias_spec)) for _ in params],
+    )
+    return fn(params)
+
+
 def _siren_batch_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
     """One (network, row-tile) cell of the batched decode.
 

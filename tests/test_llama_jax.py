@@ -165,3 +165,42 @@ def test_shard_llama_params_tp_mesh(tiny_hf_model):
     k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
     np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
+def test_kv_parity_with_hf_mistral(tmp_path):
+    """Mistral-family checkpoints (same projection layout, GQA, RoPE) load
+    and produce the same post-RoPE KV as HF — the extraction path is
+    Llama-architecture-family generic, not Llama-only."""
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=None,
+    )
+    torch.manual_seed(1)
+    model = transformers.MistralForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )

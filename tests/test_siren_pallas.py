@@ -48,3 +48,39 @@ def test_batched_decode_matches_vmapped_xla():
     want = np.asarray(jax.vmap(lambda p: siren_apply(p, 30.0, pos))(params))
     assert got.shape == want.shape == (6, 300, 24)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_batched_decode_matches_local():
+    """shard_map'd batched decode over the 8-device mesh == local result."""
+    import jax
+
+    from nerf_attention_tpu.ops.siren_pallas import (
+        siren_decode_batch,
+        siren_decode_batch_sharded,
+    )
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+    config = SIRENConfig(32, 1, 30.0, "t32")
+    keys = jax.random.split(jax.random.PRNGKey(1), 16)
+    params = jax.vmap(lambda k: init_siren(k, config, 8))(keys)
+    mesh = fit_mesh()
+    got = np.asarray(
+        siren_decode_batch_sharded(params, 30.0, 128, mesh, interpret=True)
+    )
+    want = np.asarray(siren_decode_batch(params, 30.0, 128, interpret=True))
+    assert got.shape == (16, 128, 8)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_batched_decode_rejects_ragged():
+    import jax
+    import pytest
+
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch_sharded
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+    config = SIRENConfig(16, 1, 30.0, "t")
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)  # 6 % 8 != 0
+    params = jax.vmap(lambda k: init_siren(k, config, 4))(keys)
+    with pytest.raises(ValueError, match="divisible"):
+        siren_decode_batch_sharded(params, 30.0, 64, fit_mesh(), interpret=True)
