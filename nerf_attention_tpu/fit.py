@@ -131,6 +131,7 @@ def fit_kv_cache(
     mesh=None,
     verbose: bool = True,
     resume: bool = False,
+    impl: str = "auto",
 ) -> list[dict]:
     """Run the architecture sweep over an extracted KV cache.
 
@@ -240,7 +241,7 @@ def fit_kv_cache(
         handles.append(
             fit_batch_dispatch(
                 stacked, config, epochs=epochs, lr=lr,
-                seed=seed + gi * 10_000, mesh=mesh,
+                seed=seed + gi * 10_000, mesh=mesh, impl=impl,
             )
         )
 
@@ -403,6 +404,11 @@ def main() -> None:
         "--resume", action="store_true",
         help="skip architecture groups already completed in fit_results.json",
     )
+    parser.add_argument(
+        "--impl", type=str, default="auto", choices=["auto", "xla", "pallas"],
+        help="training step implementation (auto = XLA autodiff, the "
+        "measured winner; pallas = the fused kernel, single-device only)",
+    )
     args = parser.parse_args()
     if args.device:
         import jax
@@ -427,6 +433,7 @@ def main() -> None:
             seed=args.seed,
             mesh=mesh,
             resume=args.resume,
+            impl=args.impl,
         )
 
 
