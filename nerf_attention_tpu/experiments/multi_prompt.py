@@ -21,7 +21,6 @@ import numpy as np
 
 from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
-from nerf_attention_tpu.fit import _batch_to_fit_result
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
 from nerf_attention_tpu.synthetic import generate_synthetic_kv

@@ -13,7 +13,7 @@ iterations. One dispatch, N serialized executions, amortized time.
 from __future__ import annotations
 
 import time
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
