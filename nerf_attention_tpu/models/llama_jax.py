@@ -37,8 +37,8 @@ class LlamaConfig:
     num_attention_heads: int
     num_key_value_heads: int
     head_dim: int
-    rope_theta: float = 500000.0
-    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0  # HF LlamaConfig default (Llama-2 era)
+    rms_norm_eps: float = 1e-6  # HF LlamaConfig default
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -48,7 +48,15 @@ class LlamaConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         scaling = d.get("rope_scaling") or {}
-        is_llama3 = scaling.get("rope_type", scaling.get("type")) == "llama3"
+        rope_type = scaling.get("rope_type", scaling.get("type"))
+        is_llama3 = rope_type == "llama3"
+        if scaling and rope_type not in ("llama3", "default", None):
+            # linear/dynamic/yarn change the position mapping; silently
+            # falling back to plain RoPE would extract wrong KV tensors.
+            raise NotImplementedError(
+                f"rope_scaling type {rope_type!r} is not supported "
+                "(plain RoPE and llama3 rescaling are)"
+            )
         num_heads = d["num_attention_heads"]
         return cls(
             vocab_size=d["vocab_size"],
@@ -58,8 +66,10 @@ class LlamaConfig:
             num_attention_heads=num_heads,
             num_key_value_heads=d.get("num_key_value_heads", num_heads),
             head_dim=d.get("head_dim") or d["hidden_size"] // num_heads,
-            rope_theta=d.get("rope_theta", 500000.0),
-            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            # Defaults mirror HF LlamaConfig: a config.json that omits these
+            # (Llama-2-era checkpoints) must get HF's values, not Llama-3's.
+            rope_theta=d.get("rope_theta", 10000.0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -227,13 +237,19 @@ def load_llama_params(
 
     Layer weights are stacked along a leading layer axis for lax.scan; HF's
     (out, in) projection layout is transposed to (in, out) matmul layout.
+    Leaves stay HOST-side numpy: an 8B bf16 pytree must not be committed to
+    one device before shard_llama_params can place it — the mesh path exists
+    precisely for models bigger than a single chip's HBM. jit (or an
+    explicit device_put) transfers replicated leaves on first use.
     """
     model_dir = Path(model_dir)
     with open(model_dir / "config.json") as f:
         config = LlamaConfig.from_hf_dict(json.load(f))
     get, names = _open_hf_weights(model_dir)
 
-    def arr(name: str, transpose: bool = False) -> jnp.ndarray:
+    np_dtype = jnp.dtype(dtype)  # numpy dtype object (ml_dtypes for bf16)
+
+    def arr(name: str, transpose: bool = False) -> np.ndarray:
         x = np.asarray(get(name))
         if x.dtype == np.dtype("V2"):  # raw bf16 from safetensors numpy
             import ml_dtypes
@@ -241,7 +257,7 @@ def load_llama_params(
             x = x.view(ml_dtypes.bfloat16)
         if transpose:
             x = x.T
-        return jnp.asarray(x, dtype=dtype)
+        return np.ascontiguousarray(x.astype(np_dtype))
 
     layers: dict[str, list] = {k: [] for k in (*_LAYER_MAP, "input_norm", "post_norm")}
     for i in range(config.num_hidden_layers):
@@ -253,7 +269,7 @@ def load_llama_params(
 
     params = {
         "embed": arr("model.embed_tokens.weight"),
-        "layers": {k: jnp.stack(v) for k, v in layers.items()},
+        "layers": {k: np.stack(v) for k, v in layers.items()},
     }
     return config, params
 

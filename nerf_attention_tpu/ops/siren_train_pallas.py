@@ -49,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 VMEM_BUDGET = 6 * 1024 * 1024  # measured-safe: medium @2048 rows blows 16 MB
 
 
-def pick_tile(seq_len: int, hidden: int, d_out: int, n_layers: int) -> int:
+def pick_tile(hidden: int, d_out: int, n_layers: int) -> int:
     """Largest row tile whose *estimated* working set fits the VMEM budget.
 
     Bigger tiles mean fewer grid cells (less per-cell overhead and fewer
@@ -73,7 +73,6 @@ def _train_kernel(
     seq_len: int,
     tile: int,
     n_layers: int,
-    n_tiles: int,
 ):
     """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
 
@@ -192,7 +191,7 @@ def siren_train_grads(
     hidden = params[0][0].shape[-1]
 
     if tile is None:
-        tile = pick_tile(seq_len, hidden, d_out, n_layers)
+        tile = pick_tile(hidden, d_out, n_layers)
     tile = min(tile, _round_up(seq_len, 8))
     padded_s = _round_up(seq_len, tile)
     n_tiles = padded_s // tile
@@ -233,7 +232,6 @@ def siren_train_grads(
         seq_len=seq_len,
         tile=tile,
         n_layers=n_layers,
-        n_tiles=n_tiles,
     )
     outs = pl.pallas_call(
         kernel,

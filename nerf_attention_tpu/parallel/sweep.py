@@ -65,10 +65,12 @@ class BatchFitMetrics:
 
 
 def cosine_similarity(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """Row-wise cosine similarity over the last axis, torch eps semantics."""
-    pred_norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1), COSINE_EPS)
-    target_norm = jnp.maximum(jnp.linalg.norm(target, axis=-1), COSINE_EPS)
-    return jnp.sum(pred * target, axis=-1) / (pred_norm * target_norm)
+    """Row-wise cosine similarity over the last axis, torch eps semantics:
+    x1.x2 / max(||x1|| * ||x2||, eps) — the clamp applies to the PRODUCT of
+    norms (F.cosine_similarity docs), which matters only for degenerate
+    near-zero rows."""
+    denom = jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(target, axis=-1)
+    return jnp.sum(pred * target, axis=-1) / jnp.maximum(denom, COSINE_EPS)
 
 
 def normalize_targets(targets: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -186,7 +188,7 @@ def _fit_batch_compiled(
     return params, metrics
 
 
-def resolve_impl(impl: str, mesh) -> str:
+def resolve_impl(impl: str) -> str:
     """'auto' -> XLA autodiff (measured winner), 'pallas' opt-in.
 
     Measured on v5e @ S=2048, 40 fits x 2000 epochs: the fused Pallas
@@ -195,8 +197,8 @@ def resolve_impl(impl: str, mesh) -> str:
     the sine epilogues into the batched matmuls and keeps these small
     activations in registers/VMEM. The kernel stays available (impl='pallas',
     parity-tested) as the substrate for future fusions; 'auto' picks XLA.
-    The mesh path requires XLA (a pallas_call under pjit would need
-    shard_map plumbing; the XLA path shards transparently).
+    (The pallas+multi-device-mesh combination is rejected in
+    fit_batch_dispatch: a pallas_call under pjit needs shard_map plumbing.)
     """
     if impl != "auto":
         return impl
@@ -225,7 +227,7 @@ def fit_batch_dispatch(
     targets = jnp.asarray(targets, dtype=dtype)
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
-    impl = resolve_impl(impl, mesh)
+    impl = resolve_impl(impl)
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
     if impl == "pallas" and multi_device:
         raise ValueError(
