@@ -97,7 +97,13 @@ def main() -> None:
         )
         plot_multi_prompt(prompts, figures_dir)
 
-    if args.experiment in ("svd", "all"):
+    kv_dir_ok = (Path(args.kv_dir) / "metadata.json").exists()
+
+    if args.experiment in ("svd", "all") and not kv_dir_ok:
+        # Same warn-and-skip treatment the missing fit_results.json gets:
+        # 'all' must not abort after scaling/multi_prompt burned device time.
+        print(f"  Warning: {args.kv_dir} has no extracted cache, skipping SVD")
+    elif args.experiment in ("svd", "all"):
         print("\n" + "=" * 60)
         print("EXPERIMENT 3: SVD Baseline Comparison")
         print("=" * 60)
@@ -121,7 +127,9 @@ def main() -> None:
         else:
             print(f"  Warning: {siren_path} not found, skipping SIREN-vs-SVD plot")
 
-    if args.experiment in ("layer_profile", "all"):
+    if args.experiment in ("layer_profile", "all") and not kv_dir_ok:
+        print(f"  Warning: {args.kv_dir} has no extracted cache, skipping layer profile")
+    elif args.experiment in ("layer_profile", "all"):
         print("\n" + "=" * 60)
         print("EXPERIMENT 4: Full Layer Profile")
         print("=" * 60)

@@ -56,26 +56,11 @@ def _extract_prompt_cache(
             seed_offset=100_000 * (prompt_idx + 1),
         )
     if backend == "hf":
-        import torch
-        from nerf_attention_tpu.extract import save_torch_cache
+        from nerf_attention_tpu.extract import extract_with_hf
 
-        if "model" not in hf_state:  # model loaded once for all prompts
-            from transformers import AutoModelForCausalLM, AutoTokenizer
-
-            print(f"Loading {model_name}...")
-            hf_state["tokenizer"] = AutoTokenizer.from_pretrained(model_name)
-            model = AutoModelForCausalLM.from_pretrained(
-                model_name, device_map="auto", torch_dtype="auto"
-            )
-            model.eval()
-            hf_state["model"] = model
-        inputs = hf_state["tokenizer"](
-            prompt_text, return_tensors="pt", max_length=seq_len, truncation=True
+        return extract_with_hf(
+            model_name, prompt_text, seq_len, kv_dir, state=hf_state
         )
-        actual = inputs["input_ids"].shape[1]
-        with torch.no_grad():
-            outputs = hf_state["model"](**inputs, use_cache=True)
-        return save_torch_cache(outputs.past_key_values, kv_dir, model_name, actual)
     if backend == "jax":
         from nerf_attention_tpu.extract import extract_kv_cache_jax
 

@@ -50,7 +50,7 @@ def _extract_all_seq_lengths(
     reference (scaling.py:56-61, 111-116).
     """
     metadata_map: dict[int, KVMetadata] = {}
-    model = None  # hf backend: load lazily, once
+    hf_state: dict = {}  # hf backend: model loaded lazily, once
 
     for seq_len in seq_lengths:
         kv_dir = base_dir / f"seq_{seq_len}" / "kv_cache"
@@ -74,30 +74,13 @@ def _extract_all_seq_lengths(
                     verbose=verbose,
                 )
             elif backend == "hf":
-                import torch
                 from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
-                from nerf_attention_tpu.extract import save_torch_cache
+                from nerf_attention_tpu.extract import extract_with_hf
 
-                if model is None:
-                    from transformers import AutoModelForCausalLM, AutoTokenizer
-
-                    print(f"Loading {model_name}...")
-                    tokenizer = AutoTokenizer.from_pretrained(model_name)
-                    model = AutoModelForCausalLM.from_pretrained(
-                        model_name, device_map="auto", torch_dtype="auto"
-                    )
-                    model.eval()
                 text = "\n\n".join(ALL_PROMPTS.values()) * 3
-                inputs = tokenizer(
-                    text, return_tensors="pt", max_length=seq_len, truncation=True
+                metadata_map[seq_len] = extract_with_hf(
+                    model_name, text, seq_len, kv_dir, state=hf_state
                 )
-                actual = inputs["input_ids"].shape[1]
-                with torch.no_grad():
-                    outputs = model(**inputs, use_cache=True)
-                metadata_map[seq_len] = save_torch_cache(
-                    outputs.past_key_values, kv_dir, model_name, actual
-                )
-                del outputs
             elif backend == "jax":
                 from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
                 from nerf_attention_tpu.extract import extract_kv_cache_jax
@@ -206,6 +189,7 @@ def run_scaling_experiment(
 
         scaling_results[seq_len] = {
             "seq_len": metadata.seq_len,
+            "head_dim": metadata.head_dim,
             "actual_tokens": metadata.actual_tokens,
             "autocorr_keys": analysis.avg_autocorr_keys,
             "autocorr_values": analysis.avg_autocorr_values,
@@ -260,25 +244,36 @@ def _profile_siren_latency(fits_dir: Path, seq_len: int, max_models: int = 4) ->
 
 
 def plot_scaling_crossover(
-    scaling_results: dict[int, dict], output_dir: Path, head_dim: int = 128
+    scaling_results: dict[int, dict], output_dir: Path, head_dim: int | None = None
 ) -> None:
     """Log-log latency extrapolation and analytic crossover points.
 
     SIREN time fits a power law ~n^a; HBM is strictly linear (bytes/BW), so
     the crossover solves n^a * 10^b = n * c (reference scaling.py:265-353).
     Emits crossover_data.json with ratios/crossovers for every roofline.
+    x-coordinates are the ACTUAL (possibly truncated) sequence lengths, and
+    the per-token roofline slope uses the measured head_dim, so the lines
+    pass through their own scatter points.
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    seq_lens = sorted(scaling_results.keys())
-    siren_us = [scaling_results[s]["siren_time_ms"] * 1000 for s in seq_lens]
-    hbm_4060_us = [scaling_results[s]["hbm_4060_ms"] * 1000 for s in seq_lens]
-    hbm_h100_us = [scaling_results[s]["hbm_h100_ms"] * 1000 for s in seq_lens]
-    hbm_v5e_us = [scaling_results[s]["hbm_v5e_ms"] * 1000 for s in seq_lens]
-    hbm_meas_us = [
-        scaling_results[s].get("hbm_measured_ms", 0.0) * 1000 for s in seq_lens
-    ]
+    entries = sorted(scaling_results.values(), key=lambda r: r["seq_len"])
+    if len(entries) < 2:
+        print(
+            f"  Skipping crossover plot: need >=2 sequence lengths, "
+            f"got {len(entries)}"
+        )
+        return
+    if head_dim is None:
+        head_dim = entries[0].get("head_dim", 128)
+
+    seq_lens = [r["seq_len"] for r in entries]
+    siren_us = [r["siren_time_ms"] * 1000 for r in entries]
+    hbm_4060_us = [r["hbm_4060_ms"] * 1000 for r in entries]
+    hbm_h100_us = [r["hbm_h100_ms"] * 1000 for r in entries]
+    hbm_v5e_us = [r["hbm_v5e_ms"] * 1000 for r in entries]
+    hbm_meas_us = [r.get("hbm_measured_ms", 0.0) * 1000 for r in entries]
 
     log_sl = np.log10(seq_lens)
     a, b = np.polyfit(log_sl, np.log10(siren_us), 1)
@@ -377,6 +372,12 @@ def plot_scaling_quality(scaling_results: dict[int, dict], output_dir: Path) -> 
     """CosSim, compression ratio, and autocorrelation vs sequence length."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    if not scaling_results:
+        print("  Skipping quality plot: no scaling results")
+        return
+    # x-coordinates: actual sequence lengths (hf extraction may truncate).
+    by_actual = {r["seq_len"]: r for r in scaling_results.values()}
+    scaling_results = by_actual
     seq_lens = sorted(scaling_results.keys())
 
     fig, axes = plt.subplots(1, 3, figsize=(16, 5))
@@ -437,6 +438,10 @@ def run_full_layer_profile(
     grid: list[tuple[int, str]] = []
     tensors: list[np.ndarray] = []
     for layer_idx in range(metadata.num_layers):
+        if not kvstore.has_layer(kv_dir, layer_idx):
+            if verbose:
+                print(f"  Skipping layer {layer_idx} (not found)")
+            continue
         keys, values = kvstore.load_layer(kv_dir, layer_idx)
         for kv_type, tensor in (("key", keys[0]), ("value", values[0])):
             grid.append((layer_idx, kv_type))

@@ -104,19 +104,15 @@ smaller than the cache and its evaluation saturates the matrix units.
     return (narrative + code + technical) * 3
 
 
-def extract_kv_cache(
-    model_name: str,
-    seq_len: int,
-    output_dir: Path,
-    device: str = "cpu",
-    text: str | None = None,
-) -> KVMetadata:
-    """Extract per-layer KV tensors with HF transformers (torch backend).
+def load_hf_model(model_name: str, state: dict | None = None):
+    """Load (tokenizer, model) with 4-bit NF4 when bitsandbytes is present.
 
-    Equivalent of reference extract.py:95-179: tokenize, one prefill forward
-    with use_cache=True, then persist each layer's (H, S, D) K/V as float32.
-    Handles the DynamicCache/v5-layers/legacy-tuple cache formats.
+    ``state`` caches the pair across calls (the reference loads the model
+    once for all seq-lengths / prompts, scaling.py:40-48, multi_prompt.py:46).
     """
+    if state is not None and "model" in state:
+        return state["tokenizer"], state["model"]
+
     import torch
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
@@ -141,25 +137,65 @@ def extract_kv_cache(
     tokenizer = AutoTokenizer.from_pretrained(model_name)
     model = AutoModelForCausalLM.from_pretrained(model_name, **load_kwargs)
     model.eval()
+    if state is not None:
+        state["tokenizer"], state["model"] = tokenizer, model
+    return tokenizer, model
 
+
+def extract_with_hf(
+    model_name: str,
+    text: str,
+    seq_len: int,
+    output_dir: Path,
+    state: dict | None = None,
+    device: str | None = None,
+) -> KVMetadata:
+    """One HF prefill extraction: tokenize, forward w/ use_cache, persist.
+
+    The single implementation behind the extract CLI and the scaling /
+    multi-prompt experiment loops (which pass a shared ``state`` so the
+    model loads once).
+    """
+    import torch
+
+    tokenizer, model = load_hf_model(model_name, state)
     inputs = tokenizer(
-        text if text is not None else get_sample_text(),
-        return_tensors="pt",
-        max_length=seq_len,
-        truncation=True,
-    ).to(device)
+        text, return_tensors="pt", max_length=seq_len, truncation=True
+    )
+    if device is not None:
+        inputs = inputs.to(device)
     actual_seq_len = inputs["input_ids"].shape[1]
     print(f"Sequence length: {actual_seq_len} tokens")
 
-    print("Running inference...")
     with torch.no_grad():
         outputs = model(**inputs, output_hidden_states=False, use_cache=True)
-
     metadata = save_torch_cache(
         outputs.past_key_values, Path(output_dir), model_name, actual_seq_len
     )
-    del model, outputs
+    del outputs
     return metadata
+
+
+def extract_kv_cache(
+    model_name: str,
+    seq_len: int,
+    output_dir: Path,
+    device: str = "cpu",
+    text: str | None = None,
+) -> KVMetadata:
+    """Extract per-layer KV tensors with HF transformers (torch backend).
+
+    Equivalent of reference extract.py:95-179: tokenize, one prefill forward
+    with use_cache=True, then persist each layer's (H, S, D) K/V as float32.
+    Handles the DynamicCache/v5-layers/legacy-tuple cache formats.
+    """
+    return extract_with_hf(
+        model_name,
+        text if text is not None else get_sample_text(),
+        seq_len,
+        output_dir,
+        device=device,
+    )
 
 
 def _torch_cache_layers(past_kv) -> list[tuple]:
@@ -241,9 +277,13 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.synthetic or args.backend == "synthetic":
+        # Unlike the reference (extract.py:274 appends '_synthetic'), honor
+        # --output_dir as given so the documented pipeline — extract
+        # --synthetic, then analyze/fit/evaluate with the same --kv_dir —
+        # composes without a rename.
         generate_synthetic_kv(
             seq_len=args.seq_len,
-            output_dir=Path(args.output_dir + "_synthetic"),
+            output_dir=Path(args.output_dir),
         )
     elif args.backend == "jax":
         extract_kv_cache_jax(args.model, args.seq_len, Path(args.output_dir))

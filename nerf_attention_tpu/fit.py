@@ -189,32 +189,36 @@ def fit_kv_cache(
         "epochs": epochs, "lr": lr, "seed": seed, "quick": quick,
         "seq_len": metadata.seq_len, "kv_dir": str(kv_dir),
     }
+    meta_path = output_dir / "sweep_meta.json"
+    results_path = output_dir / "fit_results.json"
+    prior_meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
     done_records: dict[str, list[dict]] = {}
-    if resume and (output_dir / "fit_results.json").exists():
-        meta_path = output_dir / "sweep_meta.json"
-        prior_meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
-        if prior_meta != sweep_meta:
-            if verbose:
-                print(
-                    "  Resume: prior sweep used different parameters "
-                    f"({prior_meta} != {sweep_meta}) — rerunning everything"
-                )
-        else:
-            with open(output_dir / "fit_results.json") as f:
-                prior = json.load(f)
-            expected = {f"{it.name_prefix}_{c.name}" for it in items for c in configs}
-            by_config: dict[str, list[dict]] = {}
-            for r in prior:
-                if r["name"] in expected:
-                    by_config.setdefault(r["config_name"], []).append(r)
-            for config in configs:
-                recs = by_config.get(config.name, [])
-                if len(recs) == len(items):
-                    done_records[config.name] = recs
-            if verbose and done_records:
-                print(f"  Resume: skipping completed groups {sorted(done_records)}")
-    with open(output_dir / "sweep_meta.json", "w") as f:
-        json.dump(sweep_meta, f, indent=2)
+    if resume and prior_meta == sweep_meta and results_path.exists():
+        with open(results_path) as f:
+            prior = json.load(f)
+        expected = {f"{it.name_prefix}_{c.name}" for it in items for c in configs}
+        by_config: dict[str, list[dict]] = {}
+        for r in prior:
+            if r["name"] in expected:
+                by_config.setdefault(r["config_name"], []).append(r)
+        for config in configs:
+            recs = by_config.get(config.name, [])
+            if len(recs) == len(items):
+                done_records[config.name] = recs
+        if verbose and done_records:
+            print(f"  Resume: skipping completed groups {sorted(done_records)}")
+    elif resume and verbose and results_path.exists():
+        print(
+            "  Resume: prior sweep used different parameters "
+            f"({prior_meta} != {sweep_meta}) — rerunning everything"
+        )
+    if prior_meta != sweep_meta:
+        # Remove stale results BEFORE stamping the new parameters: a crash
+        # after the stamp but before the first group write must not leave
+        # old-parameter records that a later --resume would adopt.
+        results_path.unlink(missing_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(sweep_meta, f, indent=2)
 
     all_results: list[dict] = []
     import jax.numpy as jnp
