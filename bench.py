@@ -62,14 +62,9 @@ def main() -> None:
     import jax
 
     # Persistent compilation cache: repeat runs skip the 7 group compiles.
-    # Lives outside results/ so cleaning experiment outputs keeps it warm.
-    cache_dir = Path(__file__).parent / ".jax_cache"
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache flags vary across jax versions; benchmark still valid
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
 
     from nerf_attention_tpu.fit import fit_kv_cache
     from nerf_attention_tpu.parallel.mesh import fit_mesh
@@ -84,7 +79,21 @@ def main() -> None:
     kv_dir = Path(args.kv_dir)
     num_layers = 32
     sweep_layers = [0, 8, 16, 24, 31]
-    if not (kv_dir / "metadata.json").exists():
+    cached_ok = False
+    if (kv_dir / "metadata.json").exists():
+        # Reuse only a geometry-matching cache — a stale cache from a
+        # different --seq_len/--head_dim would silently benchmark the
+        # wrong workload (fit reads shapes from the cached metadata).
+        from nerf_attention_tpu.io import kvstore
+
+        md = kvstore.load_metadata(kv_dir)
+        cached_ok = md.seq_len == args.seq_len and md.head_dim == args.head_dim
+        if not cached_ok:
+            log(
+                f"cached KV geometry ({md.seq_len}x{md.head_dim}) != requested "
+                f"({args.seq_len}x{args.head_dim}); regenerating"
+            )
+    if not cached_ok:
         log(f"generating synthetic KV cache ({args.seq_len} tokens) ...")
         generate_synthetic_kv(
             seq_len=args.seq_len,

@@ -46,7 +46,12 @@ def load_synthkv():
     _tried = True
     if os.environ.get("NERF_ATTENTION_NO_NATIVE"):
         return None
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if not _SRC.exists():
+        # Source pruned (e.g. a trimmed install): use a prebuilt .so if one
+        # exists, otherwise fall back to numpy — never raise.
+        if not _SO.exists():
+            return None
+    elif not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
             return None
     try:

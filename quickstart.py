@@ -7,7 +7,6 @@ Runs on CPU JAX (--cpu) or whatever accelerator JAX finds.
 """
 
 import argparse
-import os
 from pathlib import Path
 
 
@@ -23,12 +22,11 @@ def main() -> None:
     )
     args = parser.parse_args()
 
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
     import jax
 
     if args.cpu:
+        # jax is already imported (compile-cache enable above), so the env
+        # route is closed; the config knob still works pre-backend-init.
         jax.config.update("jax_platforms", "cpu")
 
     from nerf_attention_tpu import (

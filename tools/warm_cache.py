@@ -33,10 +33,14 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
     from nerf_attention_tpu.parallel.sweep import fit_batch_dispatch
     from nerf_attention_tpu.types import CONFIGS_FULL
 
-    print(f"backend={jax.default_backend()}", flush=True)
+    # Mirror bench.py's mesh choice — sharded programs have different cache
+    # keys, so warming unsharded executables on a multi-chip host would miss.
+    mesh = fit_mesh() if len(jax.devices()) > 1 else None
+    print(f"backend={jax.default_backend()} mesh={mesh is not None}", flush=True)
     rng = np.random.default_rng(0)
     targets = rng.standard_normal(
         (args.n_fits, args.seq_len, args.head_dim)
@@ -46,7 +50,8 @@ def main() -> None:
     for config in CONFIGS_FULL:
         t0 = time.perf_counter()
         handles.append(
-            (config.name, fit_batch_dispatch(targets, config, epochs=args.epochs))
+            (config.name,
+             fit_batch_dispatch(targets, config, epochs=args.epochs, mesh=mesh))
         )
         print(f"  {config.name}: dispatched (compile/load "
               f"{time.perf_counter() - t0:.1f}s)", flush=True)
