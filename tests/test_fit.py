@@ -131,3 +131,17 @@ def test_sweep_resume_skips_completed_groups(tiny_kv_dir, tmp_path, capsys):
         (r["name"], r["final_cosine_mean"]) for r in resumed if r["config_name"] == "small"
     )
     assert small_first == small_resumed
+
+
+def test_resume_rejects_parameter_mismatch(tiny_kv_dir, tmp_path, capsys):
+    """A prior run with different epochs must be rerun, not adopted."""
+    from nerf_attention_tpu.fit import fit_kv_cache
+
+    fit_kv_cache(tiny_kv_dir, tmp_path, epochs=20, quick=True, verbose=False)
+    resumed = fit_kv_cache(
+        tiny_kv_dir, tmp_path, epochs=40, quick=True, verbose=True, resume=True
+    )
+    out = capsys.readouterr().out
+    assert "different parameters" in out
+    assert "skipping completed groups" not in out
+    assert len(resumed) == 12  # full rerun at the new epoch count

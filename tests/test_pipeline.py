@@ -111,3 +111,21 @@ def test_checkpoint_reconstruction_quality(quick_fit, tiny_kv_dir):
         np.mean(np.asarray(cosine_similarity(jnp.asarray(pred), jnp.asarray(original))))
     )
     assert abs(cos - metrics["final_cosine_mean"]) < 1e-3
+
+
+def test_analyze_raises_on_empty_cache(tmp_path):
+    """No sampled layer file -> explicit FileNotFoundError, not NaN JSON."""
+    import json
+
+    import pytest
+
+    from nerf_attention_tpu.analyze import analyze_kv_cache
+    from nerf_attention_tpu.types import KVMetadata
+    from nerf_attention_tpu.io import kvstore
+
+    kvstore.save_metadata(
+        tmp_path, KVMetadata("m", num_layers=4, num_kv_heads=2,
+                             seq_len=32, head_dim=8, actual_tokens=32)
+    )
+    with pytest.raises(FileNotFoundError, match="nothing to analyze"):
+        analyze_kv_cache(tmp_path, tmp_path / "analysis", verbose=False)
