@@ -129,3 +129,15 @@ def test_analyze_raises_on_empty_cache(tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="nothing to analyze"):
         analyze_kv_cache(tmp_path, tmp_path / "analysis", verbose=False)
+
+
+def test_pareto_with_svd_overlay(quick_fit, tmp_path):
+    """SVD diamonds overlay on the pareto (reference evaluate.py:81-86)."""
+    out, _ = quick_fit
+    results = load_results(out)
+    svd = [
+        {"kv_type": "key", "actual_compression": 2.0, "final_cosine_mean": 0.97},
+        {"kv_type": "value", "actual_compression": 4.0, "final_cosine_mean": 0.91},
+    ]
+    plot_pareto_frontier(results, tmp_path, svd_results=svd)
+    assert (tmp_path / "pareto_frontier.png").exists()
