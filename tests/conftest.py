@@ -7,6 +7,11 @@ TPU hardware. Environment must be set before jax initializes.
 
 import os
 
+# Stash the shell's platform pin (e.g. "axon") before forcing CPU, so
+# subprocess tests can reproduce the driver's real environment.
+os.environ.setdefault(
+    "NERF_TEST_SHELL_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", "")
+)
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
