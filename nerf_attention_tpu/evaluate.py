@@ -458,8 +458,9 @@ def main() -> None:
         help="pin the jax platform (reference evaluate.py:351 --device parity)",
     )
     args = parser.parse_args()
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    from nerf_attention_tpu.utils.platform import pin_platform
+
+    pin_platform(args.device)
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)

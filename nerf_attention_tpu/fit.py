@@ -220,7 +220,29 @@ def fit_kv_cache(
         with open(meta_path, "w") as f:
             json.dump(sweep_meta, f, indent=2)
 
-    all_results: list[dict] = []
+    # Durable results, keyed by config group and always serialized in config
+    # order. Seeded with ALL resumed groups up front so a crash mid-sweep
+    # can never drop a previously-complete group from disk (they used to be
+    # appended lazily when their slot came up in collect order, leaving a
+    # window where later resumed groups were absent from the file).
+    results_by_config: dict[str, list[dict]] = dict(done_records)
+
+    def write_durable() -> list[dict]:
+        ordered = [
+            r
+            for c in configs
+            if c.name in results_by_config
+            for r in results_by_config[c.name]
+        ]
+        tmp = output_dir / "fit_results.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(ordered, f, indent=2)
+        tmp.replace(output_dir / "fit_results.json")
+        return ordered
+
+    if done_records:
+        write_durable()
+
     import jax.numpy as jnp
 
     # One host->device transfer shared by all 7 group dispatches.
@@ -251,8 +273,7 @@ def fit_kv_cache(
 
     prev_done = start
     for gi, (config, handle) in enumerate(zip(configs, handles)):
-        if handle is None:  # resumed group: reuse prior records verbatim
-            all_results.extend(done_records[config.name])
+        if handle is None:  # resumed group: records already durable on disk
             continue
         np.asarray(handle[2]["final_mse"])  # wait for this group's completion
         now = time.perf_counter()
@@ -268,13 +289,14 @@ def fit_kv_cache(
                 flush=True,
             )
 
+        group_records = []
         for i, item in enumerate(items):
             result = _batch_to_fit_result(
                 batch, i, config, metadata.seq_len, metadata.head_dim
             )
             name = f"{item.name_prefix}_{config.name}"
             record = result_to_record(name, item.layer, item.head, item.kv_type, result)
-            all_results.append(record)
+            group_records.append(record)
             if config.name == "medium":
                 checkpoint.save_siren_checkpoint(
                     output_dir / f"{name}_model.npz",
@@ -288,11 +310,15 @@ def fit_kv_cache(
 
         # Durable after every group: a crash mid-sweep leaves completed
         # groups on disk for --resume (atomic replace, no torn JSON).
-        tmp = output_dir / "fit_results.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(all_results, f, indent=2)
-        tmp.replace(output_dir / "fit_results.json")
+        results_by_config[config.name] = group_records
+        write_durable()
 
+    all_results = [
+        r
+        for c in configs
+        if c.name in results_by_config
+        for r in results_by_config[c.name]
+    ]
     wall = time.perf_counter() - start
 
     if verbose:
@@ -414,10 +440,9 @@ def main() -> None:
         "measured winner; pallas = the fused kernel, single-device only)",
     )
     args = parser.parse_args()
-    if args.device:
-        import jax
+    from nerf_attention_tpu.utils.platform import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+    pin_platform(args.device)
 
     mesh = None
     if args.mesh:

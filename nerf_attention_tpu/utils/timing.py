@@ -141,6 +141,45 @@ def measured_hbm_read_ms(
     return _per_iter_seconds(run, pool, reps=reps) * 1e3
 
 
+def measured_hbm_stream_read_ms(
+    n_slices: int,
+    seq_len: int,
+    d_head: int,
+    reps: int | None = None,
+    dtype=jnp.bfloat16,
+) -> float:
+    """Measured time for ONE streaming read of a full (N, S, D) KV cache.
+
+    Unlike ``measured_hbm_read_ms`` (one slice, extrapolated ×N by callers),
+    this reads the whole cache as a single reduction per iteration — one
+    dispatch, full-cache prefetch behavior, no per-slice loop overhead. Two
+    pool copies with an accumulator-dependent index keep iterations
+    serialized and defeat on-chip residency (each copy alone usually exceeds
+    VMEM at real cache sizes anyway).
+    """
+    total_bytes = n_slices * seq_len * d_head * jnp.dtype(dtype).itemsize
+    if reps is None:
+        # ~15 GB of traffic between the two timing points (see
+        # _per_iter_seconds); CPU tests only need functionality.
+        reps = int(np.clip(15e9 / total_bytes / 3, 8, 2000)) if _on_tpu() else 3
+    pool = jnp.ones((2, n_slices, seq_len, d_head), dtype=dtype)
+
+    @jax.jit
+    def run(pool, n):
+        def body(i, acc):
+            jitter = (acc * jnp.float32(1e-30)).astype(jnp.int32)
+            idx = (i + jitter) % 2
+            s = jnp.sum(
+                jax.lax.dynamic_index_in_dim(pool, idx, axis=0, keepdims=False),
+                dtype=jnp.float32,
+            )
+            return acc + s * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return _per_iter_seconds(run, pool, reps=reps) * 1e3
+
+
 def time_jitted_ms(fn, *args, reps: int = 100) -> float:
     """Wall-clock per call for an already-jitted fn (includes dispatch).
 

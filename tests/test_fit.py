@@ -133,6 +133,43 @@ def test_sweep_resume_skips_completed_groups(tiny_kv_dir, tmp_path, capsys):
     assert small_first == small_resumed
 
 
+def test_resume_keeps_later_done_groups_durable(tiny_kv_dir, tmp_path, monkeypatch):
+    """A resumed group later in config order must hit disk up front.
+
+    Previously resumed records were appended lazily when their slot came up
+    in collect order, so a crash while an earlier group was training wiped
+    a later already-complete group from fit_results.json.
+    """
+    import json
+
+    import pytest
+
+    import nerf_attention_tpu.fit as fit_mod
+    from nerf_attention_tpu.fit import fit_kv_cache
+
+    fit_kv_cache(tiny_kv_dir, tmp_path, epochs=30, quick=True, verbose=False)
+    results_path = tmp_path / "fit_results.json"
+    records = json.loads(results_path.read_text())
+    # Keep only 'medium' — the LATER group in CONFIGS_QUICK order — so the
+    # resume run must re-train 'small' first.
+    done = [r for r in records if r["config_name"] == "medium"]
+    results_path.write_text(json.dumps(done))
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash before any new group completes")
+
+    monkeypatch.setattr(fit_mod, "fit_batch_dispatch", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fit_kv_cache(
+            tiny_kv_dir, tmp_path, epochs=30, quick=True, verbose=False, resume=True
+        )
+
+    on_disk = json.loads(results_path.read_text())
+    assert sorted((r["name"], r["final_cosine_mean"]) for r in on_disk) == sorted(
+        (r["name"], r["final_cosine_mean"]) for r in done
+    )
+
+
 def test_resume_rejects_parameter_mismatch(tiny_kv_dir, tmp_path, capsys):
     """A prior run with different epochs must be rerun, not adopted."""
     from nerf_attention_tpu.fit import fit_kv_cache

@@ -20,3 +20,10 @@ def test_siren_forward_timer_positive():
 def test_hbm_read_timer_positive():
     t = measured_hbm_read_ms(64, 16, reps=100)
     assert t >= 0
+
+
+def test_hbm_stream_read_timer_positive():
+    from nerf_attention_tpu.utils.timing import measured_hbm_stream_read_ms
+
+    t = measured_hbm_stream_read_ms(4, 64, 16, reps=20)
+    assert t >= 0
