@@ -24,6 +24,7 @@ from matplotlib.gridspec import GridSpec
 import jax
 import jax.numpy as jnp
 
+from nerf_attention_tpu import figdata
 from nerf_attention_tpu.io import checkpoint, kvstore
 from nerf_attention_tpu.models.siren import positions, siren_forward
 from nerf_attention_tpu.parallel.sweep import cosine_similarity
@@ -69,32 +70,31 @@ def plot_pareto_frontier(
     output_dir.mkdir(parents=True, exist_ok=True)
     fig, ax = plt.subplots(figsize=(10, 7))
 
-    for cn in sorted({r["config_name"] for r in results}):
-        cr = [r for r in results if r["config_name"] == cn]
+    for arch, (ratios, quality) in figdata.pareto_series(results).items():
         ax.scatter(
-            [r["compression_ratio"] for r in cr],
-            [r["final_cosine_mean"] for r in cr],
-            c=CONFIG_COLORS.get(cn, "#95a5a6"),
-            marker=CONFIG_MARKERS.get(cn, "o"),
+            ratios,
+            quality,
+            c=CONFIG_COLORS.get(arch, "#95a5a6"),
+            marker=CONFIG_MARKERS.get(arch, "o"),
             s=80,
             alpha=0.7,
-            label=f"SIREN {cn}",
+            label=f"SIREN {arch}",
             edgecolors="black",
             linewidth=0.5,
         )
 
     if svd_results:
-        for kv, color in (("key", "black"), ("value", "gray")):
-            pts = [r for r in svd_results if r["kv_type"] == kv]
-            if pts:
+        for kv_type, color in (("key", "black"), ("value", "gray")):
+            rows = figdata.only(svd_results, kv_type=kv_type)
+            if rows:
                 ax.scatter(
-                    [r["actual_compression"] for r in pts],
-                    [r["final_cosine_mean"] for r in pts],
+                    figdata.column(rows, "actual_compression"),
+                    figdata.column(rows, figdata.QUALITY),
                     c=color,
                     marker="D",
                     s=100,
                     alpha=0.8,
-                    label=f"SVD ({kv}s)",
+                    label=f"SVD ({kv_type}s)",
                     edgecolors="black",
                     linewidth=0.5,
                     zorder=6,
@@ -122,23 +122,21 @@ def plot_keys_vs_values(results: list[dict], output_dir: Path) -> None:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     fig, axes = plt.subplots(1, 2, figsize=(14, 6))
-    medium = [r for r in results if r["config_name"] == "medium"]
-    keys = [r for r in medium if r["kv_type"] == "key"]
-    vals = [r for r in medium if r["kv_type"] == "value"]
+    styles = {"key": ("Keys", "blue", "o"), "value": ("Values", "red", "s")}
+    medium_by_type = {
+        kv_type: figdata.only(results, config_name="medium", kv_type=kv_type)
+        for kv_type in styles
+    }
 
     ax = axes[0]
-    if keys:
-        ax.scatter(
-            [r["layer"] for r in keys],
-            [r["final_cosine_mean"] for r in keys],
-            c="blue", marker="o", s=60, label="Keys", alpha=0.7,
-        )
-    if vals:
-        ax.scatter(
-            [r["layer"] for r in vals],
-            [r["final_cosine_mean"] for r in vals],
-            c="red", marker="s", s=60, label="Values", alpha=0.7,
-        )
+    for kv_type, (label, color, marker) in styles.items():
+        rows = medium_by_type[kv_type]
+        if rows:
+            ax.scatter(
+                figdata.column(rows, "layer"),
+                figdata.column(rows, figdata.QUALITY),
+                c=color, marker=marker, s=60, label=label, alpha=0.7,
+            )
     ax.set(
         xlabel="Layer Index",
         ylabel="Cosine Similarity",
@@ -148,9 +146,12 @@ def plot_keys_vs_values(results: list[dict], output_dir: Path) -> None:
     ax.grid(True, alpha=0.3)
 
     ax = axes[1]
-    if keys and vals:
-        ax.hist([r["final_cosine_mean"] for r in keys], bins=15, alpha=0.5, label="Keys", color="blue")
-        ax.hist([r["final_cosine_mean"] for r in vals], bins=15, alpha=0.5, label="Values", color="red")
+    if all(medium_by_type.values()):
+        for kv_type, (label, color, _) in styles.items():
+            ax.hist(
+                figdata.column(medium_by_type[kv_type], figdata.QUALITY),
+                bins=15, alpha=0.5, label=label, color=color,
+            )
     ax.set(xlabel="Cosine Similarity", ylabel="Count", title="Distribution of Reconstruction Quality")
     ax.legend()
     ax.grid(True, alpha=0.3)
@@ -326,120 +327,113 @@ def profile_latency(
     return results
 
 
+def sweep_findings_text(results: list[dict]) -> str:
+    """Findings-box content for the sweep summary (pure; unit-tested)."""
+    highlights = figdata.headline_fits(results, threshold=0.9)
+    best = highlights["best"]
+    lines = [
+        "Key Findings",
+        "─" * 30,
+        "",
+        "Best fidelity:",
+        f"  CosSim={best[figdata.QUALITY]:.4f}",
+        f"  {best['config_name']}, {best['compression_ratio']:.1f}x",
+        "",
+    ]
+    winner = highlights["most_compressed_above"]
+    if winner is not None:
+        lines += [
+            "Best compression (>0.9):",
+            f"  {winner['compression_ratio']:.1f}x",
+            f"  CosSim={winner[figdata.QUALITY]:.4f}",
+        ]
+    else:
+        lines.append("No config achieves >0.9 CosSim")
+    lines += ["", f"Experiments: {highlights['count']}"]
+    return "\n".join(lines)
+
+
 def generate_summary_figure(results: list[dict], output_dir: Path) -> None:
-    """6-panel figure combining key results (reference evaluate.py:245-343)."""
+    """6-panel sweep overview.
+
+    Panel set and semantics match the reference's summary figure
+    (reference evaluate.py:245-343); every panel renders arrays prepared by
+    the pure helpers in ``figdata``.
+    """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+
+    def pareto(ax):
+        for arch, (ratios, quality) in figdata.pareto_series(results).items():
+            ax.scatter(ratios, quality, s=40, alpha=0.7, label=arch)
+        ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
+        ax.legend(fontsize=7)
+        ax.set(
+            xlabel="Compression Ratio (x)",
+            ylabel="Cosine Similarity",
+            title="Compression vs Fidelity",
+        )
+        ax.grid(True, alpha=0.2)
+
+    def kv_boxes(ax):
+        key_quality, value_quality = figdata.kv_quality(results, "medium")
+        if key_quality.size and value_quality.size:
+            ax.boxplot([key_quality, value_quality], tick_labels=["Keys", "Values"])
+            ax.set(ylabel="Cosine Similarity", title="Keys vs Values")
+            ax.grid(True, alpha=0.2)
+
+    def per_layer(ax):
+        medium_records = figdata.only(results, config_name="medium")
+        if not medium_records:
+            return
+        layers, means, stds = figdata.layer_stats(medium_records)
+        ax.errorbar(layers, means, yerr=stds, fmt="o-", capsize=3)
+        ax.set(
+            xlabel="Layer Index",
+            ylabel="Avg Cosine Similarity",
+            title="Compressibility by Layer",
+        )
+        ax.grid(True, alpha=0.2)
+
+    def kv_gap(ax):
+        archs, key_means, value_means = figdata.kv_gap_by_architecture(results)
+        if not archs:
+            return
+        slots = np.arange(len(archs))
+        half = 0.35 / 2
+        ax.bar(slots - half, key_means, 0.35, label="Keys", color="#3498db", alpha=0.8)
+        ax.bar(slots + half, value_means, 0.35, label="Values", color="#e74c3c", alpha=0.8)
+        ax.set_xticks(slots)
+        ax.set_xticklabels(archs, fontsize=7, rotation=45, ha="right")
+        ax.legend(fontsize=7)
+        ax.set(ylabel="Avg CosSim", title="K/V Gap by Architecture")
+        ax.grid(True, alpha=0.2, axis="y")
+
+    def ranking(ax):
+        archs, means = figdata.architecture_ranking(results)
+        ax.barh(np.arange(len(archs)), means, color="steelblue", alpha=0.7)
+        ax.set_yticks(np.arange(len(archs)))
+        ax.set_yticklabels(archs)
+        ax.set(xlabel="Avg Cosine Similarity", title="Architecture Comparison")
+        ax.grid(True, alpha=0.2, axis="x")
+
+    def findings(ax):
+        ax.axis("off")
+        ax.text(
+            0.1, 0.9, sweep_findings_text(results),
+            transform=ax.transAxes, fontsize=10,
+            verticalalignment="top", fontfamily="monospace",
+            bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
+        )
+
     fig = plt.figure(figsize=(16, 10))
-    gs = GridSpec(2, 3, figure=fig, hspace=0.35, wspace=0.35)
+    grid = GridSpec(2, 3, figure=fig, hspace=0.35, wspace=0.35)
     fig.suptitle(
         "NeRF-Attention: SIREN Compression of LLM KV Cache",
         fontsize=16, fontweight="bold", y=1.02,
     )
-
-    # Pareto
-    ax = fig.add_subplot(gs[0, 0])
-    for cn in sorted({r["config_name"] for r in results}):
-        cr = [r for r in results if r["config_name"] == cn]
-        ax.scatter(
-            [r["compression_ratio"] for r in cr],
-            [r["final_cosine_mean"] for r in cr],
-            s=40, alpha=0.7, label=cn,
-        )
-    ax.set(xlabel="Compression Ratio (x)", ylabel="Cosine Similarity", title="Compression vs Fidelity")
-    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-    ax.legend(fontsize=7)
-    ax.grid(True, alpha=0.2)
-
-    # Keys vs Values boxplot
-    ax = fig.add_subplot(gs[0, 1])
-    medium = [r for r in results if r["config_name"] == "medium"]
-    k_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "key"]
-    v_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "value"]
-    if k_cos and v_cos:
-        ax.boxplot([k_cos, v_cos], tick_labels=["Keys", "Values"])
-        ax.set(ylabel="Cosine Similarity", title="Keys vs Values")
-        ax.grid(True, alpha=0.2)
-
-    # Layer variation
-    ax = fig.add_subplot(gs[0, 2])
-    layer_data: dict[int, list[float]] = {}
-    for r in medium:
-        layer_data.setdefault(r["layer"], []).append(r["final_cosine_mean"])
-    if layer_data:
-        ls = sorted(layer_data.keys())
-        ax.errorbar(
-            ls,
-            [np.mean(layer_data[l]) for l in ls],
-            yerr=[np.std(layer_data[l]) for l in ls],
-            fmt="o-", capsize=3,
-        )
-        ax.set(xlabel="Layer Index", ylabel="Avg Cosine Similarity", title="Compressibility by Layer")
-        ax.grid(True, alpha=0.2)
-
-    # K/V split per architecture
-    ax = fig.add_subplot(gs[1, 0])
-    config_k: dict[str, list[float]] = {}
-    config_v: dict[str, list[float]] = {}
-    for r in results:
-        (config_k if r["kv_type"] == "key" else config_v).setdefault(
-            r["config_name"], []
-        ).append(r["final_cosine_mean"])
-    cfgs = sorted(set(config_k) & set(config_v))
-    if cfgs:
-        x = np.arange(len(cfgs))
-        width = 0.35
-        ax.bar(x - width / 2, [np.mean(config_k[c]) for c in cfgs], width,
-               label="Keys", color="#3498db", alpha=0.8)
-        ax.bar(x + width / 2, [np.mean(config_v[c]) for c in cfgs], width,
-               label="Values", color="#e74c3c", alpha=0.8)
-        ax.set_xticks(x)
-        ax.set_xticklabels(cfgs, fontsize=7, rotation=45, ha="right")
-        ax.set(ylabel="Avg CosSim", title="K/V Gap by Architecture")
-        ax.legend(fontsize=7)
-        ax.grid(True, alpha=0.2, axis="y")
-
-    # Architecture comparison
-    ax = fig.add_subplot(gs[1, 1])
-    config_stats: dict[str, list[float]] = {}
-    for r in results:
-        config_stats.setdefault(r["config_name"], []).append(r["final_cosine_mean"])
-    cfg_names = sorted(config_stats.keys())
-    ax.barh(
-        range(len(cfg_names)),
-        [np.mean(config_stats[c]) for c in cfg_names],
-        color="steelblue", alpha=0.7,
-    )
-    ax.set_yticks(range(len(cfg_names)))
-    ax.set_yticklabels(cfg_names)
-    ax.set(xlabel="Avg Cosine Similarity", title="Architecture Comparison")
-    ax.grid(True, alpha=0.2, axis="x")
-
-    # Key findings text
-    ax = fig.add_subplot(gs[1, 2])
-    ax.axis("off")
-    best = max(results, key=lambda r: r["final_cosine_mean"])
-    above = [r for r in results if r["final_cosine_mean"] > 0.9]
-    if above:
-        best_compress = max(above, key=lambda r: r["compression_ratio"])
-        compress_text = (
-            f"Best compression (>0.9):\n  {best_compress['compression_ratio']:.1f}x\n"
-            f"  CosSim={best_compress['final_cosine_mean']:.4f}"
-        )
-    else:
-        compress_text = "No config achieves >0.9 CosSim"
-    text = (
-        f"Key Findings\n{'─' * 30}\n\n"
-        f"Best fidelity:\n  CosSim={best['final_cosine_mean']:.4f}\n"
-        f"  {best['config_name']}, {best['compression_ratio']:.1f}x\n\n"
-        f"{compress_text}\n\n"
-        f"Experiments: {len(results)}"
-    )
-    ax.text(
-        0.1, 0.9, text, transform=ax.transAxes, fontsize=10,
-        verticalalignment="top", fontfamily="monospace",
-        bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
-    )
+    for cell, draw in zip(grid, (pareto, kv_boxes, per_layer, kv_gap, ranking, findings)):
+        draw(fig.add_subplot(cell))
 
     plt.savefig(output_dir / "summary_figure.png", dpi=200, bbox_inches="tight")
     plt.close()

@@ -1,8 +1,14 @@
 """Final combined 6-panel summary figure.
 
-Panel layout and computed findings match the reference
-(`/root/reference/nerf_attention/experiments/summary.py:13-212`), including
-graceful "No ... data" placeholders for any missing experiment input.
+Output contract matches the reference's final summary
+(`/root/reference/nerf_attention/experiments/summary.py:13-212`): the same
+six panel semantics (SIREN-vs-SVD pareto, K/V boxplot, full layer profile,
+scaling quality, multi-prompt bars, computed findings including the total
+experiment count and the latency-ratio range), graceful "No ... data"
+placeholders for missing inputs, and `final_summary.png`. Structure is this
+framework's own: numeric aggregation lives in pure ``figdata`` helpers and
+in ``final_findings_lines`` (both unit-testable), panels are closures
+rendered over a GridSpec.
 """
 
 from __future__ import annotations
@@ -17,6 +23,83 @@ import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.gridspec import GridSpec
 
+from nerf_attention_tpu import figdata
+
+KEY_STYLE = dict(color="#3498db", label="Keys")
+VALUE_STYLE = dict(color="#e74c3c", label="Values")
+
+
+def experiment_count(
+    scaling_results, prompt_results, siren_results, svd_results, layer_profile
+) -> int:
+    """Total fits/records across every experiment the figure draws from."""
+    total = len(siren_results or []) + len(svd_results or []) + len(layer_profile or [])
+    for per_length in (scaling_results or {}).values():
+        total += per_length.get("num_experiments", 0)
+    return total
+
+
+def final_findings_lines(
+    scaling_results, prompt_results, siren_results, svd_results, layer_profile
+) -> list[str]:
+    """The computed findings box, one entry per available experiment."""
+    lines = ["NeRF-Attention: Key Findings", "=" * 32, ""]
+
+    if siren_results:
+        key_quality, value_quality = figdata.kv_quality(siren_results)
+        lines += [
+            f"Keys avg:   {key_quality.mean():.4f} CosSim",
+            f"Values avg: {value_quality.mean():.4f} CosSim",
+            "K/V gap: architectural, not content",
+            "",
+        ]
+
+    if svd_results and siren_results:
+        svd_keys_2x = figdata.only(svd_results, kv_type="key", target_compression=2)
+        siren_keys = figdata.only(siren_results, kv_type="key", config_name="medium")
+        if svd_keys_2x and siren_keys:
+            siren_ratio = figdata.column(siren_keys, "compression_ratio").mean()
+            ratio_note = f"{siren_ratio:.1f}x" + (
+                " = expansion" if siren_ratio < 1.0 else ""
+            )
+            lines += [
+                f"SVD 2x keys: {figdata.column(svd_keys_2x, figdata.QUALITY).mean():.2f} CosSim",
+                f"SIREN keys:  {figdata.column(siren_keys, figdata.QUALITY).mean():.2f} ({ratio_note})",
+                "  SVD wins with zero training",
+                "",
+            ]
+
+    if prompt_results:
+        _, key_by_prompt = figdata.prompt_series(prompt_results, "avg_cossim_keys")
+        lines += [
+            f"Cross-content spread: {figdata.spread(key_by_prompt):.3f}",
+            "  Structure is architectural",
+            "",
+        ]
+
+    if scaling_results:
+        _, siren_ms = figdata.scaling_series(scaling_results, "siren_time_ms")
+        _, hbm_ms = figdata.scaling_series(scaling_results, "hbm_4060_ms")
+        latency_ratios = siren_ms / hbm_ms
+        lines += [
+            "Both latencies scale with seq len",
+            f"  SIREN {latency_ratios.min():.0f}-{latency_ratios.max():.0f}x slower than HBM",
+            "  No crossover at practical lengths",
+            "",
+        ]
+
+    lines += [
+        f"Total experiments: {experiment_count(scaling_results, prompt_results, siren_results, svd_results, layer_profile)}",
+        "Conclusion: negative result,",
+        "  characterization contribution",
+    ]
+    return lines
+
+
+def _placeholder(ax, title: str, message: str) -> None:
+    ax.text(0.5, 0.5, message, ha="center", va="center", transform=ax.transAxes)
+    ax.set_title(title)
+
 
 def generate_final_summary(
     scaling_results: dict[int, dict] | None,
@@ -27,242 +110,162 @@ def generate_final_summary(
     head_dim: int = 128,
     layer_profile: list[dict] | None = None,
 ) -> None:
-    """6-panel summary: Pareto, K/V boxplot, layer profile, scaling,
-    multi-prompt, computed findings."""
+    """Render the six-panel final summary from whichever inputs exist."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
     if layer_profile is None:
-        lp_path = Path("results/layer_profile/full_layer_profile.json")
-        if lp_path.exists():
-            layer_profile = json.loads(lp_path.read_text())
+        default_profile = Path("results/layer_profile/full_layer_profile.json")
+        if default_profile.exists():
+            layer_profile = json.loads(default_profile.read_text())
+
+    def pareto_vs_svd(ax):
+        if siren_results:
+            from nerf_attention_tpu.evaluate import CONFIG_COLORS, CONFIG_MARKERS
+
+            for arch, (ratios, quality) in figdata.pareto_series(siren_results).items():
+                ax.scatter(
+                    ratios, quality,
+                    c=CONFIG_COLORS.get(arch, "#95a5a6"),
+                    marker=CONFIG_MARKERS.get(arch, "o"),
+                    s=40, alpha=0.6, label=f"SIREN {arch}",
+                    edgecolors="black", linewidth=0.3,
+                )
+        if svd_results:
+            for kv_type, color in (("key", "black"), ("value", "gray")):
+                rows = figdata.only(svd_results, kv_type=kv_type)
+                if rows:
+                    ax.scatter(
+                        figdata.column(rows, "actual_compression"),
+                        figdata.column(rows, figdata.QUALITY),
+                        c=color, marker="D", s=60, alpha=0.8,
+                        label=f"SVD {kv_type}s", zorder=6,
+                    )
+        ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
+        ax.axhline(y=0.90, color="orange", linestyle="--", alpha=0.3)
+        ax.set_xscale("log")
+        ax.set(
+            xlabel="Compression Ratio (x)",
+            ylabel="Cosine Similarity",
+            title="SVD Dominates at Every Ratio",
+        )
+        if ax.get_legend_handles_labels()[1]:
+            ax.legend(fontsize=6, ncol=2)
+        ax.grid(True, alpha=0.2)
+
+    def kv_asymmetry(ax):
+        key_quality, value_quality = figdata.kv_quality(siren_results or [], "medium")
+        if not (key_quality.size and value_quality.size):
+            _placeholder(ax, "Keys vs Values", "No baseline data")
+            return
+        boxes = ax.boxplot(
+            [key_quality, value_quality], tick_labels=["Keys", "Values"],
+            patch_artist=True, widths=0.5,
+        )
+        for box, style in zip(boxes["boxes"], (KEY_STYLE, VALUE_STYLE)):
+            box.set_facecolor(style["color"])
+            box.set_alpha(0.6)
+        ax.set(
+            ylabel="Cosine Similarity",
+            title=(
+                f"K/V Asymmetry (Keys={key_quality.mean():.3f}, "
+                f"Values={value_quality.mean():.3f})"
+            ),
+        )
+        ax.grid(True, alpha=0.2, axis="y")
+
+    def layer_structure(ax):
+        if not layer_profile:
+            _placeholder(ax, "Layer Profile", "No layer profile data")
+            return
+        series = figdata.profile_series(layer_profile)
+        key_layers, key_quality = series["key"]
+        value_layers, value_quality = series["value"]
+        ax.plot(key_layers, key_quality, "o-", markersize=4, linewidth=1.2, **KEY_STYLE)
+        ax.plot(value_layers, value_quality, "s-", markersize=4, linewidth=1.2, **VALUE_STYLE)
+        ax.fill_between(key_layers, key_quality, value_quality, alpha=0.08, color="gray")
+        for dip in figdata.local_minima(key_quality):
+            ax.annotate(
+                f"L{int(key_layers[dip])}",
+                xy=(key_layers[dip], key_quality[dip]),
+                xytext=(key_layers[dip] + 1, key_quality[dip] - 0.02),
+                fontsize=7, color=KEY_STYLE["color"],
+                arrowprops=dict(
+                    arrowstyle="->", color=KEY_STYLE["color"], alpha=0.6, lw=0.8
+                ),
+            )
+        ax.set(
+            xlabel="Layer", ylabel="CosSim",
+            title="Layer Profile: Non-Monotonic Structure",
+        )
+        ax.set_ylim(0.4, 1.0)
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.2)
+
+    def scaling_quality(ax):
+        if not scaling_results:
+            _placeholder(ax, "Scaling Quality", "No scaling data")
+            return
+        seq_lens, key_quality = figdata.scaling_series(scaling_results, "avg_cossim_keys")
+        _, value_quality = figdata.scaling_series(scaling_results, "avg_cossim_values")
+        ax.plot(seq_lens, key_quality, "o-", markersize=6, linewidth=1.5, **KEY_STYLE)
+        ax.plot(seq_lens, value_quality, "s-", markersize=6, linewidth=1.5, **VALUE_STYLE)
+        ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
+        ax.set_xscale("log")
+        ax.set(
+            xlabel="Sequence Length", ylabel="CosSim",
+            title="Quality Degrades with Length",
+        )
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.2)
+
+    def prompt_invariance(ax):
+        if not prompt_results:
+            _placeholder(ax, "Multi-Prompt", "No prompt data")
+            return
+        names, key_quality = figdata.prompt_series(prompt_results, "avg_cossim_keys")
+        _, value_quality = figdata.prompt_series(prompt_results, "avg_cossim_values")
+        slots = np.arange(len(names))
+        half = 0.35 / 2
+        bar_style = dict(alpha=0.8, edgecolor="black", linewidth=0.5)
+        ax.bar(slots - half, key_quality, 0.35, **{**KEY_STYLE, **bar_style})
+        ax.bar(slots + half, value_quality, 0.35, **{**VALUE_STYLE, **bar_style})
+        ax.set_xticks(slots)
+        ax.set_xticklabels([name.capitalize() for name in names], fontsize=8)
+        ax.set(
+            ylabel="CosSim",
+            title=f"Content Invariant (keys spread={figdata.spread(key_quality):.3f})",
+        )
+        ax.set_ylim(0, 1.05)
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.2, axis="y")
+
+    def findings(ax):
+        ax.axis("off")
+        body = "\n".join(
+            final_findings_lines(
+                scaling_results, prompt_results, siren_results, svd_results,
+                layer_profile,
+            )
+        )
+        ax.text(
+            0.05, 0.95, body, transform=ax.transAxes, fontsize=9,
+            verticalalignment="top", fontfamily="monospace",
+            bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
+        )
 
     fig = plt.figure(figsize=(18, 12))
-    gs = GridSpec(2, 3, figure=fig, hspace=0.35, wspace=0.35)
+    grid = GridSpec(2, 3, figure=fig, hspace=0.35, wspace=0.35)
     fig.suptitle(
         "NeRF-Attention: SIREN Compression of LLM KV Cache",
         fontsize=16, fontweight="bold", y=1.02,
     )
-
-    # [0,0] SIREN vs SVD Pareto
-    ax = fig.add_subplot(gs[0, 0])
-    if siren_results:
-        from nerf_attention_tpu.evaluate import CONFIG_COLORS, CONFIG_MARKERS
-
-        for cn in sorted({r["config_name"] for r in siren_results}):
-            cr = [r for r in siren_results if r["config_name"] == cn]
-            ax.scatter(
-                [r["compression_ratio"] for r in cr],
-                [r["final_cosine_mean"] for r in cr],
-                c=CONFIG_COLORS.get(cn, "#95a5a6"),
-                marker=CONFIG_MARKERS.get(cn, "o"),
-                s=40, alpha=0.6, label=f"SIREN {cn}",
-                edgecolors="black", linewidth=0.3,
-            )
-    if svd_results:
-        for kv, color in (("key", "black"), ("value", "gray")):
-            pts = [r for r in svd_results if r["kv_type"] == kv]
-            if pts:
-                ax.scatter(
-                    [r["actual_compression"] for r in pts],
-                    [r["final_cosine_mean"] for r in pts],
-                    c=color, marker="D", s=60, alpha=0.8,
-                    label=f"SVD {kv}s", zorder=6,
-                )
-    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-    ax.axhline(y=0.90, color="orange", linestyle="--", alpha=0.3)
-    ax.set_xscale("log")
-    ax.set(
-        xlabel="Compression Ratio (x)",
-        ylabel="Cosine Similarity",
-        title="SVD Dominates at Every Ratio",
+    panels = (
+        pareto_vs_svd, kv_asymmetry, layer_structure,
+        scaling_quality, prompt_invariance, findings,
     )
-    ax.legend(fontsize=6, ncol=2)
-    ax.grid(True, alpha=0.2)
-
-    # [0,1] Keys vs Values boxplot
-    ax = fig.add_subplot(gs[0, 1])
-    plotted = False
-    if siren_results:
-        medium = [r for r in siren_results if r.get("config_name") == "medium"]
-        k_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "key"]
-        v_cos = [r["final_cosine_mean"] for r in medium if r["kv_type"] == "value"]
-        if k_cos and v_cos:
-            bp = ax.boxplot(
-                [k_cos, v_cos], tick_labels=["Keys", "Values"],
-                patch_artist=True, widths=0.5,
-            )
-            bp["boxes"][0].set_facecolor("#3498db")
-            bp["boxes"][0].set_alpha(0.6)
-            bp["boxes"][1].set_facecolor("#e74c3c")
-            bp["boxes"][1].set_alpha(0.6)
-            ax.set(
-                ylabel="Cosine Similarity",
-                title=f"K/V Asymmetry (Keys={np.mean(k_cos):.3f}, Values={np.mean(v_cos):.3f})",
-            )
-            ax.grid(True, alpha=0.2, axis="y")
-            plotted = True
-    if not plotted:
-        ax.text(0.5, 0.5, "No baseline data", ha="center", va="center",
-                transform=ax.transAxes)
-
-    # [0,2] Full layer profile
-    ax = fig.add_subplot(gs[0, 2])
-    if layer_profile:
-        lp_keys = [r for r in layer_profile if r["kv_type"] == "key"]
-        lp_vals = [r for r in layer_profile if r["kv_type"] == "value"]
-        k_layers = [r["layer"] for r in lp_keys]
-        k_cos = [r["final_cosine_mean"] for r in lp_keys]
-        v_layers = [r["layer"] for r in lp_vals]
-        v_cos = [r["final_cosine_mean"] for r in lp_vals]
-        ax.plot(k_layers, k_cos, "o-", color="#3498db", label="Keys",
-                markersize=4, linewidth=1.2)
-        ax.plot(v_layers, v_cos, "s-", color="#e74c3c", label="Values",
-                markersize=4, linewidth=1.2)
-        ax.fill_between(k_layers, k_cos, v_cos, alpha=0.08, color="gray")
-        k_arr = np.array(k_cos)
-        for i in range(1, len(k_arr) - 1):
-            if k_arr[i] < k_arr[i - 1] and k_arr[i] < k_arr[i + 1]:
-                ax.annotate(
-                    f"L{k_layers[i]}", xy=(k_layers[i], k_arr[i]),
-                    fontsize=7, color="#3498db",
-                    xytext=(k_layers[i] + 1, k_arr[i] - 0.02),
-                    arrowprops=dict(arrowstyle="->", color="#3498db", alpha=0.6, lw=0.8),
-                )
-        ax.set(xlabel="Layer", ylabel="CosSim",
-               title="Layer Profile: Non-Monotonic Structure")
-        ax.set_ylim(0.4, 1.0)
-        ax.legend(fontsize=7)
-        ax.grid(True, alpha=0.2)
-    else:
-        ax.text(0.5, 0.5, "No layer profile data", ha="center", va="center",
-                transform=ax.transAxes)
-        ax.set_title("Layer Profile")
-
-    # [1,0] Scaling quality
-    ax = fig.add_subplot(gs[1, 0])
-    if scaling_results:
-        seq_lens = sorted(scaling_results.keys())
-        ax.plot(seq_lens, [scaling_results[s]["avg_cossim_keys"] for s in seq_lens],
-                "o-", color="#3498db", label="Keys", markersize=6, linewidth=1.5)
-        ax.plot(seq_lens, [scaling_results[s]["avg_cossim_values"] for s in seq_lens],
-                "s-", color="#e74c3c", label="Values", markersize=6, linewidth=1.5)
-        ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-        ax.set_xscale("log")
-        ax.set(xlabel="Sequence Length", ylabel="CosSim",
-               title="Quality Degrades with Length")
-        ax.legend(fontsize=7)
-        ax.grid(True, alpha=0.2)
-    else:
-        ax.text(0.5, 0.5, "No scaling data", ha="center", va="center",
-                transform=ax.transAxes)
-        ax.set_title("Scaling Quality")
-
-    # [1,1] Multi-prompt bars
-    ax = fig.add_subplot(gs[1, 1])
-    if prompt_results:
-        names = list(prompt_results.keys())
-        x = np.arange(len(names))
-        width = 0.35
-        ax.bar(x - width / 2,
-               [prompt_results[n]["avg_cossim_keys"] for n in names],
-               width, label="Keys", color="#3498db", alpha=0.8,
-               edgecolor="black", linewidth=0.5)
-        ax.bar(x + width / 2,
-               [prompt_results[n]["avg_cossim_values"] for n in names],
-               width, label="Values", color="#e74c3c", alpha=0.8,
-               edgecolor="black", linewidth=0.5)
-        ax.set_xticks(x)
-        ax.set_xticklabels([n.capitalize() for n in names], fontsize=8)
-        k_vals = [prompt_results[n]["avg_cossim_keys"] for n in names]
-        ax.set(ylabel="CosSim",
-               title=f"Content Invariant (keys spread={max(k_vals) - min(k_vals):.3f})")
-        ax.set_ylim(0, 1.05)
-        ax.legend(fontsize=7)
-        ax.grid(True, alpha=0.2, axis="y")
-    else:
-        ax.text(0.5, 0.5, "No prompt data", ha="center", va="center",
-                transform=ax.transAxes)
-        ax.set_title("Multi-Prompt")
-
-    # [1,2] Key findings text
-    ax = fig.add_subplot(gs[1, 2])
-    ax.axis("off")
-
-    total_experiments = len(siren_results or [])
-    total_experiments += len(layer_profile or [])
-    total_experiments += len(svd_results or [])
-    if scaling_results:
-        total_experiments += sum(
-            s.get("num_experiments", 0) for s in scaling_results.values()
-        )
-
-    findings = ["NeRF-Attention: Key Findings", "=" * 32, ""]
-    if siren_results:
-        k_avg = np.mean(
-            [r["final_cosine_mean"] for r in siren_results if r["kv_type"] == "key"]
-        )
-        v_avg = np.mean(
-            [r["final_cosine_mean"] for r in siren_results if r["kv_type"] == "value"]
-        )
-        findings += [
-            f"Keys avg:   {k_avg:.4f} CosSim",
-            f"Values avg: {v_avg:.4f} CosSim",
-            "K/V gap: architectural, not content",
-            "",
-        ]
-    if svd_results and siren_results:
-        svd_k2 = [
-            r for r in svd_results
-            if r["kv_type"] == "key" and r.get("target_compression") == 2
-        ]
-        siren_k = [
-            r for r in siren_results
-            if r["kv_type"] == "key" and r.get("config_name") == "medium"
-        ]
-        if svd_k2 and siren_k:
-            svd_q = np.mean([r["final_cosine_mean"] for r in svd_k2])
-            sir_q = np.mean([r["final_cosine_mean"] for r in siren_k])
-            sir_ratio = np.mean([r["compression_ratio"] for r in siren_k])
-            ratio_label = f"{sir_ratio:.1f}x"
-            if sir_ratio < 1.0:
-                ratio_label += " = expansion"
-            findings += [
-                f"SVD 2x keys: {svd_q:.2f} CosSim",
-                f"SIREN keys:  {sir_q:.2f} ({ratio_label})",
-                "  SVD wins with zero training",
-                "",
-            ]
-    if prompt_results:
-        k_vals = [prompt_results[n]["avg_cossim_keys"] for n in prompt_results]
-        findings += [
-            f"Cross-content spread: {max(k_vals) - min(k_vals):.3f}",
-            "  Structure is architectural",
-            "",
-        ]
-    if scaling_results:
-        seq_lens = sorted(scaling_results.keys())
-        ratios = [
-            scaling_results[s]["siren_time_ms"] / scaling_results[s]["hbm_4060_ms"]
-            for s in seq_lens
-        ]
-        findings += [
-            "Both latencies scale with seq len",
-            f"  SIREN {min(ratios):.0f}-{max(ratios):.0f}x slower than HBM",
-            "  No crossover at practical lengths",
-            "",
-        ]
-    findings += [
-        f"Total experiments: {total_experiments}",
-        "Conclusion: negative result,",
-        "  characterization contribution",
-    ]
-
-    ax.text(
-        0.05, 0.95, "\n".join(findings), transform=ax.transAxes, fontsize=9,
-        verticalalignment="top", fontfamily="monospace",
-        bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
-    )
+    for cell, draw in zip(grid, panels):
+        draw(fig.add_subplot(cell))
 
     plt.savefig(output_dir / "final_summary.png", dpi=200, bbox_inches="tight")
     plt.close()
