@@ -20,7 +20,7 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from nerf_attention_tpu.analyze import analyze_kv_cache
-from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
+from nerf_attention_tpu.experiments.prompts import get_prompts
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
@@ -87,7 +87,7 @@ def run_multi_prompt_experiment(
     prompt_results: dict[str, dict] = {}
     hf_state: dict = {}
 
-    for prompt_idx, (prompt_name, prompt_text) in enumerate(ALL_PROMPTS.items()):
+    for prompt_idx, (prompt_name, prompt_text) in enumerate(get_prompts().items()):
         if verbose:
             print(f"\n{'=' * 60}")
             print(f"PROMPT: {prompt_name}")

@@ -3,10 +3,21 @@
 Four content types — fiction, code, conversational, technical — each repeated
 to comfortably fill a 2048-token context, mirroring the role of the
 reference's corpus (`/root/reference/nerf_attention/experiments/prompts.py`).
-The texts themselves are original to this framework: the experiment's claim
-(KV structure is architectural, not content-driven — FINDINGS.md:118-123)
-is about *content categories*, so parity is at the metric level.
+The texts in THIS file are original to this framework; they are the
+fallback. When the reference checkout is mounted, ``get_prompts()`` loads
+the reference corpus verbatim at runtime (it is data the results depend on
+— SURVEY.md §7.6), so real-weights runs are apples-to-apples with
+BASELINE.md's multi-prompt rows.
 """
+
+from __future__ import annotations
+
+
+def get_prompts() -> dict[str, str]:
+    """The experiment corpus: reference texts when mounted, else fallback."""
+    from nerf_attention_tpu.reference_data import load_reference_prompts
+
+    return load_reference_prompts() or ALL_PROMPTS
 
 FICTION_PROMPT = """
 The lighthouse keeper's daughter had counted ships for eleven years before

@@ -74,18 +74,18 @@ def _extract_all_seq_lengths(
                     verbose=verbose,
                 )
             elif backend == "hf":
-                from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
+                from nerf_attention_tpu.experiments.prompts import get_prompts
                 from nerf_attention_tpu.extract import extract_with_hf
 
-                text = "\n\n".join(ALL_PROMPTS.values()) * 3
+                text = "\n\n".join(get_prompts().values()) * 3
                 metadata_map[seq_len] = extract_with_hf(
                     model_name, text, seq_len, kv_dir, state=hf_state
                 )
             elif backend == "jax":
-                from nerf_attention_tpu.experiments.prompts import ALL_PROMPTS
+                from nerf_attention_tpu.experiments.prompts import get_prompts
                 from nerf_attention_tpu.extract import extract_kv_cache_jax
 
-                text = "\n\n".join(ALL_PROMPTS.values()) * 3
+                text = "\n\n".join(get_prompts().values()) * 3
                 metadata_map[seq_len] = extract_kv_cache_jax(
                     model_name, seq_len, kv_dir, text=text
                 )

@@ -32,10 +32,17 @@ def get_sample_text() -> str:
 
     Plays the role of the reference's built-in corpus (extract.py:13-92):
     prose with long-range references, Python source, and dense numeric
-    technical content, repeated 3x to fill long contexts. The exact wording
-    differs from the reference (original text); extraction parity is at the
-    metric level, not the token level — see SURVEY.md §7 "hard parts".
+    technical content, repeated 3x to fill long contexts. When the reference
+    checkout is mounted, its exact sample text is loaded at runtime (it is
+    data the extraction results depend on — SURVEY.md §7.6) so results are
+    directly comparable to BASELINE.md; the original text below is the
+    fallback.
     """
+    from nerf_attention_tpu.reference_data import load_reference_sample_text
+
+    reference_text = load_reference_sample_text()
+    if reference_text is not None:
+        return reference_text
     narrative = """
 Long documents stress a transformer's memory in a very particular way. A
 contract, for instance, establishes its defined terms in the first pages and
