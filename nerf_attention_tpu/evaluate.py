@@ -178,7 +178,7 @@ def plot_per_position_error(
     original tensor, overlay a rolling mean (reference evaluate.py:123-170)."""
     siren_dir, kv_dir, output_dir = Path(siren_dir), Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    model_files = checkpoint.checkpoint_glob(siren_dir, "*medium_model.npz")
+    model_files = checkpoint.checkpoint_glob(siren_dir, "*medium_model")
     if not model_files:
         print("  No medium models found, skipping per-position plot")
         return

@@ -62,7 +62,7 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
     """
     loaded = []
     if siren_dir is not None:
-        for f in checkpoint.checkpoint_glob(Path(siren_dir), "*medium_model.npz"):
+        for f in checkpoint.checkpoint_glob(Path(siren_dir), "*medium_model"):
             ckpt = checkpoint.load_siren_checkpoint(f)
             if (
                 ckpt["out_features"] != head_dim

@@ -4,7 +4,10 @@ Payload contract mirrors the reference checkpoints
 (`/root/reference/nerf_attention/fit.py:121-137`): model params, architecture
 config (+ out_features), target mean/std for de-normalization, and the metrics
 record. Stored as a single ``.npz`` (arrays + one JSON metadata entry) instead
-of a torch pickle.
+of a torch pickle. Reference ``*_model.pt`` checkpoints load transparently
+through the same API (torch state_dicts mapped onto the JAX (in, out) layout),
+so ``evaluate``/``profile_latency`` run directly on checkpoints produced by
+the reference's fit sweep.
 """
 
 from __future__ import annotations
@@ -50,8 +53,55 @@ def save_siren_checkpoint(
     return path
 
 
+def _load_torch_siren_checkpoint(path: Path) -> dict:
+    """Reference-format torch checkpoint (fit.py:121-137, evaluate.py:34-45).
+
+    The state_dict keys are ``network.{i}.linear.{weight,bias}`` for sine
+    layers and ``network.{n}.{weight,bias}`` for the final plain Linear;
+    torch Linear weights are (out, in) and are transposed to this
+    framework's (in, out) layout.
+    """
+    import torch
+
+    payload = torch.load(Path(path), map_location="cpu", weights_only=True)
+    per_layer: dict[int, dict[str, np.ndarray]] = {}
+    for key, tensor in payload["model_state"].items():
+        parts = key.split(".")
+        layer_idx, kind = int(parts[1]), parts[-1]
+        per_layer.setdefault(layer_idx, {})[kind] = np.asarray(
+            tensor.detach().to(torch.float32).numpy()
+        )
+    params = [
+        (per_layer[i]["weight"].T.copy(), per_layer[i]["bias"])
+        for i in sorted(per_layer)
+    ]
+    cfg = payload["config"]
+    return {
+        "params": params,
+        "config": SIRENConfig(
+            hidden_features=cfg["hidden_features"],
+            hidden_layers=cfg["hidden_layers"],
+            omega_0=cfg["omega_0"],
+            name=cfg.get("name", "medium"),
+        ),
+        "out_features": cfg["out_features"],
+        "target_mean": np.asarray(
+            torch.as_tensor(payload["target_mean"]).to(torch.float32).numpy()
+        ),
+        "target_std": np.asarray(
+            torch.as_tensor(payload["target_std"]).to(torch.float32).numpy()
+        ),
+        "metrics": payload.get("metrics", {}),
+    }
+
+
 def load_siren_checkpoint(path: Path) -> dict:
-    """Load a checkpoint -> dict(params, config, out_features, target_mean/std, metrics)."""
+    """Load a checkpoint -> dict(params, config, out_features, target_mean/std, metrics).
+
+    Accepts this framework's ``.npz`` and the reference's torch ``.pt``.
+    """
+    if Path(path).suffix == ".pt":
+        return _load_torch_siren_checkpoint(path)
     with np.load(Path(path)) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         params = [
@@ -76,5 +126,15 @@ def load_siren_checkpoint(path: Path) -> dict:
     }
 
 
-def checkpoint_glob(directory: Path, pattern: str = "*_model.npz") -> list[Path]:
-    return sorted(Path(directory).glob(pattern))
+def checkpoint_glob(directory: Path, pattern: str = "*_model") -> list[Path]:
+    """All SIREN checkpoints under a directory, native .npz and reference .pt.
+
+    ``pattern`` is a stem glob (no suffix); patterns that already name a
+    suffix keep their exact meaning.
+    """
+    directory = Path(directory)
+    if pattern.endswith((".npz", ".pt")):
+        return sorted(directory.glob(pattern))
+    return sorted(
+        list(directory.glob(pattern + ".npz")) + list(directory.glob(pattern + ".pt"))
+    )

@@ -66,3 +66,95 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(b, b2)
 
     assert checkpoint.checkpoint_glob(tmp_path) == [path]
+
+
+def _reference_format_checkpoint(tmp_path, rng, torch):
+    """A *_model.pt exactly as the reference's _save_model writes it
+    (reference fit.py:121-137): torch state_dict with network.{i}.linear.*
+    sine layers and a final plain network.{n}.* Linear, (out, in) weights."""
+    config = SIRENConfig(8, 1, 30.0, "medium")
+    d_out = 4
+    state = {}
+    # SIREN-scale weights (first layer U(+-1/in), later U(+-sqrt(6/in)/w0))
+    # keep sine arguments moderate; float32 sin(x) for |x| >> 100 differs
+    # between torch and XLA by ULP-of-argument effects, which real
+    # checkpoints never hit.
+    hidden_bound = np.sqrt(6.0 / 8) / 30.0
+    torch_layers = [(1, 8, 1.0), (8, 8, hidden_bound)]
+    for i, (d_in, width, bound) in enumerate(torch_layers):
+        state[f"network.{i}.linear.weight"] = torch.from_numpy(
+            rng.uniform(-bound, bound, (width, d_in)).astype(np.float32)
+        )
+        state[f"network.{i}.linear.bias"] = torch.from_numpy(
+            rng.uniform(-bound, bound, width).astype(np.float32)
+        )
+    state["network.2.weight"] = torch.from_numpy(
+        rng.uniform(-hidden_bound, hidden_bound, (d_out, 8)).astype(np.float32)
+    )
+    state["network.2.bias"] = torch.from_numpy(
+        rng.uniform(-hidden_bound, hidden_bound, d_out).astype(np.float32)
+    )
+    payload = {
+        "model_state": state,
+        "config": {
+            "hidden_features": config.hidden_features,
+            "hidden_layers": config.hidden_layers,
+            "omega_0": config.omega_0,
+            "name": config.name,
+            "out_features": d_out,
+        },
+        "target_mean": torch.from_numpy(
+            rng.standard_normal((1, d_out)).astype(np.float32)
+        ),
+        "target_std": torch.from_numpy(
+            np.abs(rng.standard_normal((1, d_out))).astype(np.float32) + 0.1
+        ),
+        "metrics": {"name": "L0_H0_key_medium", "layer": 0},
+    }
+    path = tmp_path / "L0_H0_key_medium_model.pt"
+    torch.save(payload, path)
+    return path, state, config
+
+
+def test_checkpoint_reads_reference_pt_format(tmp_path, rng):
+    """Reference torch checkpoints load and forward-match a torch replay."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.models.siren import siren_apply
+
+    path, state, config = _reference_format_checkpoint(tmp_path, rng, torch)
+    ckpt = checkpoint.load_siren_checkpoint(path)
+    assert ckpt["config"] == config
+    assert ckpt["out_features"] == 4
+    assert ckpt["metrics"]["name"] == "L0_H0_key_medium"
+    assert [w.shape for w, _ in ckpt["params"]] == [(1, 8), (8, 8), (8, 4)]
+
+    # Forward equivalence: JAX apply on the loaded params vs an explicit
+    # torch replay of the reference forward (sin(w0 * linear) ... linear).
+    pos = np.linspace(0, 1, 16, dtype=np.float32)[:, None]
+    ours = np.asarray(siren_apply(ckpt["params"], config.omega_0, jnp.asarray(pos)))
+    h = torch.from_numpy(pos)
+    for i in range(2):
+        h = torch.sin(
+            config.omega_0
+            * (h @ state[f"network.{i}.linear.weight"].T + state[f"network.{i}.linear.bias"])
+        )
+    theirs = (h @ state["network.2.weight"].T + state["network.2.bias"]).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_glob_mixes_npz_and_pt(tmp_path, rng):
+    torch = pytest.importorskip("torch")
+    pt_path, _, config = _reference_format_checkpoint(tmp_path, rng, torch)
+    npz_path = checkpoint.save_siren_checkpoint(
+        tmp_path / "L1_H0_key_medium_model.npz",
+        [(np.ones((1, 8), np.float32), np.zeros(8, np.float32))],
+        config, 8, np.zeros((1, 8), np.float32), np.ones((1, 8), np.float32),
+        {"name": "n"},
+    )
+    found = checkpoint.checkpoint_glob(tmp_path)
+    assert set(found) == {pt_path, npz_path}
+    assert checkpoint.checkpoint_glob(tmp_path, "*medium_model") == found
+    # Suffixed patterns keep their exact meaning.
+    assert checkpoint.checkpoint_glob(tmp_path, "*_model.pt") == [pt_path]

@@ -113,6 +113,50 @@ def test_checkpoint_reconstruction_quality(quick_fit, tiny_kv_dir):
     assert abs(cos - metrics["final_cosine_mean"]) < 1e-3
 
 
+def test_evaluate_runs_on_reference_pt_checkpoints(quick_fit, tiny_kv_dir, tmp_path):
+    """evaluate's checkpoint-driven passes work on reference-format .pt files.
+
+    Converts a trained .npz checkpoint into the reference's torch payload
+    (reference fit.py:121-137) and drives per-position + latency over a
+    directory containing ONLY .pt checkpoints.
+    """
+    torch = pytest.importorskip("torch")
+    out, _ = quick_fit
+    pt_dir = tmp_path / "pt_fits"
+    pt_dir.mkdir()
+
+    for src in checkpoint.checkpoint_glob(out)[:2]:
+        ckpt = checkpoint.load_siren_checkpoint(src)
+        state = {}
+        last = len(ckpt["params"]) - 1
+        for i, (w, b) in enumerate(ckpt["params"]):
+            stem = f"network.{i}" if i == last else f"network.{i}.linear"
+            state[f"{stem}.weight"] = torch.from_numpy(np.asarray(w).T.copy())
+            state[f"{stem}.bias"] = torch.from_numpy(np.asarray(b))
+        torch.save(
+            {
+                "model_state": state,
+                "config": {
+                    "hidden_features": ckpt["config"].hidden_features,
+                    "hidden_layers": ckpt["config"].hidden_layers,
+                    "omega_0": ckpt["config"].omega_0,
+                    "name": ckpt["config"].name,
+                    "out_features": ckpt["out_features"],
+                },
+                "target_mean": torch.from_numpy(np.asarray(ckpt["target_mean"])),
+                "target_std": torch.from_numpy(np.asarray(ckpt["target_std"])),
+                "metrics": ckpt["metrics"],
+            },
+            pt_dir / (src.stem + ".pt"),
+        )
+
+    fig_dir = tmp_path / "figs"
+    plot_per_position_error(pt_dir, tiny_kv_dir, fig_dir)
+    assert (fig_dir / "per_position_error.png").exists()
+    latency = profile_latency(pt_dir, fig_dir, max_models=2, num_runs=5)
+    assert len(latency) == 2 and latency[0]["siren_time_ms"] > 0
+
+
 def test_analyze_raises_on_empty_cache(tmp_path):
     """No sampled layer file -> explicit FileNotFoundError, not NaN JSON."""
     import json
