@@ -281,6 +281,12 @@ def main() -> None:
         "--backend", type=str, default="hf", choices=["hf", "jax", "synthetic"]
     )
     parser.add_argument("--device", type=str, default="cpu")
+    parser.add_argument(
+        "--values_mode", type=str, default="reference",
+        choices=["reference", "hard"],
+        help="synthetic values recipe: 'reference' (smooth sine parity) or "
+        "'hard' (attention-sharpened, reproduces the real K>>V gap)",
+    )
     args = parser.parse_args()
 
     if args.synthetic or args.backend == "synthetic":
@@ -291,6 +297,7 @@ def main() -> None:
         generate_synthetic_kv(
             seq_len=args.seq_len,
             output_dir=Path(args.output_dir),
+            values_mode=args.values_mode,
         )
     elif args.backend == "jax":
         extract_kv_cache_jax(args.model, args.seq_len, Path(args.output_dir))

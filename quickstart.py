@@ -20,6 +20,11 @@ def main() -> None:
     parser.add_argument(
         "--mesh", action="store_true", help="shard the fit sweep over all devices"
     )
+    parser.add_argument(
+        "--hard_values", action="store_true",
+        help="attention-sharpened synthetic values (reproduces the real "
+        "study's K>>V gap hermetically; see synthetic.py)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -55,6 +60,7 @@ def main() -> None:
         num_kv_heads=4,
         head_dim=128,
         output_dir=kv_dir,
+        values_mode="hard" if args.hard_values else "reference",
     )
 
     print("\n" + "=" * 60)

@@ -94,3 +94,71 @@ def test_values_smoother_than_keys(tiny_kv_dir):
     k_ac = np.mean([lag1(keys[0, :, d]) for d in range(16)])
     v_ac = np.mean([lag1(values[0, :, d]) for d in range(16)])
     assert v_ac > k_ac
+
+
+def test_hard_values_keep_keys_bit_identical(tmp_path):
+    ref_dir, hard_dir = tmp_path / "ref", tmp_path / "hard"
+    for d, mode in ((ref_dir, "reference"), (hard_dir, "hard")):
+        generate_synthetic_kv(
+            seq_len=64, num_layers=2, num_kv_heads=2, head_dim=4,
+            output_dir=d, verbose=False, values_mode=mode,
+        )
+    for layer_idx in range(2):
+        k_ref, v_ref = kvstore.load_layer(ref_dir, layer_idx)
+        k_hard, v_hard = kvstore.load_layer(hard_dir, layer_idx)
+        np.testing.assert_array_equal(k_ref, k_hard)
+        assert not np.array_equal(v_ref, v_hard)
+    assert kvstore.load_metadata(hard_dir).model_name == "synthetic_hard"
+
+
+def test_hard_values_deterministic(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    for d in (a, b):
+        generate_synthetic_kv(
+            seq_len=32, num_layers=2, num_kv_heads=1, head_dim=4,
+            output_dir=d, verbose=False, values_mode="hard",
+        )
+    _, va = kvstore.load_layer(a, 1)
+    _, vb = kvstore.load_layer(b, 1)
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_invalid_values_mode_raises(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="values_mode"):
+        generate_synthetic_kv(
+            seq_len=16, num_layers=1, num_kv_heads=1, head_dim=2,
+            output_dir=tmp_path / "x", verbose=False, values_mode="spicy",
+        )
+
+
+def test_hard_values_reproduce_kv_gap(tmp_path):
+    """The study's central structural finding — keys fit much better than
+    values (reference FINDINGS.md:216-217) — appears on hard-mode synthetic
+    caches: medium-SIREN keys beat values by a wide margin, and hard values
+    have much lower lag-1 autocorrelation than keys."""
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+    kv_dir = tmp_path / "kv"
+    generate_synthetic_kv(
+        seq_len=512, num_layers=4, num_kv_heads=1, head_dim=32,
+        output_dir=kv_dir, verbose=False, values_mode="hard",
+    )
+    keys, values = kvstore.load_layer(kv_dir, 2)
+
+    def lag1(sig):
+        s = sig - sig.mean()
+        return float((s[:-1] * s[1:]).sum() / (s**2).sum())
+
+    k_ac = np.mean([lag1(keys[0, :, d]) for d in range(32)])
+    v_ac = np.mean([lag1(values[0, :, d]) for d in range(32)])
+    assert v_ac < k_ac - 0.2, (k_ac, v_ac)
+
+    batch = fit_batch(
+        np.stack([keys[0], values[0]]),
+        CONFIGS_BY_NAME["medium"], epochs=500, seed=0,
+    )
+    key_cos, value_cos = np.asarray(batch.cosine_mean)
+    assert key_cos - value_cos >= 0.08, (key_cos, value_cos)
