@@ -34,7 +34,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _siren_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
+def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype):
+    """Shared network body for the fused kernels.
+
+    ``compute_dtype=bfloat16`` runs the hidden/final matmuls with bf16
+    operands (double MXU throughput, half the VMEM weight traffic) and fp32
+    accumulation; the position input and the first (VPU broadcast) layer
+    stay fp32 — positions are linspace(0,1,S), and bf16's ~2^-8 relative
+    resolution would collapse adjacent rows for S beyond a few hundred.
+    Sines are evaluated in fp32 either way (VPU transcendentals are fp32).
+    """
+    w0 = weight_refs[0][:].astype(jnp.float32)  # (1, H)
+    b0 = weight_refs[1][:].astype(jnp.float32)  # (1, H)
+    h = jnp.sin(omega * (x * w0 + b0)).astype(compute_dtype)
+
+    # Hidden sine layers on the MXU.
+    for layer in range(1, n_layers - 1):
+        w = weight_refs[2 * layer][:]
+        b = weight_refs[2 * layer + 1][:].astype(jnp.float32)
+        acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        h = jnp.sin(omega * (acc + b)).astype(compute_dtype)
+
+    # Final plain linear.
+    wf = weight_refs[2 * (n_layers - 1)][:]
+    bf = weight_refs[2 * (n_layers - 1) + 1][:].astype(jnp.float32)
+    return jnp.dot(h, wf, preferred_element_type=jnp.float32) + bf
+
+
+def _siren_kernel(
+    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype
+):
     """One row-tile of the full network. refs = w0,b0,...,wn,bn,out."""
     out_ref = refs[-1]
     weight_refs = refs[:-1]
@@ -45,34 +74,44 @@ def _siren_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
-    # First sine layer: x (tile,1) @ w (1,H) == broadcast multiply (VPU).
-    w0 = weight_refs[0][:]  # (1, H)
-    b0 = weight_refs[1][:]  # (1, H)
-    h = jnp.sin(omega * (x * w0 + b0))
-
-    # Hidden sine layers on the MXU.
-    for layer in range(1, n_layers - 1):
-        w = weight_refs[2 * layer][:]
-        b = weight_refs[2 * layer + 1][:]
-        h = jnp.sin(omega * (jnp.dot(h, w, preferred_element_type=jnp.float32) + b))
-
-    # Final plain linear.
-    wf = weight_refs[2 * (n_layers - 1)][:]
-    bf = weight_refs[2 * (n_layers - 1) + 1][:]
-    out_ref[:] = jnp.dot(h, wf, preferred_element_type=jnp.float32) + bf
+    out_ref[:] = _layer_stack(weight_refs, x, omega, n_layers, compute_dtype).astype(
+        out_ref.dtype
+    )
 
 
-@partial(jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret"))
+def _flat_weights(params, compute_dtype, n: int | None = None) -> list[jax.Array]:
+    """Interleaved [w, b, ...] operands in the kernel compute dtype.
+
+    Weights carry the compute dtype (bf16 halves their VMEM footprint and
+    feeds the MXU at double rate); biases keep the weight dtype too but are
+    upcast inside the kernel before the fp32 sine. Biases become rank-2
+    (rank-3 when batched over ``n`` networks) so every VMEM operand is
+    tile-shaped.
+    """
+    flat: list[jax.Array] = []
+    bias_shape = (1, -1) if n is None else (n, 1, -1)
+    for w, b in params:
+        flat.append(w.astype(compute_dtype))
+        flat.append(b.reshape(*bias_shape).astype(compute_dtype))
+    return flat
+
+
+@partial(
+    jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype")
+)
 def siren_decode_fused(
     params,
     omega: float,
     seq_len: int,
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Evaluate a SIREN at linspace(0,1,seq_len) in one fused kernel.
 
-    params: [(W, b), ...] with W laid out (in, out). Returns (seq_len, D).
+    params: [(W, b), ...] with W laid out (in, out). Returns (seq_len, D)
+    in ``compute_dtype`` (bf16 output is the serving-realistic shape: the
+    KV cache being replaced is bf16).
     """
     n_layers = len(params)
     d_out = params[-1][0].shape[1]
@@ -81,21 +120,18 @@ def siren_decode_fused(
     padded_s = _round_up(seq_len, tile)
     grid = (padded_s // tile,)
 
-    # Biases as (1, H) rows so every operand is rank-2 in VMEM.
-    flat: list[jax.Array] = []
-    for w, b in params:
-        flat.append(w.astype(jnp.float32))
-        flat.append(b.reshape(1, -1).astype(jnp.float32))
-
+    flat = _flat_weights(params, compute_dtype)
     kernel = partial(
         _siren_kernel,
         omega=float(omega),
         seq_len=seq_len,
         tile=tile,
         n_layers=n_layers,
+        compute_dtype=compute_dtype,
     )
 
     hidden = params[0][0].shape[1]
+    itemsize = jnp.dtype(compute_dtype).itemsize
     flops_per_row = sum(2 * w.shape[0] * w.shape[1] for w, _ in params)
     out = pl.pallas_call(
         kernel,
@@ -105,10 +141,11 @@ def siren_decode_fused(
             for f in flat
         ],
         out_specs=pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_s, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded_s, d_out), compute_dtype),
         cost_estimate=pl.CostEstimate(
             flops=padded_s * flops_per_row,
-            bytes_accessed=sum(f.size * 4 for f in flat) + padded_s * d_out * 4,
+            bytes_accessed=sum(f.size * itemsize for f in flat)
+            + padded_s * d_out * itemsize,
             transcendentals=padded_s * hidden * (n_layers - 1),
         ),
         interpret=interpret,
@@ -132,6 +169,7 @@ def siren_decode_batch_sharded(
     mesh,
     axis: str = "fit",
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Batched fused decode with the network axis sharded over a mesh.
 
@@ -155,7 +193,9 @@ def siren_decode_batch_sharded(
     # kernel is per-shard pure, so disable the replication/vma check (named
     # check_vma on jax.shard_map, check_rep on the experimental API).
     common = dict(mesh=mesh, in_specs=(in_specs,), out_specs=leaf_spec)
-    body = lambda p: siren_decode_batch(p, omega, seq_len, interpret=interpret)
+    body = lambda p: siren_decode_batch(
+        p, omega, seq_len, interpret=interpret, compute_dtype=compute_dtype
+    )
     try:
         fn = jax.shard_map(body, check_vma=False, **common)
     except (AttributeError, TypeError):
@@ -169,37 +209,45 @@ def siren_decode_batch_sharded(
     return fn(params)
 
 
-def _siren_batch_kernel(*refs, omega: float, seq_len: int, tile: int, n_layers: int):
+class _BatchHeadView:
+    """Adapter presenting the leading-network-blocked refs as rank-2 reads."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, _):
+        return self._ref[0]
+
+
+def _siren_batch_kernel(
+    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype
+):
     """One (network, row-tile) cell of the batched decode.
 
     refs = w_0, b_0, ..., w_{L-1}, b_{L-1} (each blocked per network), out.
     """
     out_ref = refs[-1]
-    weight_refs = refs[:-1]
+    weight_refs = [_BatchHeadView(r) for r in refs[:-1]]
 
     t_idx = pl.program_id(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t_idx * tile
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
-    w0 = weight_refs[0][0]  # (1, H)
-    b0 = weight_refs[1][0]  # (1, H)
-    h = jnp.sin(omega * (x * w0 + b0))
-    for layer in range(1, n_layers - 1):
-        w = weight_refs[2 * layer][0]
-        b = weight_refs[2 * layer + 1][0]
-        h = jnp.sin(omega * (jnp.dot(h, w, preferred_element_type=jnp.float32) + b))
-    wf = weight_refs[2 * (n_layers - 1)][0]
-    bf = weight_refs[2 * (n_layers - 1) + 1][0]
-    out_ref[0] = jnp.dot(h, wf, preferred_element_type=jnp.float32) + bf
+    out_ref[0] = _layer_stack(weight_refs, x, omega, n_layers, compute_dtype).astype(
+        out_ref.dtype
+    )
 
 
-@partial(jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret"))
+@partial(
+    jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype")
+)
 def siren_decode_batch(
     params,
     omega: float,
     seq_len: int,
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Decode N SIRENs at once: one fused kernel over a (network, tile) grid.
 
@@ -218,19 +266,17 @@ def siren_decode_batch(
     padded_s = _round_up(seq_len, tile)
     grid = (n, padded_s // tile)
 
-    flat: list[jax.Array] = []
-    for w, b in params:
-        flat.append(w.astype(jnp.float32))
-        flat.append(b.reshape(n, 1, -1).astype(jnp.float32))
-
+    flat = _flat_weights(params, compute_dtype, n=n)
     kernel = partial(
         _siren_batch_kernel,
         omega=float(omega),
         seq_len=seq_len,
         tile=tile,
         n_layers=n_layers,
+        compute_dtype=compute_dtype,
     )
     hidden = params[0][0].shape[-1]
+    itemsize = jnp.dtype(compute_dtype).itemsize
     flops_per_row = sum(2 * w.shape[1] * w.shape[2] for w in flat[::2])
     out = pl.pallas_call(
         kernel,
@@ -245,13 +291,14 @@ def siren_decode_batch(
         out_specs=pl.BlockSpec(
             (1, tile, d_out), lambda ni, ti: (ni, ti, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, padded_s, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, padded_s, d_out), compute_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=n * padded_s * flops_per_row,
-            bytes_accessed=sum(f.size * 4 for f in flat) + n * padded_s * d_out * 4,
+            bytes_accessed=sum(f.size * itemsize for f in flat)
+            + n * padded_s * d_out * itemsize,
             transcendentals=n * padded_s * hidden * (n_layers - 1),
         ),
         interpret=interpret,

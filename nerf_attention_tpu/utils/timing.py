@@ -31,36 +31,65 @@ def _sync(out) -> None:
     np.asarray(jax.tree_util.tree_leaves(out)[-1])
 
 
-def _median_time(run, n: int, *args, samples: int = 3) -> float:
-    times = []
-    for _ in range(samples):
-        start = time.perf_counter()
-        _sync(run(*args, n))
-        times.append(time.perf_counter() - start)
-    return sorted(times)[len(times) // 2]
+def _timed_once(run, n: int, *args) -> float:
+    start = time.perf_counter()
+    _sync(run(*args, n))
+    return time.perf_counter() - start
 
 
-def _per_iter_seconds(run, *args, reps: int = 200, samples: int = 3) -> float:
-    """Per-iteration device time via a two-point difference.
+def _per_iter_samples(
+    run, *args, reps: int = 200, samples: int = 3
+) -> list[float]:
+    """Replicate per-iteration device times via two-point differences.
 
     A single timed call includes a large constant (host->device dispatch +
     scalar-fetch round-trip; tens of ms through a tunnel). Timing the loop at
-    n and 4n and differencing cancels the constant exactly.
+    n and 4n and differencing cancels the constant exactly. Replicates are
+    *interleaved* (t1,t2 pairs back-to-back) so each delta sees the same
+    moment of device contention — the spread across replicates is then an
+    honest error bar for the shared-chip variance documented in CLAUDE.md.
     """
     n1, n2 = reps, 4 * reps
     _sync(run(*args, n1))  # compile both loop lengths + warm
     _sync(run(*args, n2))
-    t1 = _median_time(run, n1, *args, samples=samples)
-    t2 = _median_time(run, n2, *args, samples=samples)
-    return max(t2 - t1, 1e-12) / (n2 - n1)
+    deltas = []
+    for _ in range(samples):
+        t1 = _timed_once(run, n1, *args)
+        t2 = _timed_once(run, n2, *args)
+        deltas.append(max(t2 - t1, 1e-12) / (n2 - n1))
+    return deltas
 
 
-def time_perturbed_forward_ms(params, forward_fn, reps: int) -> float:
+def replicate_stats(values: list[float]) -> dict:
+    """Median + interquartile range of replicate measurements."""
+    arr = np.asarray(values, dtype=float)
+    q25, q50, q75 = np.percentile(arr, [25, 50, 75])
+    return {
+        "median": float(q50),
+        "q25": float(q25),
+        "q75": float(q75),
+        "iqr": float(q75 - q25),
+        "n": int(arr.size),
+    }
+
+
+def _per_iter_seconds(run, *args, reps: int = 200, samples: int = 3) -> float:
+    return float(
+        np.median(_per_iter_samples(run, *args, reps=reps, samples=samples))
+    )
+
+
+def time_perturbed_forward_ms(
+    params, forward_fn, reps: int, samples: int = 3, stats: bool = False
+):
     """Dependent-loop timer for any ``forward_fn(params) -> array`` (ms).
 
     Each iteration perturbs the first-layer bias by (prev output mean * 1e-30)
     — numerically invisible, but it forces a full dependent re-evaluation, so
     XLA can neither hoist the forward out of the loop nor overlap iterations.
+
+    ``stats=True`` returns ``replicate_stats`` (median/q25/q75/iqr, ms)
+    over the interleaved replicates instead of the bare median.
     """
 
     @jax.jit
@@ -68,18 +97,26 @@ def time_perturbed_forward_ms(params, forward_fn, reps: int) -> float:
         def body(_, carry):
             p, acc = carry
             out = forward_fn(p)
-            delta = jnp.mean(out) * 1e-30
+            delta = jnp.mean(out).astype(jnp.float32) * 1e-30
             (w0, b0), rest = p[0], p[1:]
-            return ([(w0, b0 + delta)] + rest, acc + delta)
+            return ([(w0, b0 + delta.astype(b0.dtype))] + rest, acc + delta)
 
         return jax.lax.fori_loop(0, n, body, (params, jnp.float32(0.0)))[1]
 
-    return _per_iter_seconds(run, params, reps=reps) * 1e3
+    deltas = [
+        d * 1e3 for d in _per_iter_samples(run, params, reps=reps, samples=samples)
+    ]
+    return replicate_stats(deltas) if stats else float(np.median(deltas))
 
 
 def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
-                          fused: bool = True) -> float:
-    """Amortized per-evaluation time of a full SIREN decode (ms)."""
+                          fused: bool = True, compute_dtype=None,
+                          samples: int = 3, stats: bool = False):
+    """Amortized per-evaluation time of a full SIREN decode (ms).
+
+    ``compute_dtype=jnp.bfloat16`` times the bf16 fused-decode variant
+    (fused path only). ``stats=True`` returns median/q25/q75/iqr.
+    """
     from nerf_attention_tpu.models.siren import positions, siren_apply
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
 
@@ -90,22 +127,26 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
         reps = max(100, 2_000_000 // max(seq_len, 1)) if _on_tpu() else 20
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
     use_fused = fused and _on_tpu()
+    dtype = compute_dtype if compute_dtype is not None else jnp.float32
     pos = positions(seq_len)
 
     def forward(p):
         if use_fused:
-            return siren_decode_fused(p, float(omega), seq_len)
+            return siren_decode_fused(p, float(omega), seq_len, compute_dtype=dtype)
         return siren_apply(p, float(omega), pos)
 
-    return time_perturbed_forward_ms(params, forward, reps)
+    return time_perturbed_forward_ms(
+        params, forward, reps, samples=samples, stats=stats
+    )
 
 
 MIN_POOL_BYTES = 128 * 1024 * 1024  # >> 16 MB VMEM: slices must come from HBM
 
 
 def measured_hbm_read_ms(
-    seq_len: int, d_head: int, reps: int | None = None, dtype=jnp.bfloat16
-) -> float:
+    seq_len: int, d_head: int, reps: int | None = None, dtype=jnp.bfloat16,
+    samples: int = 3, stats: bool = False,
+):
     """Measured time to read one (S, D) KV slice from HBM.
 
     Each loop iteration reduces a different (S, D) slice of a pool far larger
@@ -138,7 +179,8 @@ def measured_hbm_read_ms(
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return _per_iter_seconds(run, pool, reps=reps) * 1e3
+    deltas = [d * 1e3 for d in _per_iter_samples(run, pool, reps=reps, samples=samples)]
+    return replicate_stats(deltas) if stats else float(np.median(deltas))
 
 
 def measured_hbm_stream_read_ms(
@@ -147,7 +189,9 @@ def measured_hbm_stream_read_ms(
     d_head: int,
     reps: int | None = None,
     dtype=jnp.bfloat16,
-) -> float:
+    samples: int = 3,
+    stats: bool = False,
+):
     """Measured time for ONE streaming read of a full (N, S, D) KV cache.
 
     Unlike ``measured_hbm_read_ms`` (one slice, extrapolated ×N by callers),
@@ -177,7 +221,8 @@ def measured_hbm_stream_read_ms(
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return _per_iter_seconds(run, pool, reps=reps) * 1e3
+    deltas = [d * 1e3 for d in _per_iter_samples(run, pool, reps=reps, samples=samples)]
+    return replicate_stats(deltas) if stats else float(np.median(deltas))
 
 
 def time_jitted_ms(fn, *args, reps: int = 100) -> float:

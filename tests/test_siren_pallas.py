@@ -84,3 +84,49 @@ def test_sharded_batched_decode_rejects_ragged():
     params = jax.vmap(lambda k: init_siren(k, config, 4))(keys)
     with pytest.raises(ValueError, match="divisible"):
         siren_decode_batch_sharded(params, 30.0, 64, fit_mesh(), interpret=True)
+
+
+def test_bf16_decode_tracks_fp32():
+    """bf16 compute path: close to fp32 decode on SIREN-scale outputs.
+
+    Positions/first layer stay fp32 inside the kernel, so bf16 error is
+    bounded by hidden-matmul rounding (~2^-8 relative per layer), not by
+    position collapse.
+    """
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
+
+    config = SIRENConfig(128, 2, 30.0, "small")
+    params = init_siren(jax.random.PRNGKey(7), config, out_features=64)
+    fp32 = np.asarray(
+        siren_decode_fused(params, 30.0, 1024, interpret=True)
+    )
+    bf16 = np.asarray(
+        siren_decode_fused(
+            params, 30.0, 1024, interpret=True, compute_dtype=jnp.bfloat16
+        ).astype(jnp.float32)
+    )
+    assert bf16.dtype == np.float32 and fp32.shape == bf16.shape
+    # sin outputs are O(1); per-element absolute error stays ~1e-2.
+    assert np.abs(fp32 - bf16).max() < 5e-2
+    # Cosine similarity between reconstructions is essentially unchanged.
+    num = (fp32 * bf16).sum(axis=1)
+    cos = num / (np.linalg.norm(fp32, axis=1) * np.linalg.norm(bf16, axis=1))
+    assert cos.min() > 0.995
+
+
+def test_bf16_batched_decode_output_dtype_and_parity():
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+
+    config = SIRENConfig(64, 1, 30.0, "t64")
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    params = jax.vmap(lambda k: init_siren(k, config, 16))(keys)
+    out_bf16 = siren_decode_batch(
+        params, 30.0, 256, interpret=True, compute_dtype=jnp.bfloat16
+    )
+    assert out_bf16.dtype == jnp.bfloat16
+    out_fp32 = np.asarray(siren_decode_batch(params, 30.0, 256, interpret=True))
+    assert np.abs(np.asarray(out_bf16, dtype=np.float32) - out_fp32).max() < 5e-2
