@@ -80,7 +80,9 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
     return _stack_params(nets[:n_networks]), source
 
 
-def _time_batched_decode_ms(stacked, seq_len: int, reps: int | None = None) -> float:
+def _time_batched_decode_ms(
+    stacked, seq_len: int, reps: int | None = None, compute_dtype=jnp.float32
+) -> float:
     """Dependent-loop timing of the batched fused decode (ms per full pass)."""
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
     from nerf_attention_tpu.utils.timing import _on_tpu, time_perturbed_forward_ms
@@ -93,7 +95,7 @@ def _time_batched_decode_ms(stacked, seq_len: int, reps: int | None = None) -> f
 
     def forward(p):
         if use_fused:
-            return siren_decode_batch(p, omega, seq_len)
+            return siren_decode_batch(p, omega, seq_len, compute_dtype=compute_dtype)
         return jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
 
     return time_perturbed_forward_ms(stacked, forward, reps)
@@ -127,8 +129,12 @@ def run_aggregate_decode_experiment(
 
     t0 = time.perf_counter()
     siren_ms = _time_batched_decode_ms(stacked, seq_len)
+    siren_bf16_ms = _time_batched_decode_ms(
+        stacked, seq_len, compute_dtype=jnp.bfloat16
+    )
     if verbose:
-        print(f"  batched fused decode: {siren_ms:.3f} ms "
+        print(f"  batched fused decode: fp32 {siren_ms:.3f} ms / "
+              f"bf16 {siren_bf16_ms:.3f} ms "
               f"(timed in {time.perf_counter() - t0:.0f}s)")
 
     # HBM side, measured two ways: (a) ONE streaming read of the full
@@ -148,12 +154,14 @@ def run_aggregate_decode_experiment(
         "total_siren_params": num_params,
         "cache_bytes_bf16": cache_bytes,
         "siren_aggregate_ms": siren_ms,
+        "siren_aggregate_bf16_ms": siren_bf16_ms,
         "hbm_measured_aggregate_ms": hbm_measured_ms,
         "hbm_slice_extrapolated_ms": slice_ms * n_networks,
         "hbm_v5e_theoretical_ms": cache_bytes / HBM_BW["tpu_v5e"] * 1000,
         "hbm_h100_theoretical_ms": cache_bytes / HBM_BW["h100"] * 1000,
         "hbm_4060_theoretical_ms": cache_bytes / HBM_BW["rtx4060"] * 1000,
         "ratio_vs_measured": siren_ms / max(hbm_measured_ms, 1e-12),
+        "ratio_bf16_vs_measured": siren_bf16_ms / max(hbm_measured_ms, 1e-12),
         "ratio_vs_v5e_theoretical": siren_ms
         / max(cache_bytes / HBM_BW["tpu_v5e"] * 1000, 1e-12),
         "backend": jax.default_backend(),
@@ -182,18 +190,20 @@ def plot_aggregate_decode(results: dict, output_dir: Path) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
 
     labels = [
-        "SIREN decode\n(batched fused kernel,\nmeasured)",
+        "SIREN decode\n(fused kernel, fp32,\nmeasured)",
+        "SIREN decode\n(fused kernel, bf16,\nmeasured)",
         "HBM read\n(measured,\nfull-cache stream)",
         "HBM read\n(v5e roofline)",
         "HBM read\n(H100 roofline)",
     ]
     values = [
         results["siren_aggregate_ms"],
+        results.get("siren_aggregate_bf16_ms", results["siren_aggregate_ms"]),
         results["hbm_measured_aggregate_ms"],
         results["hbm_v5e_theoretical_ms"],
         results["hbm_h100_theoretical_ms"],
     ]
-    colors = ["#3498db", "#9b59b6", "#f39c12", "#2ecc71"]
+    colors = ["#3498db", "#1abc9c", "#9b59b6", "#f39c12", "#2ecc71"]
 
     fig, ax = plt.subplots(figsize=(9, 6))
     bars = ax.bar(labels, values, color=colors, edgecolor="black", linewidth=0.5)
