@@ -70,6 +70,19 @@ def load_synthkv():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
     lib.synth_layer.restype = None
+    try:
+        lib.synth_hard_values.argtypes = [
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.synth_hard_values.restype = None
+        lib.synth_hard_values_layer.argtypes = [
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.synth_hard_values_layer.restype = None
+    except AttributeError:
+        pass  # prebuilt .so predating hard-values; numpy fallback covers it
     lib.rng_doubles.argtypes = [
         ctypes.c_uint32, ctypes.c_int, ctypes.POINTER(ctypes.c_double)
     ]

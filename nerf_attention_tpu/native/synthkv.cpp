@@ -224,6 +224,47 @@ void synth_layer(uint32_t base_seed, int num_heads, int seq_len, int head_dim,
     for (auto& w : workers) w.join();
 }
 
+// Fill one head's (seq_len, head_dim) HARD-mode value matrix, draw-for-draw
+// identical to synthetic.py:_hard_values with RandomState(seed): per dim a
+// weak smooth carrier (freq U(1,8), phase U(0,2pi)), a spike train at
+// doubled sharpness, and dominant per-sample Gaussian noise.
+void synth_hard_values(uint32_t seed, int seq_len, int head_dim,
+                       double layer_sharpness, float* v_out) {
+    LegacyRandomState rng(seed);
+    double* spikes = new double[seq_len];
+    const double dt = seq_len > 1 ? 1.0 / (seq_len - 1) : 0.0;
+    for (int d = 0; d < head_dim; ++d) {
+        double freq = rng.uniform(1.0, 8.0);
+        double phase = rng.uniform(0.0, kTwoPi);
+        spike_train(rng, seq_len, 2.0 * layer_sharpness, spikes);
+        Oscillator oc(kTwoPi * freq * dt, phase);
+        for (int s = 0; s < seq_len; ++s) {
+            double carrier = (seq_len > 1 && s == seq_len - 1)
+                                 ? std::sin(kTwoPi * freq + phase)
+                                 : oc.next();
+            double v = 0.45 * carrier + 0.8 * spikes[s] + rng.gauss() * 0.30;
+            v_out[(size_t)s * head_dim + d] = static_cast<float>(v);
+        }
+    }
+    delete[] spikes;
+}
+
+// Hard-mode values for a whole layer, one thread per head (streams seeded
+// base_seed + head, matching synthetic.py's hard-values offset scheme).
+void synth_hard_values_layer(uint32_t base_seed, int num_heads, int seq_len,
+                             int head_dim, double layer_sharpness,
+                             float* v_out) {
+    std::vector<std::thread> workers;
+    const size_t head_elems = (size_t)seq_len * head_dim;
+    for (int h = 0; h < num_heads; ++h) {
+        workers.emplace_back([=]() {
+            synth_hard_values(base_seed + h, seq_len, head_dim,
+                              layer_sharpness, v_out + h * head_elems);
+        });
+    }
+    for (auto& w : workers) w.join();
+}
+
 // RNG self-test hooks (bit-parity assertions from Python).
 void rng_doubles(uint32_t seed, int n, double* out) {
     LegacyRandomState rng(seed);

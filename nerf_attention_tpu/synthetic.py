@@ -204,13 +204,20 @@ def generate_synthetic_kv(
             # Independent stream per head (offset past any layer*head seed
             # a reference-mode run could use), so keys above stay parity-
             # exact and hard values are themselves deterministic.
-            for head_idx in range(num_kv_heads):
-                hard_rng = np.random.RandomState(
-                    1_000_003 + seed_offset + layer_idx * num_kv_heads + head_idx
+            hard_seed = 1_000_003 + seed_offset + layer_idx * num_kv_heads
+            if lib is not None and hasattr(lib, "synth_hard_values_layer"):
+                import ctypes
+
+                lib.synth_hard_values_layer(
+                    hard_seed, num_kv_heads, seq_len, head_dim, layer_sharpness,
+                    values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 )
-                values[head_idx] = _hard_values(
-                    hard_rng, t, head_dim, layer_sharpness
-                )
+            else:
+                for head_idx in range(num_kv_heads):
+                    hard_rng = np.random.RandomState(hard_seed + head_idx)
+                    values[head_idx] = _hard_values(
+                        hard_rng, t, head_dim, layer_sharpness
+                    )
         kvstore.save_layer(output_dir, layer_idx, keys, values)
 
     metadata = KVMetadata(

@@ -82,3 +82,46 @@ def test_generate_uses_native_and_matches_python(tmp_path, monkeypatch):
         k_p, v_p = kvstore.load_layer(tmp_path / "python", layer)
         np.testing.assert_allclose(k_n, k_p, rtol=0, atol=2e-6)
         np.testing.assert_allclose(v_n, v_p, rtol=0, atol=2e-6)
+
+
+@needs_native
+@pytest.mark.parametrize("seed,sharp", [(1_000_003, 1.0), (1_000_042, 2.6)])
+def test_hard_values_parity(seed, sharp):
+    """Native hard-mode values match numpy draw-for-draw (float32 slack)."""
+    from nerf_attention_tpu.synthetic import _hard_values
+
+    seq_len, head_dim = 193, 16
+    v_c = np.empty((seq_len, head_dim), dtype=np.float32)
+    lib.synth_hard_values(
+        seed, seq_len, head_dim, sharp,
+        v_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    t = np.linspace(0, 1, seq_len)
+    v_py = _hard_values(np.random.RandomState(seed), t, head_dim, sharp)
+    np.testing.assert_allclose(v_c, v_py, rtol=0, atol=2e-6)
+
+
+@needs_native
+def test_generate_hard_uses_native_and_matches_python(tmp_path, monkeypatch):
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    native_dir, python_dir = tmp_path / "native", tmp_path / "python"
+    generate_synthetic_kv(
+        seq_len=96, num_layers=2, num_kv_heads=2, head_dim=4,
+        output_dir=native_dir, verbose=False, values_mode="hard",
+    )
+    monkeypatch.setenv("NERF_ATTENTION_NO_NATIVE", "1")
+    import nerf_attention_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    generate_synthetic_kv(
+        seq_len=96, num_layers=2, num_kv_heads=2, head_dim=4,
+        output_dir=python_dir, verbose=False, values_mode="hard",
+    )
+    for layer in range(2):
+        k_n, v_n = kvstore.load_layer(native_dir, layer)
+        k_p, v_p = kvstore.load_layer(python_dir, layer)
+        np.testing.assert_allclose(k_n, k_p, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(v_n, v_p, rtol=0, atol=2e-6)
