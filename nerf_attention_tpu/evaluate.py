@@ -259,6 +259,8 @@ def profile_latency(
 
     from nerf_attention_tpu.utils.timing import time_siren_forward_ms
 
+    from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
+
     for model_file in model_files[:max_models]:
         ckpt = checkpoint.load_siren_checkpoint(model_file)
         metrics = ckpt["metrics"]
@@ -267,21 +269,26 @@ def profile_latency(
         omega = ckpt["config"].omega_0
 
         # Dependent-loop timer: fused Pallas decode on TPU, XLA elsewhere.
-        elapsed = (
-            time_siren_forward_ms(ckpt["params"], omega, seq_len, reps=num_runs)
-            / 1000
+        siren_stats = time_siren_forward_ms(
+            ckpt["params"], omega, seq_len, reps=num_runs, samples=5, stats=True
         )
+        elapsed = siren_stats["median"] / 1000
 
         key = (seq_len, d_head)
         if key not in hbm_measured_cache:
-            hbm_measured_cache[key] = measure_hbm_read_ms(seq_len, d_head, num_runs)
+            hbm_measured_cache[key] = measured_hbm_read_ms(
+                seq_len, d_head, num_runs, samples=5, stats=True
+            )
+        hbm_stats = hbm_measured_cache[key]
 
         raw_bytes = metrics["raw_size_bytes"]
         result = {
             "name": metrics["name"],
             "config": metrics["config_name"],
-            "siren_time_ms": elapsed * 1000,
-            "hbm_time_measured_ms": hbm_measured_cache[key],
+            "siren_time_ms": siren_stats["median"],
+            "siren_time_iqr_ms": siren_stats["iqr"],
+            "hbm_time_measured_ms": hbm_stats["median"],
+            "hbm_time_measured_iqr_ms": hbm_stats["iqr"],
             "hbm_backend": backend,
             "hbm_time_4060_ms": raw_bytes / HBM_BW["rtx4060"] * 1000,
             "hbm_time_h100_ms": raw_bytes / HBM_BW["h100"] * 1000,
