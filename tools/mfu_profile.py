@@ -211,8 +211,50 @@ def main() -> None:
         fwd_flops / (rates["sweep_shaped_batched_fp32_tflops"] * 1e12) * 1e3
     )
     decomp["matmul_limited_step_ms"] = 3 * decomp["matmul_limited_forward_ms"]
+
+    # Transcendental attribution: the same forward with sin stripped (XLA
+    # keeps identical matmul/elementwise structure) and the raw VPU sine
+    # rate. The decode kernel's bf16 non-speedup (benchmarks/r2/
+    # decode_ladder.json) is explained iff sin carries most of the time.
+    def siren_apply_nosin(p):
+        h = pos
+        for w, b in p[:-1]:
+            h = omega * (h @ w + b)  # sine replaced by identity
+        w, b = p[-1]
+        return h @ w + b
+
+    def fwd_nosin(p):
+        pred = jax.vmap(siren_apply_nosin)(p)
+        return jnp.mean((pred - tn) ** 2)
+
+    decomp["forward_nosin_ms"] = time_perturbed_forward_ms(
+        params0, fwd_nosin, reps=400, samples=args.samples, stats=True
+    )
+
+    sin_elems = args.n_fits * args.seq_len * medium.hidden_features * (
+        medium.hidden_layers + 1
+    )
+    big = jnp.ones((args.n_fits * args.seq_len, 256), jnp.float32)
+
+    def sin_only(p):
+        (w0, b0) = p[0]
+        return jnp.sin(big + b0[0, 0])
+
+    sin_ms = time_perturbed_forward_ms(
+        [(jnp.zeros((1, 1)), jnp.zeros((1, 1)))], sin_only, reps=200
+    )
+    decomp["vpu_sin_gelems_per_s"] = (
+        args.n_fits * args.seq_len * 256 / (sin_ms / 1e3) / 1e9
+    )
+    decomp["sin_elems_per_forward"] = sin_elems
+    decomp["sin_limited_forward_ms"] = (
+        sin_elems / (decomp["vpu_sin_gelems_per_s"] * 1e9) * 1e3
+    )
     log(
-        f"  medium decomposition: fwd {decomp['forward_ms']['median']:.3f} ms, "
+        f"  medium decomposition: fwd {decomp['forward_ms']['median']:.3f} ms "
+        f"(no-sin {decomp['forward_nosin_ms']['median']:.3f} ms, "
+        f"sin-limited {decomp['sin_limited_forward_ms']:.3f} ms @ "
+        f"{decomp['vpu_sin_gelems_per_s']:.1f} Gsin/s), "
         f"fwd+bwd {decomp['forward_backward_ms']['median']:.3f} ms, "
         f"full step {decomp['full_step_ms']['median']:.3f} ms, "
         f"matmul-limited step {decomp['matmul_limited_step_ms']:.3f} ms"
