@@ -34,7 +34,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype):
+# Degree-11 odd minimax-style polynomial for sin on [-pi, pi]; max abs error
+# 2.4e-7 (~4 fp32 ulps of 1.0). Coefficients fit by least squares on
+# Chebyshev nodes (see tools history); stored as sin(r) = r * P(r^2).
+_SIN_POLY = (
+    0.999999944113757,
+    -0.1666662473075619,
+    0.008332823045890596,
+    -0.00019818565614087048,
+    2.709950069004074e-06,
+    -2.0744775113774107e-08,
+)
+_TWO_PI = 6.283185307179586
+_INV_TWO_PI = 1.0 / _TWO_PI
+
+
+def fast_sin(x: jax.Array) -> jax.Array:
+    """Polynomial sine: range-reduce to [-pi, pi], then an odd degree-11 fit.
+
+    ~9 VPU ops per element vs the transcendental unit's exact sin — the
+    measured bottleneck of the fused decode at large S is sine throughput
+    (benchmarks/r2/mfu_profile.json), so this is the decode kernel's
+    speed-of-light lever. Max abs error 2.4e-7: invisible at fp32 output
+    resolution, verified against trained-checkpoint reconstructions.
+    SIREN arguments are bounded (|omega*(Wx+b)| < ~100), so the single-step
+    fp32 range reduction loses < 1e-5 rad of argument accuracy.
+    """
+    r = x - jnp.round(x * _INV_TWO_PI) * _TWO_PI
+    r2 = r * r
+    acc = jnp.float32(_SIN_POLY[-1])
+    for c in _SIN_POLY[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    return r * acc
+
+
+def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype,
+                 sin_impl: str = "exact"):
     """Shared network body for the fused kernels.
 
     ``compute_dtype=bfloat16`` runs the hidden/final matmuls with bf16
@@ -42,18 +77,21 @@ def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype):
     accumulation; the position input and the first (VPU broadcast) layer
     stay fp32 — positions are linspace(0,1,S), and bf16's ~2^-8 relative
     resolution would collapse adjacent rows for S beyond a few hundred.
-    Sines are evaluated in fp32 either way (VPU transcendentals are fp32).
+    Sines are evaluated in fp32 either way; ``sin_impl='fast'`` swaps the
+    exact sine for the polynomial ``fast_sin`` (the decode kernel is
+    sine-throughput-bound at large S).
     """
+    sin = jnp.sin if sin_impl == "exact" else fast_sin
     w0 = weight_refs[0][:].astype(jnp.float32)  # (1, H)
     b0 = weight_refs[1][:].astype(jnp.float32)  # (1, H)
-    h = jnp.sin(omega * (x * w0 + b0)).astype(compute_dtype)
+    h = sin(omega * (x * w0 + b0)).astype(compute_dtype)
 
     # Hidden sine layers on the MXU.
     for layer in range(1, n_layers - 1):
         w = weight_refs[2 * layer][:]
         b = weight_refs[2 * layer + 1][:].astype(jnp.float32)
         acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
-        h = jnp.sin(omega * (acc + b)).astype(compute_dtype)
+        h = sin(omega * (acc + b)).astype(compute_dtype)
 
     # Final plain linear.
     wf = weight_refs[2 * (n_layers - 1)][:]
@@ -62,7 +100,8 @@ def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype):
 
 
 def _siren_kernel(
-    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype
+    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype,
+    sin_impl: str,
 ):
     """One row-tile of the full network. refs = w0,b0,...,wn,bn,out."""
     out_ref = refs[-1]
@@ -74,9 +113,9 @@ def _siren_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
-    out_ref[:] = _layer_stack(weight_refs, x, omega, n_layers, compute_dtype).astype(
-        out_ref.dtype
-    )
+    out_ref[:] = _layer_stack(
+        weight_refs, x, omega, n_layers, compute_dtype, sin_impl
+    ).astype(out_ref.dtype)
 
 
 def _flat_weights(params, compute_dtype, n: int | None = None) -> list[jax.Array]:
@@ -97,7 +136,8 @@ def _flat_weights(params, compute_dtype, n: int | None = None) -> list[jax.Array
 
 
 @partial(
-    jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype")
+    jax.jit,
+    static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl"),
 )
 def siren_decode_fused(
     params,
@@ -106,6 +146,7 @@ def siren_decode_fused(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    sin_impl: str = "exact",
 ) -> jax.Array:
     """Evaluate a SIREN at linspace(0,1,seq_len) in one fused kernel.
 
@@ -128,6 +169,7 @@ def siren_decode_fused(
         tile=tile,
         n_layers=n_layers,
         compute_dtype=compute_dtype,
+        sin_impl=sin_impl,
     )
 
     hidden = params[0][0].shape[1]
@@ -220,7 +262,8 @@ class _BatchHeadView:
 
 
 def _siren_batch_kernel(
-    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype
+    *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype,
+    sin_impl: str,
 ):
     """One (network, row-tile) cell of the batched decode.
 
@@ -233,13 +276,14 @@ def _siren_batch_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t_idx * tile
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
-    out_ref[0] = _layer_stack(weight_refs, x, omega, n_layers, compute_dtype).astype(
-        out_ref.dtype
-    )
+    out_ref[0] = _layer_stack(
+        weight_refs, x, omega, n_layers, compute_dtype, sin_impl
+    ).astype(out_ref.dtype)
 
 
 @partial(
-    jax.jit, static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype")
+    jax.jit,
+    static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl"),
 )
 def siren_decode_batch(
     params,
@@ -248,6 +292,7 @@ def siren_decode_batch(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    sin_impl: str = "exact",
 ) -> jax.Array:
     """Decode N SIRENs at once: one fused kernel over a (network, tile) grid.
 
@@ -274,6 +319,7 @@ def siren_decode_batch(
         tile=tile,
         n_layers=n_layers,
         compute_dtype=compute_dtype,
+        sin_impl=sin_impl,
     )
     hidden = params[0][0].shape[-1]
     itemsize = jnp.dtype(compute_dtype).itemsize

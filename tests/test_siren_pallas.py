@@ -130,3 +130,39 @@ def test_bf16_batched_decode_output_dtype_and_parity():
     assert out_bf16.dtype == jnp.bfloat16
     out_fp32 = np.asarray(siren_decode_batch(params, 30.0, 256, interpret=True))
     assert np.abs(np.asarray(out_bf16, dtype=np.float32) - out_fp32).max() < 5e-2
+
+
+def test_fast_sin_accuracy_over_siren_range():
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.siren_pallas import fast_sin
+
+    x = np.linspace(-100, 100, 400001).astype(np.float32)
+    got = np.asarray(fast_sin(jnp.asarray(x)))
+    want = np.sin(x.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-5  # fp32 range-reduction floor at |x|~100
+
+
+def test_fast_sin_decode_matches_exact():
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
+
+    config = SIRENConfig(128, 2, 30.0, "small")
+    params = init_siren(jax.random.PRNGKey(11), config, out_features=64)
+    exact = np.asarray(siren_decode_fused(params, 30.0, 1024, interpret=True))
+    fast = np.asarray(
+        siren_decode_fused(params, 30.0, 1024, interpret=True, sin_impl="fast")
+    )
+    np.testing.assert_allclose(fast, exact, atol=5e-5, rtol=1e-4)
+
+
+def test_fast_sin_batched_decode_matches_exact():
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+
+    config = SIRENConfig(64, 1, 30.0, "t64")
+    keys = jax.random.split(jax.random.PRNGKey(12), 4)
+    params = jax.vmap(lambda k: init_siren(k, config, 16))(keys)
+    exact = np.asarray(siren_decode_batch(params, 30.0, 256, interpret=True))
+    fast = np.asarray(
+        siren_decode_batch(params, 30.0, 256, interpret=True, sin_impl="fast")
+    )
+    np.testing.assert_allclose(fast, exact, atol=5e-5, rtol=1e-4)
