@@ -81,7 +81,8 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
 
 
 def _time_batched_decode_ms(
-    stacked, seq_len: int, reps: int | None = None, compute_dtype=jnp.float32
+    stacked, seq_len: int, reps: int | None = None, compute_dtype=jnp.float32,
+    sin_impl: str = "exact",
 ) -> float:
     """Dependent-loop timing of the batched fused decode (ms per full pass)."""
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
@@ -95,7 +96,9 @@ def _time_batched_decode_ms(
 
     def forward(p):
         if use_fused:
-            return siren_decode_batch(p, omega, seq_len, compute_dtype=compute_dtype)
+            return siren_decode_batch(
+                p, omega, seq_len, compute_dtype=compute_dtype, sin_impl=sin_impl
+            )
         return jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
 
     return time_perturbed_forward_ms(stacked, forward, reps)
@@ -132,9 +135,11 @@ def run_aggregate_decode_experiment(
     siren_bf16_ms = _time_batched_decode_ms(
         stacked, seq_len, compute_dtype=jnp.bfloat16
     )
+    siren_fastsin_ms = _time_batched_decode_ms(stacked, seq_len, sin_impl="fast")
     if verbose:
         print(f"  batched fused decode: fp32 {siren_ms:.3f} ms / "
-              f"bf16 {siren_bf16_ms:.3f} ms "
+              f"bf16 {siren_bf16_ms:.3f} ms / "
+              f"fast-sin {siren_fastsin_ms:.3f} ms "
               f"(timed in {time.perf_counter() - t0:.0f}s)")
 
     # HBM side, measured two ways: (a) ONE streaming read of the full
@@ -155,6 +160,7 @@ def run_aggregate_decode_experiment(
         "cache_bytes_bf16": cache_bytes,
         "siren_aggregate_ms": siren_ms,
         "siren_aggregate_bf16_ms": siren_bf16_ms,
+        "siren_aggregate_fastsin_ms": siren_fastsin_ms,
         "hbm_measured_aggregate_ms": hbm_measured_ms,
         "hbm_slice_extrapolated_ms": slice_ms * n_networks,
         "hbm_v5e_theoretical_ms": cache_bytes / HBM_BW["tpu_v5e"] * 1000,
@@ -162,6 +168,7 @@ def run_aggregate_decode_experiment(
         "hbm_4060_theoretical_ms": cache_bytes / HBM_BW["rtx4060"] * 1000,
         "ratio_vs_measured": siren_ms / max(hbm_measured_ms, 1e-12),
         "ratio_bf16_vs_measured": siren_bf16_ms / max(hbm_measured_ms, 1e-12),
+        "ratio_fastsin_vs_measured": siren_fastsin_ms / max(hbm_measured_ms, 1e-12),
         "ratio_vs_v5e_theoretical": siren_ms
         / max(cache_bytes / HBM_BW["tpu_v5e"] * 1000, 1e-12),
         "backend": jax.default_backend(),
@@ -192,6 +199,7 @@ def plot_aggregate_decode(results: dict, output_dir: Path) -> None:
     labels = [
         "SIREN decode\n(fused kernel, fp32,\nmeasured)",
         "SIREN decode\n(fused kernel, bf16,\nmeasured)",
+        "SIREN decode\n(fused, fast-sin,\nmeasured)",
         "HBM read\n(measured,\nfull-cache stream)",
         "HBM read\n(v5e roofline)",
         "HBM read\n(H100 roofline)",
@@ -199,11 +207,12 @@ def plot_aggregate_decode(results: dict, output_dir: Path) -> None:
     values = [
         results["siren_aggregate_ms"],
         results.get("siren_aggregate_bf16_ms", results["siren_aggregate_ms"]),
+        results.get("siren_aggregate_fastsin_ms", results["siren_aggregate_ms"]),
         results["hbm_measured_aggregate_ms"],
         results["hbm_v5e_theoretical_ms"],
         results["hbm_h100_theoretical_ms"],
     ]
-    colors = ["#3498db", "#1abc9c", "#9b59b6", "#f39c12", "#2ecc71"]
+    colors = ["#3498db", "#1abc9c", "#e67e22", "#9b59b6", "#f39c12", "#2ecc71"]
 
     fig, ax = plt.subplots(figsize=(9, 6))
     bars = ax.bar(labels, values, color=colors, edgecolor="black", linewidth=0.5)

@@ -62,15 +62,19 @@ def init_siren(
     return params
 
 
-def siren_apply(params: SirenParams, omega_0: float, x: jax.Array) -> jax.Array:
+def siren_apply(
+    params: SirenParams, omega_0: float, x: jax.Array, sin=jnp.sin
+) -> jax.Array:
     """Forward pass: x (S, 1) -> (S, out_features).
 
     All but the last layer are sine layers; the last is a plain linear
-    (reference siren.py:33-34, 60-61).
+    (reference siren.py:33-34, 60-61). ``sin`` swaps the activation
+    implementation (``ops.fastmath.fast_sin`` is the measured-parity fast
+    path; training is sine-throughput-bound on TPU, see fastmath docs).
     """
     h = x
     for w, b in params[:-1]:
-        h = jnp.sin(omega_0 * (h @ w + b))
+        h = sin(omega_0 * (h @ w + b))
     w, b = params[-1]
     return h @ w + b
 

@@ -34,38 +34,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Degree-11 odd minimax-style polynomial for sin on [-pi, pi]; max abs error
-# 2.4e-7 (~4 fp32 ulps of 1.0). Coefficients fit by least squares on
-# Chebyshev nodes (see tools history); stored as sin(r) = r * P(r^2).
-_SIN_POLY = (
-    0.999999944113757,
-    -0.1666662473075619,
-    0.008332823045890596,
-    -0.00019818565614087048,
-    2.709950069004074e-06,
-    -2.0744775113774107e-08,
-)
-_TWO_PI = 6.283185307179586
-_INV_TWO_PI = 1.0 / _TWO_PI
-
-
-def fast_sin(x: jax.Array) -> jax.Array:
-    """Polynomial sine: range-reduce to [-pi, pi], then an odd degree-11 fit.
-
-    ~9 VPU ops per element vs the transcendental unit's exact sin — the
-    measured bottleneck of the fused decode at large S is sine throughput
-    (benchmarks/r2/mfu_profile.json), so this is the decode kernel's
-    speed-of-light lever. Max abs error 2.4e-7: invisible at fp32 output
-    resolution, verified against trained-checkpoint reconstructions.
-    SIREN arguments are bounded (|omega*(Wx+b)| < ~100), so the single-step
-    fp32 range reduction loses < 1e-5 rad of argument accuracy.
-    """
-    r = x - jnp.round(x * _INV_TWO_PI) * _TWO_PI
-    r2 = r * r
-    acc = jnp.float32(_SIN_POLY[-1])
-    for c in _SIN_POLY[-2::-1]:
-        acc = acc * r2 + jnp.float32(c)
-    return r * acc
+# The polynomial sine (ops/fastmath.py): the decode kernel is sine-
+# throughput-bound at large S, so this is its speed-of-light lever.
+from nerf_attention_tpu.ops.fastmath import fast_sin
 
 
 def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype,

@@ -87,6 +87,14 @@ def _make_optimizer(lr: float, epochs: int) -> optax.GradientTransformation:
     return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
 
 
+def _resolve_sin(sin_impl: str):
+    if sin_impl == "exact":
+        return jnp.sin
+    from nerf_attention_tpu.ops.fastmath import fast_sin
+
+    return fast_sin
+
+
 def _single_fit(
     key: jax.Array,
     target: jax.Array,
@@ -94,19 +102,21 @@ def _single_fit(
     config: SIRENConfig,
     epochs: int,
     lr: float,
+    sin_impl: str = "fast",
 ):
     """Train one SIREN on one (S, D) tensor. Traced once, vmapped over fits."""
     seq_len, d_head = target.shape
     pos = positions(seq_len, dtype=target.dtype)
     tx = _make_optimizer(lr, epochs)
     omega = config.omega_0
+    sin = _resolve_sin(sin_impl)
 
     targets_norm, mean, std = normalize_targets(target)
     params = init_siren(key, config, d_head, dtype=target.dtype)
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        pred = siren_apply(p, omega, pos)
+        pred = siren_apply(p, omega, pos, sin=sin)
         return jnp.mean((pred - targets_norm) ** 2)
 
     def step(carry, _):
@@ -143,13 +153,16 @@ def _final_eval(params, omega: float, pos, target, mean, std):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "epochs", "lr", "impl"),
+    static_argnames=("config", "epochs", "lr", "impl", "sin_impl"),
 )
 def _fit_batch_compiled(
-    keys, targets, *, config: SIRENConfig, epochs: int, lr: float, impl: str = "xla"
+    keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
+    impl: str = "xla", sin_impl: str = "fast",
 ):
     if impl == "xla":
-        fit = partial(_single_fit, config=config, epochs=epochs, lr=lr)
+        fit = partial(
+            _single_fit, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
+        )
         return jax.vmap(fit)(keys, targets)
 
     # impl == "pallas": the whole group's forward+backward is one fused TPU
@@ -215,6 +228,7 @@ def fit_batch_dispatch(
     mesh=None,
     dtype=jnp.float32,
     impl: str = "auto",
+    sin_impl: str = "fast",
 ):
     """Enqueue one architecture group's batched training; don't block.
 
@@ -248,7 +262,8 @@ def fit_batch_dispatch(
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim, FIT_AXIS))
 
     params, metrics = _fit_batch_compiled(
-        keys, targets, config=config, epochs=epochs, lr=lr, impl=impl
+        keys, targets, config=config, epochs=epochs, lr=lr, impl=impl,
+        sin_impl=sin_impl,
     )
     return n, params, metrics
 
@@ -287,6 +302,7 @@ def fit_batch(
     mesh=None,
     dtype=jnp.float32,
     impl: str = "auto",
+    sin_impl: str = "fast",
 ) -> BatchFitMetrics:
     """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
 
@@ -298,7 +314,7 @@ def fit_batch(
     start = time.perf_counter()
     handle = fit_batch_dispatch(
         targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype,
-        impl=impl,
+        impl=impl, sin_impl=sin_impl,
     )
     np.asarray(handle[2]["final_mse"])  # block
     return fit_batch_collect(handle, time.perf_counter() - start)

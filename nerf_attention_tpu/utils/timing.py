@@ -111,11 +111,13 @@ def time_perturbed_forward_ms(
 
 def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
                           fused: bool = True, compute_dtype=None,
-                          samples: int = 3, stats: bool = False):
+                          samples: int = 3, stats: bool = False,
+                          sin_impl: str = "exact"):
     """Amortized per-evaluation time of a full SIREN decode (ms).
 
-    ``compute_dtype=jnp.bfloat16`` times the bf16 fused-decode variant
-    (fused path only). ``stats=True`` returns median/q25/q75/iqr.
+    ``compute_dtype=jnp.bfloat16`` times the bf16 fused-decode variant and
+    ``sin_impl='fast'`` the polynomial-sine variant (fused path only).
+    ``stats=True`` returns median/q25/q75/iqr.
     """
     from nerf_attention_tpu.models.siren import positions, siren_apply
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
@@ -132,7 +134,9 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
 
     def forward(p):
         if use_fused:
-            return siren_decode_fused(p, float(omega), seq_len, compute_dtype=dtype)
+            return siren_decode_fused(
+                p, float(omega), seq_len, compute_dtype=dtype, sin_impl=sin_impl
+            )
         return siren_apply(p, float(omega), pos)
 
     return time_perturbed_forward_ms(

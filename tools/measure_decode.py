@@ -101,15 +101,23 @@ def main() -> None:
         std = jnp.asarray(batch.target_std[i])
         target = jnp.asarray(targets[i])
         row = {}
-        for label, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        variants = (
+            ("fp32", jnp.float32, "exact"),
+            ("bf16", jnp.bfloat16, "exact"),
+            ("fp32_fastsin", jnp.float32, "fast"),
+        )
+        for label, dtype, sin_impl in variants:
             pred = siren_decode_fused(
-                params, medium.omega_0, args.quality_seq_len, compute_dtype=dtype
+                params, medium.omega_0, args.quality_seq_len,
+                compute_dtype=dtype, sin_impl=sin_impl,
             ).astype(jnp.float32) * std + mean
             row[label] = float(jnp.mean(cosine_similarity(pred, target)))
         row["delta"] = row["fp32"] - row["bf16"]
+        row["delta_fastsin"] = row["fp32"] - row["fp32_fastsin"]
         quality[kv_type] = row
-        log(f"  {kv_type}: fp32 CosSim {row['fp32']:.4f}  bf16 {row['bf16']:.4f}  "
-            f"delta {row['delta']:.5f}")
+        log(f"  {kv_type}: fp32 CosSim {row['fp32']:.4f}  bf16 {row['bf16']:.4f} "
+            f"(delta {row['delta']:.5f})  fastsin {row['fp32_fastsin']:.4f} "
+            f"(delta {row['delta_fastsin']:.6f})")
 
     # --- the ladder ---
     ladder_rows = []
@@ -124,6 +132,10 @@ def main() -> None:
             params_fp32, medium.omega_0, seq_len,
             compute_dtype=jnp.bfloat16, samples=args.samples, stats=True,
         )
+        fast = time_siren_forward_ms(
+            params_fp32, medium.omega_0, seq_len,
+            sin_impl="fast", samples=args.samples, stats=True,
+        )
         hbm = measured_hbm_read_ms(
             seq_len, args.head_dim, samples=args.samples, stats=True
         )
@@ -131,9 +143,11 @@ def main() -> None:
             "seq_len": seq_len,
             "siren_fp32_ms": fp32,
             "siren_bf16_ms": bf16,
+            "siren_fastsin_ms": fast,
             "hbm_read_ms": hbm,
             "ratio_fp32": fp32["median"] / max(hbm["median"], 1e-12),
             "ratio_bf16": bf16["median"] / max(hbm["median"], 1e-12),
+            "ratio_fastsin": fast["median"] / max(hbm["median"], 1e-12),
             "compression_medium": seq_len * args.head_dim * 2 / MEDIUM_PARAM_BYTES,
         }
         ladder_rows.append(row)
@@ -141,6 +155,7 @@ def main() -> None:
             f"  S={seq_len}: fp32 {fp32['median']:.4f}ms "
             f"[{fp32['q25']:.4f},{fp32['q75']:.4f}]  "
             f"bf16 {bf16['median']:.4f}ms [{bf16['q25']:.4f},{bf16['q75']:.4f}]  "
+            f"fastsin {fast['median']:.4f}ms [{fast['q25']:.4f},{fast['q75']:.4f}]  "
             f"hbm {hbm['median']:.5f}ms [{hbm['q25']:.5f},{hbm['q75']:.5f}]  "
             f"(took {time.perf_counter() - t0:.0f}s)"
         )

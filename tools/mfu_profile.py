@@ -234,7 +234,13 @@ def main() -> None:
     sin_elems = args.n_fits * args.seq_len * medium.hidden_features * (
         medium.hidden_layers + 1
     )
-    big = jnp.ones((args.n_fits * args.seq_len, 256), jnp.float32)
+    # Random operand: a splat constant (jnp.ones) lets XLA rewrite
+    # sin(broadcast(s)) as broadcast(sin(s)) and the measurement collapses
+    # to one scalar sine.
+    big = jax.random.uniform(
+        jax.random.PRNGKey(0), (args.n_fits * args.seq_len, 256),
+        jnp.float32, -50.0, 50.0,
+    )
 
     def sin_only(p):
         (w0, b0) = p[0]
@@ -249,6 +255,19 @@ def main() -> None:
     decomp["sin_elems_per_forward"] = sin_elems
     decomp["sin_limited_forward_ms"] = (
         sin_elems / (decomp["vpu_sin_gelems_per_s"] * 1e9) * 1e3
+    )
+
+    from nerf_attention_tpu.ops.fastmath import fast_sin
+
+    def fast_sin_only(p):
+        (w0, b0) = p[0]
+        return fast_sin(big + b0[0, 0])
+
+    fast_ms = time_perturbed_forward_ms(
+        [(jnp.zeros((1, 1)), jnp.zeros((1, 1)))], fast_sin_only, reps=200
+    )
+    decomp["vpu_fast_sin_gelems_per_s"] = (
+        args.n_fits * args.seq_len * 256 / (fast_ms / 1e3) / 1e9
     )
     log(
         f"  medium decomposition: fwd {decomp['forward_ms']['median']:.3f} ms "
