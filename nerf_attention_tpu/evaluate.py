@@ -272,6 +272,10 @@ def profile_latency(
         siren_stats = time_siren_forward_ms(
             ckpt["params"], omega, seq_len, reps=num_runs, samples=5, stats=True
         )
+        fastsin_stats = time_siren_forward_ms(
+            ckpt["params"], omega, seq_len, reps=num_runs, samples=5,
+            stats=True, sin_impl="fast",
+        )
         elapsed = siren_stats["median"] / 1000
 
         key = (seq_len, d_head)
@@ -287,6 +291,8 @@ def profile_latency(
             "config": metrics["config_name"],
             "siren_time_ms": siren_stats["median"],
             "siren_time_iqr_ms": siren_stats["iqr"],
+            "siren_time_fastsin_ms": fastsin_stats["median"],
+            "siren_time_fastsin_iqr_ms": fastsin_stats["iqr"],
             "hbm_time_measured_ms": hbm_stats["median"],
             "hbm_time_measured_iqr_ms": hbm_stats["iqr"],
             "hbm_backend": backend,
