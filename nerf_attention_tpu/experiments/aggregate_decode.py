@@ -101,7 +101,8 @@ def _time_batched_decode_ms(
             )
         return jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
 
-    return time_perturbed_forward_ms(stacked, forward, reps)
+    samples = 5 if use_fused else 2
+    return time_perturbed_forward_ms(stacked, forward, reps, samples=samples)
 
 
 def run_aggregate_decode_experiment(
