@@ -439,8 +439,8 @@ def main() -> None:
     )
     parser.add_argument(
         "--impl", type=str, default="auto", choices=["auto", "xla", "pallas"],
-        help="training step implementation (auto = XLA autodiff, the "
-        "measured winner; pallas = the fused kernel, single-device only)",
+        help="training step implementation (auto = fused pallas kernel on a "
+        "single TPU chip, XLA autodiff elsewhere; pallas is single-device)",
     )
     parser.add_argument(
         "--sin_impl", type=str, default="fast", choices=["fast", "exact"],

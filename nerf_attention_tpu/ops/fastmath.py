@@ -75,3 +75,15 @@ def _fast_sin_jvp(primals, tangents):
     (x,) = primals
     (t,) = tangents
     return fast_sin(x), fast_cos(x) * t
+
+
+def fast_sincos(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sin, cos) with ONE shared range reduction and r^2.
+
+    For call sites that need both (the fused training kernel's backward pass
+    needs sin(a) as the previous layer's activation and cos(a) as the sine
+    derivative), this costs ~60% of two independent polynomial calls.
+    """
+    r = _reduce(x)
+    r2 = r * r
+    return r * _poly_even(r2, _SIN_POLY), _poly_even(r2, _COS_POLY)

@@ -23,13 +23,16 @@ optimizer consumes gradients directly):
     da_i = dh_i * omega * cos(a_i)
     dW_i = h_{i-1}^T da_i, db_i = colsum da_i, dh_{i-1} = da_i W_i^T
 
-Status (measured, v5e, S=2048, 40 fits x 2000 epochs): within ~10-20% of the
-XLA autodiff path on every architecture, but never faster — XLA already fuses
-the sine epilogues into the batched matmuls for these sizes, so the sweep's
-'auto' impl stays on XLA (`parallel/sweep.py:resolve_impl`). The kernel is
-kept, parity-tested (tests/test_siren_train_pallas.py), as the substrate for
-deeper fusions (e.g. folding the Adam update in-kernel). Equivalent reference
-computation: the torch forward/backward inside
+Status (measured, v5e, S=2048, 40 fits x 2000 epochs — benchmarks/r2/
+train_impl.json): with the exact sine this kernel lands within ~10-20% of
+XLA autodiff but never faster (both paths are sine-throughput-bound, r1
+verdict). With the polynomial sine in-kernel (``sin_impl='fast'``, sharing
+one range reduction between the backward's sin/cos pair), the sine cost
+drops ~4.5x and the XLA path's HBM activation traffic becomes the bound —
+the fused kernel then wins ~2x (medium 1.71 -> 0.87 ms/epoch), so it is the
+sweep's 'auto' choice on a single TPU chip
+(`parallel/sweep.py:resolve_impl`). Parity: tests/test_siren_train_pallas.py.
+Equivalent reference computation: the torch forward/backward inside
 `/root/reference/nerf_attention/siren.py:98-105`.
 """
 
@@ -73,6 +76,7 @@ def _train_kernel(
     seq_len: int,
     tile: int,
     n_layers: int,
+    fast: bool,
 ):
     """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
 
@@ -102,6 +106,18 @@ def _train_kernel(
 
     omega_f = jnp.float32(omega)
 
+    # Transcendental implementation: the polynomial pair shares one range
+    # reduction when both sin and cos of the same tensor are needed (the
+    # backward pass consumes sin(a_{i-1}) as the previous activation and
+    # cos(a_{i-1}) as the next iteration's sine derivative).
+    if fast:
+        from nerf_attention_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
+
+        sin_f, cos_f, sincos_f = fast_sin, fast_cos, fast_sincos
+    else:
+        sin_f, cos_f = jnp.sin, jnp.cos
+        sincos_f = lambda a: (jnp.sin(a), jnp.cos(a))
+
     def w(i):
         return in_refs[2 * i][0]  # (in, out)
 
@@ -111,12 +127,12 @@ def _train_kernel(
     # ---- Forward: stash pre-sine activations in VMEM scratch ----
     # First sine layer: (tile,1) @ (1,H) is a broadcast multiply (VPU).
     act_refs[0][:] = omega_f * (x * w(0) + b(0))
-    h = jnp.sin(act_refs[0][:])
+    h = sin_f(act_refs[0][:])
     for i in range(1, n_layers - 1):
         act_refs[i][:] = omega_f * (
             jnp.dot(h, w(i), preferred_element_type=jnp.float32) + b(i)
         )
-        h = jnp.sin(act_refs[i][:])
+        h = sin_f(act_refs[i][:])
     y = jnp.dot(h, w(n_layers - 1), preferred_element_type=jnp.float32) + b(
         n_layers - 1
     )
@@ -157,21 +173,25 @@ def _train_kernel(
     db_ref(n_layers - 1)[0] += jnp.sum(dy, axis=0, keepdims=True)
     dh = jnp.dot(dy, w(n_layers - 1).T, preferred_element_type=jnp.float32)
 
-    # Hidden sine layers, last to first.
+    # Hidden sine layers, last to first. cos(a_{i-1}) computed alongside
+    # sin(a_{i-1}) carries over to the next iteration's sine derivative.
+    cos_carry = None
     for i in range(n_layers - 2, 0, -1):
-        da = dh * omega_f * jnp.cos(act_refs[i][:])
-        h_prev = jnp.sin(act_refs[i - 1][:])
+        c_i = cos_carry if cos_carry is not None else cos_f(act_refs[i][:])
+        da = dh * omega_f * c_i
+        h_prev, cos_carry = sincos_f(act_refs[i - 1][:])
         dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
         db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
         dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
 
     # First sine layer: dW0 = x^T da0 computed as a column sum (VPU).
-    da0 = dh * omega_f * jnp.cos(act_refs[0][:])
+    c_0 = cos_carry if cos_carry is not None else cos_f(act_refs[0][:])
+    da0 = dh * omega_f * c_0
     dw_ref(0)[0] += jnp.sum(x * da0, axis=0, keepdims=True)
     db_ref(0)[0] += jnp.sum(da0, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("omega", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("omega", "tile", "interpret", "sin_impl"))
 def siren_train_grads(
     params,
     targets_norm: jax.Array,
@@ -179,12 +199,15 @@ def siren_train_grads(
     omega: float,
     tile: int | None = None,
     interpret: bool = False,
+    sin_impl: str = "exact",
 ):
     """Loss and gradients for a batch of SIRENs in one fused kernel.
 
     params: [(W, b), ...] with W (N, in, out), b (N, out) — one network per
     fit. targets_norm: (N, S, D) z-normalized targets. Returns
     (loss (N,), grads) with grads shaped exactly like params.
+    ``sin_impl='fast'`` uses the polynomial sine/cosine (ops/fastmath) inside
+    the kernel — same measured-parity trade as the XLA fast path.
     """
     n, seq_len, d_out = targets_norm.shape
     n_layers = len(params)
@@ -232,6 +255,7 @@ def siren_train_grads(
         seq_len=seq_len,
         tile=tile,
         n_layers=n_layers,
+        fast=sin_impl == "fast",
     )
     outs = pl.pallas_call(
         kernel,

@@ -186,7 +186,9 @@ def _fit_batch_compiled(
 
     def step(carry, _):
         p, s = carry
-        loss, grads = siren_train_grads(p, targets_norm, omega=omega, interpret=interpret)
+        loss, grads = siren_train_grads(
+            p, targets_norm, omega=omega, interpret=interpret, sin_impl=sin_impl
+        )
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
         return (p, s), loss
@@ -201,21 +203,36 @@ def _fit_batch_compiled(
     return params, metrics
 
 
-def resolve_impl(impl: str) -> str:
-    """'auto' -> XLA autodiff (measured winner), 'pallas' opt-in.
+def resolve_impl(
+    impl: str, *, multi_device: bool = False, config: SIRENConfig | None = None
+) -> str:
+    """'auto' -> fused Pallas kernel on a single TPU chip, XLA otherwise.
 
-    Measured on v5e @ S=2048, 40 fits x 2000 epochs: the fused Pallas
-    training kernel (ops/siren_train_pallas.py) lands within ~10-20% of the
-    XLA path on every architecture but never beats it — XLA already fuses
-    the sine epilogues into the batched matmuls and keeps these small
-    activations in registers/VMEM. The kernel stays available (impl='pallas',
-    parity-tested) as the substrate for future fusions; 'auto' picks XLA.
-    (The pallas+multi-device-mesh combination is rejected in
-    fit_batch_dispatch: a pallas_call under pjit needs shard_map plumbing.)
+    Measured on v5e @ S=2048, 40 fits x 2000 epochs (benchmarks/r2/
+    train_impl.json): with the polynomial sine the XLA step is
+    HBM-activation-bound — every step writes each hidden activation plus
+    cosine residuals to HBM and reads them back — and the fused kernel
+    (ops/siren_train_pallas.py), which keeps activations in VMEM scratch,
+    beats it on every architecture except tiny (small 1.17x, medium 1.96x,
+    large 1.55x, deep 2.14x). With the exact sine both paths were
+    sine-throughput-bound and the kernel never won (r1 verdict); sine cost
+    dropping 4.5x exposed the memory bound.
+
+    tiny (hidden=64) stays on XLA: its activations underfill the 128-wide
+    lane dimension and its HBM traffic is small, so per-grid-cell overhead
+    dominates (measured 0.29 vs 0.18 ms/epoch).
+
+    'auto' also falls back to XLA off-TPU (interpret-mode pallas is only for
+    tests) and on a multi-device mesh (the kernel is not shard_map-wrapped;
+    fit_batch_dispatch rejects that combination for explicit impl='pallas').
     """
     if impl != "auto":
         return impl
-    return "xla"
+    if multi_device or jax.default_backend() != "tpu":
+        return "xla"
+    if config is not None and config.hidden_features < 128:
+        return "xla"
+    return "pallas"
 
 
 def fit_batch_dispatch(
@@ -241,8 +258,8 @@ def fit_batch_dispatch(
     targets = jnp.asarray(targets, dtype=dtype)
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
-    impl = resolve_impl(impl)
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
+    impl = resolve_impl(impl, multi_device=multi_device, config=config)
     if impl == "pallas" and multi_device:
         raise ValueError(
             "impl='pallas' does not support a multi-device mesh (the fused "

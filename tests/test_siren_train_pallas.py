@@ -57,6 +57,32 @@ def test_fused_grads_match_autodiff(config, rng):
         np.testing.assert_allclose(gb, wb, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "config",
+    [CONFIGS_FULL[2], CONFIGS_FULL[4]],  # medium, deep
+    ids=lambda c: c.name,
+)
+def test_fused_fast_sine_grads_match_autodiff(config, rng):
+    """sin_impl='fast' in-kernel: polynomial error stays below fp32 noise."""
+    n, s, d = 3, 96, 16
+    targets = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
+    targets_norm = jax.vmap(lambda t: normalize_targets(t)[0])(targets)
+    params = _batched_params(config, n, d)
+
+    loss, grads = siren_train_grads(
+        params, targets_norm, omega=config.omega_0, interpret=True,
+        sin_impl="fast",
+    )
+    want_loss, want_grads = _xla_loss_and_grads(params, targets_norm, config.omega_0)
+
+    # Poly abs error 2.4e-7 per sine compounds through layers: tolerances one
+    # order looser than the exact-kernel test, still far below training noise.
+    np.testing.assert_allclose(loss, want_loss, rtol=1e-4, atol=1e-5)
+    for (gw, gb), (ww, wb) in zip(grads, want_grads):
+        np.testing.assert_allclose(gw, ww, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(gb, wb, rtol=1e-3, atol=1e-5)
+
+
 def test_fused_grads_padding_masked(rng):
     """Sequence not a multiple of the tile: padded rows must not leak."""
     config = SIRENConfig(32, 1, 30.0, "t32")
