@@ -255,10 +255,25 @@ def fit_kv_cache(
     # compile / persistent-cache load (host-side, blocking) overlaps group
     # k's execution (device-side, async), so the device never idles between
     # groups. Groups execute in dispatch order on the device queue.
-    handles = []
-    for gi, config in enumerate(configs):
+    #
+    # Dispatch order is DESCENDING estimated cost (widest/deepest first):
+    # host-side dispatch of all 7 groups takes several seconds (cache
+    # deserialization through the tunnel), and in registry order the cheap
+    # groups dispatched first finish in well under that, idling the device
+    # until the expensive programs arrive. Front-loading the big groups
+    # hides the whole dispatch tail behind their execution (measured ~4-5 s
+    # off the 280-fit sweep). Seeds stay tied to the config's registry
+    # index, so results are bit-identical to registry-order dispatch.
+    def group_cost(config: SIRENConfig) -> int:
+        h = config.hidden_features
+        return h * h * config.hidden_layers + h * (metadata.head_dim + 1)
+
+    order = sorted(
+        enumerate(configs), key=lambda ic: group_cost(ic[1]), reverse=True
+    )
+    handles: dict[int, tuple] = {}
+    for gi, config in order:
         if config.name in done_records:
-            handles.append(None)
             continue
         if verbose:
             print(
@@ -266,16 +281,15 @@ def fit_kv_cache(
                 f"{len(items)} fits x {epochs} epochs",
                 flush=True,
             )
-        handles.append(
-            fit_batch_dispatch(
-                stacked, config, epochs=epochs, lr=lr,
-                seed=seed + gi * 10_000, mesh=mesh, impl=impl,
-                sin_impl=sin_impl,
-            )
+        handles[gi] = fit_batch_dispatch(
+            stacked, config, epochs=epochs, lr=lr,
+            seed=seed + gi * 10_000, mesh=mesh, impl=impl,
+            sin_impl=sin_impl,
         )
 
     prev_done = start
-    for gi, (config, handle) in enumerate(zip(configs, handles)):
+    for gi, config in order:  # collect in dispatch (device-queue) order
+        handle = handles.get(gi)
         if handle is None:  # resumed group: records already durable on disk
             continue
         np.asarray(handle[2]["final_mse"])  # wait for this group's completion

@@ -151,24 +151,15 @@ def _final_eval(params, omega: float, pos, target, mean, std):
     }
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "epochs", "lr", "impl", "sin_impl"),
-)
-def _fit_batch_compiled(
+def _pallas_group_train(
     keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
-    impl: str = "xla", sin_impl: str = "fast",
+    sin_impl: str = "fast",
 ):
-    if impl == "xla":
-        fit = partial(
-            _single_fit, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
-        )
-        return jax.vmap(fit)(keys, targets)
-
-    # impl == "pallas": the whole group's forward+backward is one fused TPU
-    # kernel per step (ops/siren_train_pallas.py); init, the Adam update, and
-    # the final evaluation stay in XLA. Numerics match the XLA path up to
-    # fp32 reduction-order rounding.
+    """One group's training with the fused kernel: whole forward+backward is
+    one fused TPU kernel per step (ops/siren_train_pallas.py); init, the
+    Adam update, and the final evaluation stay in XLA. Numerics match the
+    XLA path up to fp32 reduction-order rounding. Pure function of its
+    shard — also the per-device body under shard_map."""
     from nerf_attention_tpu.ops.siren_train_pallas import siren_train_grads
 
     n, seq_len, d_head = targets.shape
@@ -203,6 +194,58 @@ def _fit_batch_compiled(
     return params, metrics
 
 
+def _fit_batch_pallas_sharded(
+    keys, targets, mesh, *, config: SIRENConfig, epochs: int, lr: float,
+    sin_impl: str = "fast",
+):
+    """Fused-kernel training with the fit axis sharded over a mesh.
+
+    shard_map is the composition layer pjit can't provide for pallas_call
+    (a pallas_call under plain GSPMD would not be partitioned); each device
+    runs the fused kernel on its local shard of fits — zero collectives,
+    same layout as the XLA path's GSPMD partitioning. Inputs must already
+    be sharded/padded to the mesh (fit_batch_dispatch does both).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    body = partial(
+        _pallas_group_train, config=config, epochs=epochs, lr=lr,
+        sin_impl=sin_impl,
+    )
+    spec = P(FIT_AXIS)
+    # Every output leaf leads with the fit axis, so one spec serves as the
+    # pytree prefix. The kernel is per-shard pure; disable the replication
+    # check (pallas_call carries no varying-mesh-axes annotation).
+    common = dict(mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    try:
+        fn = jax.shard_map(body, check_vma=False, **common)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        fn = _shard_map(body, check_rep=False, **common)
+    return jax.jit(fn)(keys, targets)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "epochs", "lr", "impl", "sin_impl"),
+)
+def _fit_batch_compiled(
+    keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
+    impl: str = "xla", sin_impl: str = "fast",
+):
+    if impl == "xla":
+        fit = partial(
+            _single_fit, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
+        )
+        return jax.vmap(fit)(keys, targets)
+
+    params, metrics = _pallas_group_train(
+        keys, targets, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
+    )
+    return params, metrics
+
+
 def resolve_impl(
     impl: str, *, multi_device: bool = False, config: SIRENConfig | None = None
 ) -> str:
@@ -223,8 +266,9 @@ def resolve_impl(
     dominates (measured 0.29 vs 0.18 ms/epoch).
 
     'auto' also falls back to XLA off-TPU (interpret-mode pallas is only for
-    tests) and on a multi-device mesh (the kernel is not shard_map-wrapped;
-    fit_batch_dispatch rejects that combination for explicit impl='pallas').
+    tests) and on a multi-device mesh (the shard_map-wrapped kernel path —
+    _fit_batch_pallas_sharded — works and is tested on the CPU mesh, but has
+    no multi-chip hardware measurement yet; opt in with impl='pallas').
     """
     if impl != "auto":
         return impl
@@ -260,11 +304,6 @@ def fit_batch_dispatch(
 
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
     impl = resolve_impl(impl, multi_device=multi_device, config=config)
-    if impl == "pallas" and multi_device:
-        raise ValueError(
-            "impl='pallas' does not support a multi-device mesh (the fused "
-            "kernel is not shard_map-wrapped); use impl='xla' or 'auto'"
-        )
 
     if multi_device:
         n_dev = int(np.prod(mesh.devices.shape))
@@ -278,10 +317,16 @@ def fit_batch_dispatch(
         targets = shard_batch(targets, mesh)
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim, FIT_AXIS))
 
-    params, metrics = _fit_batch_compiled(
-        keys, targets, config=config, epochs=epochs, lr=lr, impl=impl,
-        sin_impl=sin_impl,
-    )
+    if impl == "pallas" and multi_device:
+        params, metrics = _fit_batch_pallas_sharded(
+            keys, targets, mesh, config=config, epochs=epochs, lr=lr,
+            sin_impl=sin_impl,
+        )
+    else:
+        params, metrics = _fit_batch_compiled(
+            keys, targets, config=config, epochs=epochs, lr=lr, impl=impl,
+            sin_impl=sin_impl,
+        )
     return n, params, metrics
 
 

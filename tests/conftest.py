@@ -49,3 +49,33 @@ def tiny_kv_dir(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+def assert_figure_png(path, min_px=(320, 240), min_ink=0.005, min_colors=8):
+    """Per-figure image QA: the PNG exists, has real size, and real content.
+
+    Catches the failure modes an ``exists()`` assert misses: a blank canvas
+    (all-white render because a panel got empty data), a single-color
+    figure, or a truncated/corrupt file. ``min_ink`` is the fraction of
+    non-white pixels; every real panel (axes frame + ticks alone) clears
+    0.5% easily.
+    """
+    import matplotlib.image as mpimg
+
+    img = mpimg.imread(str(path))  # (H, W, 4) float in [0, 1]
+    h, w = img.shape[:2]
+    assert w >= min_px[0] and h >= min_px[1], f"{path}: tiny render {w}x{h}"
+    rgb = img[..., :3]
+    ink = float(np.mean(np.any(rgb < 0.95, axis=-1)))
+    assert ink >= min_ink, f"{path}: {ink:.4%} non-white pixels — blank figure?"
+    # Quantized color diversity: a legit multi-element figure has many more.
+    colors = np.unique(
+        (rgb.reshape(-1, 3) * 16).astype(np.uint8), axis=0
+    ).shape[0]
+    assert colors >= min_colors, f"{path}: only {colors} distinct colors"
+
+
+@pytest.fixture()
+def figqa():
+    """Image-QA callable: figqa(png_path) asserts the render has content."""
+    return assert_figure_png

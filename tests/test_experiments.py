@@ -54,25 +54,25 @@ def test_scaling_experiment(scaling_run):
     assert 64 in again
 
 
-def test_scaling_plots(scaling_run, tmp_path):
+def test_scaling_plots(scaling_run, tmp_path, figqa):
     _, results = scaling_run
     plot_scaling_crossover(results, tmp_path)
     plot_scaling_quality(results, tmp_path)
-    assert (tmp_path / "scaling_crossover.png").exists()
-    assert (tmp_path / "scaling_quality.png").exists()
+    figqa(tmp_path / "scaling_crossover.png")
+    figqa(tmp_path / "scaling_quality.png")
     data = json.loads((tmp_path / "crossover_data.json").read_text())
     assert "siren_fit_log_slope" in data
     assert data["latency_ratio_range"][0] > 0
     assert data["crossover_v5e_tokens"] is not None
 
 
-def test_layer_profile(tiny_kv_dir, tmp_path):
+def test_layer_profile(tiny_kv_dir, tmp_path, figqa):
     results = run_full_layer_profile(tiny_kv_dir, tmp_path, epochs=60, verbose=False)
     assert len(results) == 8  # 4 layers x {K,V}
     assert {r["layer"] for r in results} == {0, 1, 2, 3}
     plot_full_layer_profile(results, tmp_path)
     assert (tmp_path / "full_layer_profile.json").exists()
-    assert (tmp_path / "full_layer_profile.png").exists()
+    figqa(tmp_path / "full_layer_profile.png")
 
 
 @pytest.fixture(scope="module")
@@ -105,13 +105,13 @@ def test_multi_prompt_experiment(multi_prompt_run):
     assert (base / "multi_prompt_results.json").exists()
 
 
-def test_multi_prompt_plot(multi_prompt_run, tmp_path):
+def test_multi_prompt_plot(multi_prompt_run, tmp_path, figqa):
     _, results = multi_prompt_run
     plot_multi_prompt(results, tmp_path)
-    assert (tmp_path / "multi_prompt_comparison.png").exists()
+    figqa(tmp_path / "multi_prompt_comparison.png")
 
 
-def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path):
+def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path, figqa):
     _, scaling = scaling_run
     _, prompts = multi_prompt_run
     siren = [
@@ -128,14 +128,14 @@ def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path)
         }
     ]
     generate_final_summary(scaling, prompts, siren, svd, tmp_path)
-    assert (tmp_path / "final_summary.png").exists()
+    figqa(tmp_path / "final_summary.png")
 
     # Partial inputs render placeholders instead of crashing.
     generate_final_summary(None, None, None, None, tmp_path / "partial")
-    assert (tmp_path / "partial" / "final_summary.png").exists()
+    figqa(tmp_path / "partial" / "final_summary.png")
 
 
-def test_aggregate_decode_experiment(tmp_path):
+def test_aggregate_decode_experiment(tmp_path, figqa):
     from nerf_attention_tpu.experiments.aggregate_decode import (
         run_aggregate_decode_experiment,
     )
@@ -154,4 +154,4 @@ def test_aggregate_decode_experiment(tmp_path):
     assert results["hbm_measured_aggregate_ms"] > 0
     assert results["ratio_vs_measured"] > 0
     assert (tmp_path / "aggregate_decode.json").exists()
-    assert (tmp_path / "aggregate_decode.png").exists()
+    figqa(tmp_path / "aggregate_decode.png")

@@ -25,7 +25,7 @@ def test_select_layers():
     assert sweep_layers(32, quick=False) == [0, 8, 16, 24, 31]
 
 
-def test_analyze_pipeline(tiny_kv_dir, tmp_path):
+def test_analyze_pipeline(tiny_kv_dir, tmp_path, figqa):
     result = analyze_kv_cache(tiny_kv_dir, tmp_path, verbose=False)
     assert result.metadata.num_layers == 4
     # 4 layers -> sampled layers {0,1,2,3}
@@ -37,7 +37,7 @@ def test_analyze_pipeline(tiny_kv_dir, tmp_path):
     data = json.loads((tmp_path / "analysis_results.json").read_text())
     assert set(data) == {"metadata", "layer_summaries", "assessment"}
     assert len(data["layer_summaries"]) == 4
-    assert (tmp_path / "kv_structure_analysis.png").exists()
+    figqa(tmp_path / "kv_structure_analysis.png")
 
 
 @pytest.fixture(scope="module")
@@ -63,7 +63,7 @@ def test_quick_sweep_grid(quick_fit):
     assert len(checkpoint.checkpoint_glob(out)) == 6
 
 
-def test_evaluate_figures(quick_fit, tiny_kv_dir, tmp_path):
+def test_evaluate_figures(quick_fit, tiny_kv_dir, tmp_path, figqa):
     out, _ = quick_fit
     results = load_results(out)
     plot_pareto_frontier(results, tmp_path)
@@ -76,10 +76,10 @@ def test_evaluate_figures(quick_fit, tiny_kv_dir, tmp_path):
         "per_position_error.png",
         "summary_figure.png",
     ):
-        assert (tmp_path / name).exists(), name
+        figqa(tmp_path / name)
 
 
-def test_profile_latency(quick_fit, tmp_path):
+def test_profile_latency(quick_fit, tmp_path, figqa):
     out, _ = quick_fit
     results = profile_latency(out, tmp_path, max_models=2, num_runs=5)
     assert len(results) == 2
@@ -89,7 +89,7 @@ def test_profile_latency(quick_fit, tmp_path):
     assert r["hbm_time_v5e_ms"] > 0
     data = json.loads((tmp_path / "latency_results.json").read_text())
     assert len(data) == 2
-    assert (tmp_path / "latency_comparison.png").exists()
+    figqa(tmp_path / "latency_comparison.png")
 
 
 def test_checkpoint_reconstruction_quality(quick_fit, tiny_kv_dir):
@@ -113,7 +113,9 @@ def test_checkpoint_reconstruction_quality(quick_fit, tiny_kv_dir):
     assert abs(cos - metrics["final_cosine_mean"]) < 1e-3
 
 
-def test_evaluate_runs_on_reference_pt_checkpoints(quick_fit, tiny_kv_dir, tmp_path):
+def test_evaluate_runs_on_reference_pt_checkpoints(
+    quick_fit, tiny_kv_dir, tmp_path, figqa
+):
     """evaluate's checkpoint-driven passes work on reference-format .pt files.
 
     Converts a trained .npz checkpoint into the reference's torch payload
@@ -152,7 +154,7 @@ def test_evaluate_runs_on_reference_pt_checkpoints(quick_fit, tiny_kv_dir, tmp_p
 
     fig_dir = tmp_path / "figs"
     plot_per_position_error(pt_dir, tiny_kv_dir, fig_dir)
-    assert (fig_dir / "per_position_error.png").exists()
+    figqa(fig_dir / "per_position_error.png")
     latency = profile_latency(pt_dir, fig_dir, max_models=2, num_runs=5)
     assert len(latency) == 2 and latency[0]["siren_time_ms"] > 0
 
@@ -175,7 +177,7 @@ def test_analyze_raises_on_empty_cache(tmp_path):
         analyze_kv_cache(tmp_path, tmp_path / "analysis", verbose=False)
 
 
-def test_pareto_with_svd_overlay(quick_fit, tmp_path):
+def test_pareto_with_svd_overlay(quick_fit, tmp_path, figqa):
     """SVD diamonds overlay on the pareto (reference evaluate.py:81-86)."""
     out, _ = quick_fit
     results = load_results(out)
@@ -184,4 +186,4 @@ def test_pareto_with_svd_overlay(quick_fit, tmp_path):
         {"kv_type": "value", "actual_compression": 4.0, "final_cosine_mean": 0.91},
     ]
     plot_pareto_frontier(results, tmp_path, svd_results=svd)
-    assert (tmp_path / "pareto_frontier.png").exists()
+    figqa(tmp_path / "pareto_frontier.png")

@@ -70,12 +70,24 @@ def test_sharded_sweep_pad_exceeds_batch():
     assert np.isfinite(result.cosine_mean).all()
 
 
-def test_pallas_impl_rejects_mesh():
-    import pytest
-
+def test_pallas_impl_sharded_matches_xla_quality():
+    """The shard_map-wrapped fused kernel trains to the XLA optimum."""
     mesh = fit_mesh()
-    with pytest.raises(ValueError, match="pallas"):
-        fit_batch(_targets(8), TINY, epochs=5, seed=0, mesh=mesh, impl="pallas")
+    targets = _targets(8)
+    pal = fit_batch(targets, TINY, epochs=150, seed=0, mesh=mesh, impl="pallas")
+    xla = fit_batch(targets, TINY, epochs=150, seed=0, mesh=mesh, impl="xla")
+    np.testing.assert_allclose(pal.cosine_mean, xla.cosine_mean, atol=2e-3)
+    np.testing.assert_allclose(pal.losses, xla.losses, rtol=1e-3, atol=1e-5)
+    assert pal.num_fits == 8 and pal.losses.shape == (8, 150)
+
+
+def test_pallas_impl_sharded_pads_uneven_batches():
+    mesh = fit_mesh()
+    targets = _targets(5)  # padded to 8 across the mesh, cropped back
+    result = fit_batch(targets, TINY, epochs=50, seed=0, mesh=mesh, impl="pallas")
+    assert result.num_fits == 5
+    assert result.cosine_mean.shape == (5,)
+    assert np.isfinite(result.cosine_mean).all()
 
 
 def test_batch_sharding_spec():
