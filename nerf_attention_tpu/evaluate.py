@@ -227,20 +227,6 @@ def plot_per_position_error(
     print("  Saved: per_position_error.png")
 
 
-def measure_hbm_read_ms(seq_len: int, d_head: int, num_runs: int | None = None) -> float:
-    """Measured time to stream one (S, D) bf16 block through HBM.
-
-    The measured counterpart to the reference's theoretical bytes/bandwidth
-    numbers (evaluate.py:210-211). Uses the dependent-loop timer (one
-    dispatch, num_runs serialized iterations) — per-call timing of a
-    microsecond-scale op would measure dispatch latency instead
-    (utils/timing.py).
-    """
-    from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
-
-    return measured_hbm_read_ms(seq_len, d_head, num_runs)
-
-
 def profile_latency(
     siren_dir: Path, output_dir: Path, max_models: int = 8,
     num_runs: int | None = None,
@@ -255,11 +241,12 @@ def profile_latency(
 
     backend = jax.default_backend()
     results = []
-    hbm_measured_cache: dict[tuple[int, int], float] = {}
+    hbm_measured_cache: dict[tuple[int, int], dict] = {}  # replicate stats
 
-    from nerf_attention_tpu.utils.timing import time_siren_forward_ms
-
-    from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
+    from nerf_attention_tpu.utils.timing import (
+        measured_hbm_read_ms,
+        time_siren_forward_ms,
+    )
 
     for model_file in model_files[:max_models]:
         ckpt = checkpoint.load_siren_checkpoint(model_file)

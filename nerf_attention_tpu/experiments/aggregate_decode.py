@@ -86,11 +86,13 @@ def _time_batched_decode_ms(
 ) -> float:
     """Dependent-loop timing of the batched fused decode (ms per full pass)."""
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+    from nerf_attention_tpu.parallel.sweep import _resolve_sin
     from nerf_attention_tpu.utils.timing import _on_tpu, time_perturbed_forward_ms
 
     omega = MEDIUM.omega_0
     use_fused = _on_tpu()
     pos = positions(seq_len)
+    sin = _resolve_sin(sin_impl)
     if reps is None:
         reps = 30 if use_fused else 3
 
@@ -99,7 +101,15 @@ def _time_batched_decode_ms(
             return siren_decode_batch(
                 p, omega, seq_len, compute_dtype=compute_dtype, sin_impl=sin_impl
             )
-        return jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
+        # Non-fused fallback honors the variant options too (mislabeled
+        # exact-fp32 re-measurements otherwise land in the bf16/fast columns).
+        def one(q):
+            qc = [(w.astype(compute_dtype), b.astype(compute_dtype)) for w, b in q]
+            return siren_apply(
+                qc, omega, pos.astype(compute_dtype), sin=sin
+            ).astype(jnp.float32)
+
+        return jax.vmap(one)(p)
 
     samples = 5 if use_fused else 2
     return time_perturbed_forward_ms(stacked, forward, reps, samples=samples)

@@ -24,7 +24,8 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from nerf_attention_tpu.analyze import analyze_kv_cache
-from nerf_attention_tpu.evaluate import HBM_BW, measure_hbm_read_ms
+from nerf_attention_tpu.evaluate import HBM_BW
+from nerf_attention_tpu.utils.timing import measured_hbm_read_ms as measure_hbm_read_ms
 from nerf_attention_tpu.fit import _batch_to_fit_result, result_to_record
 from nerf_attention_tpu.io import checkpoint, kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch

@@ -135,6 +135,9 @@ def checkpoint_glob(directory: Path, pattern: str = "*_model") -> list[Path]:
     directory = Path(directory)
     if pattern.endswith((".npz", ".pt")):
         return sorted(directory.glob(pattern))
-    return sorted(
-        list(directory.glob(pattern + ".npz")) + list(directory.glob(pattern + ".pt"))
-    )
+    # One entry per checkpoint name: where both formats exist for the same
+    # stem (e.g. reference .pt beside this framework's .npz), prefer .npz so
+    # callers never time/stack the same network twice.
+    by_stem = {p.stem: p for p in directory.glob(pattern + ".pt")}
+    by_stem.update({p.stem: p for p in directory.glob(pattern + ".npz")})
+    return sorted(by_stem.values())

@@ -52,17 +52,19 @@ def _round_up(x: int, m: int) -> int:
 VMEM_BUDGET = 6 * 1024 * 1024  # measured-safe: medium @2048 rows blows 16 MB
 
 
-def pick_tile(hidden: int, d_out: int, n_layers: int) -> int:
+def pick_tile(hidden: int, d_out: int, n_layers: int, scratch_per_layer: int = 1) -> int:
     """Largest row tile whose *estimated* working set fits the VMEM budget.
 
     Bigger tiles mean fewer grid cells (less per-cell overhead and fewer
     revisits of the gradient accumulators). The estimate counts activation
-    scratch, double-buffered target tiles, and matmul/transpose temporaries;
-    the budget is calibrated against Mosaic's actual allocator (medium
-    hidden=256 fits at 1024 rows, OOMs at 2048).
+    scratch (``scratch_per_layer`` (tile, hidden) arrays per sine layer:
+    1 for the pre-sine stash, 2 for the sincos stash), double-buffered
+    target tiles, and matmul/transpose temporaries; the budget is calibrated
+    against Mosaic's actual allocator (medium hidden=256 fits at 1024 rows,
+    OOMs at 2048).
     """
     for tile in (2048, 1024, 512, 256):
-        work = 4 * tile * hidden * (n_layers - 1)  # activation scratch
+        work = 4 * tile * hidden * (n_layers - 1) * scratch_per_layer
         work += 2 * 4 * tile * d_out  # target tile, double-buffered
         work += 2 * 4 * tile * hidden  # h / transpose temporaries
         if work <= VMEM_BUDGET:
@@ -77,13 +79,15 @@ def _train_kernel(
     tile: int,
     n_layers: int,
     fast: bool,
+    stash_sincos: bool,
 ):
     """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
 
     refs layout:
       inputs:  w_0, b_0, ..., w_{L-1}, b_{L-1}, targets_tile
       outputs: loss, dw_0, db_0, ..., dw_{L-1}, db_{L-1}
-      scratch: a_0 ... a_{L-2}   (pre-sine activations, (tile, H) each)
+      scratch: a_0 ... a_{L-2}            (pre-sine activations; stash='act')
+           or  h_0, c_0, ..., h_{L-2}, c_{L-2}  (post-sine + cos; stash='sincos')
     """
     n_in = 2 * n_layers + 1
     n_out = 2 * n_layers + 1
@@ -124,15 +128,29 @@ def _train_kernel(
     def b(i):
         return in_refs[2 * i + 1][0]  # (1, out)
 
-    # ---- Forward: stash pre-sine activations in VMEM scratch ----
+    # ---- Forward ----
+    # stash='act': store pre-sine activations; backward re-derives sin/cos.
+    # stash='sincos': compute sincos once here, store post-sine h AND cos —
+    # backward then does ZERO trig (trade: 2x activation scratch per layer,
+    # so a smaller row tile at the same VMEM budget).
     # First sine layer: (tile,1) @ (1,H) is a broadcast multiply (VPU).
-    act_refs[0][:] = omega_f * (x * w(0) + b(0))
-    h = sin_f(act_refs[0][:])
+    a = omega_f * (x * w(0) + b(0))
+    if stash_sincos:
+        h, c = sincos_f(a)
+        act_refs[0][:] = h
+        act_refs[1][:] = c
+    else:
+        act_refs[0][:] = a
+        h = sin_f(a)
     for i in range(1, n_layers - 1):
-        act_refs[i][:] = omega_f * (
-            jnp.dot(h, w(i), preferred_element_type=jnp.float32) + b(i)
-        )
-        h = sin_f(act_refs[i][:])
+        a = omega_f * (jnp.dot(h, w(i), preferred_element_type=jnp.float32) + b(i))
+        if stash_sincos:
+            h, c = sincos_f(a)
+            act_refs[2 * i][:] = h
+            act_refs[2 * i + 1][:] = c
+        else:
+            act_refs[i][:] = a
+            h = sin_f(a)
     y = jnp.dot(h, w(n_layers - 1), preferred_element_type=jnp.float32) + b(
         n_layers - 1
     )
@@ -173,25 +191,37 @@ def _train_kernel(
     db_ref(n_layers - 1)[0] += jnp.sum(dy, axis=0, keepdims=True)
     dh = jnp.dot(dy, w(n_layers - 1).T, preferred_element_type=jnp.float32)
 
-    # Hidden sine layers, last to first. cos(a_{i-1}) computed alongside
-    # sin(a_{i-1}) carries over to the next iteration's sine derivative.
-    cos_carry = None
-    for i in range(n_layers - 2, 0, -1):
-        c_i = cos_carry if cos_carry is not None else cos_f(act_refs[i][:])
-        da = dh * omega_f * c_i
-        h_prev, cos_carry = sincos_f(act_refs[i - 1][:])
-        dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
-        db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
-        dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+    if stash_sincos:
+        # All trig already paid in the forward pass; read h/cos from scratch.
+        for i in range(n_layers - 2, 0, -1):
+            da = dh * omega_f * act_refs[2 * i + 1][:]
+            h_prev = act_refs[2 * (i - 1)][:]
+            dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
+            db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
+            dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+        da0 = dh * omega_f * act_refs[1][:]
+    else:
+        # Hidden sine layers, last to first. cos(a_{i-1}) computed alongside
+        # sin(a_{i-1}) carries over to the next iteration's sine derivative.
+        cos_carry = None
+        for i in range(n_layers - 2, 0, -1):
+            c_i = cos_carry if cos_carry is not None else cos_f(act_refs[i][:])
+            da = dh * omega_f * c_i
+            h_prev, cos_carry = sincos_f(act_refs[i - 1][:])
+            dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
+            db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
+            dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+        c_0 = cos_carry if cos_carry is not None else cos_f(act_refs[0][:])
+        da0 = dh * omega_f * c_0
 
     # First sine layer: dW0 = x^T da0 computed as a column sum (VPU).
-    c_0 = cos_carry if cos_carry is not None else cos_f(act_refs[0][:])
-    da0 = dh * omega_f * c_0
     dw_ref(0)[0] += jnp.sum(x * da0, axis=0, keepdims=True)
     db_ref(0)[0] += jnp.sum(da0, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("omega", "tile", "interpret", "sin_impl"))
+@partial(
+    jax.jit, static_argnames=("omega", "tile", "interpret", "sin_impl", "stash")
+)
 def siren_train_grads(
     params,
     targets_norm: jax.Array,
@@ -200,6 +230,7 @@ def siren_train_grads(
     tile: int | None = None,
     interpret: bool = False,
     sin_impl: str = "exact",
+    stash: str = "auto",
 ):
     """Loss and gradients for a batch of SIRENs in one fused kernel.
 
@@ -208,13 +239,28 @@ def siren_train_grads(
     (loss (N,), grads) with grads shaped exactly like params.
     ``sin_impl='fast'`` uses the polynomial sine/cosine (ops/fastmath) inside
     the kernel — same measured-parity trade as the XLA fast path.
+    ``stash='sincos'`` stores post-sine h and cos in scratch instead of the
+    pre-sine activations: the backward pass then does zero trig, at the cost
+    of 2x activation scratch (smaller row tile at the same VMEM budget).
+    ``stash='auto'`` picks per config from the v5e measurement
+    (benchmarks/r2/train_impl.json stash rows): sincos wins ~3% on
+    large/deep (wide or deep nets, trig-heavy), act elsewhere (medium's
+    tile halves 1024->512 under 2x scratch, cancelling the trig saving).
     """
     n, seq_len, d_out = targets_norm.shape
     n_layers = len(params)
     hidden = params[0][0].shape[-1]
+    if stash not in ("auto", "act", "sincos"):
+        raise ValueError(f"stash must be auto|act|sincos, got {stash!r}")
+    if sin_impl not in ("exact", "fast"):
+        raise ValueError(f"sin_impl must be exact|fast, got {sin_impl!r}")
+    if stash == "auto":
+        stash = "sincos" if (hidden >= 512 or n_layers >= 5) else "act"
+    stash_sincos = stash == "sincos"
+    scratch_per_layer = 2 if stash_sincos else 1
 
     if tile is None:
-        tile = pick_tile(hidden, d_out, n_layers)
+        tile = pick_tile(hidden, d_out, n_layers, scratch_per_layer)
     tile = min(tile, _round_up(seq_len, 8))
     padded_s = _round_up(seq_len, tile)
     n_tiles = padded_s // tile
@@ -256,6 +302,7 @@ def siren_train_grads(
         tile=tile,
         n_layers=n_layers,
         fast=sin_impl == "fast",
+        stash_sincos=stash_sincos,
     )
     outs = pl.pallas_call(
         kernel,
@@ -264,7 +311,8 @@ def siren_train_grads(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(n_layers - 1)
+            pltpu.VMEM((tile, hidden), jnp.float32)
+            for _ in range((n_layers - 1) * scratch_per_layer)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

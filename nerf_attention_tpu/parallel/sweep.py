@@ -90,6 +90,8 @@ def _make_optimizer(lr: float, epochs: int) -> optax.GradientTransformation:
 def _resolve_sin(sin_impl: str):
     if sin_impl == "exact":
         return jnp.sin
+    if sin_impl != "fast":
+        raise ValueError(f"sin_impl must be exact|fast, got {sin_impl!r}")
     from nerf_attention_tpu.ops.fastmath import fast_sin
 
     return fast_sin

@@ -66,7 +66,7 @@ def load_reference_prompts() -> dict | None:
                         bindings[target.id] = _eval_data_node(
                             statement.value, bindings
                         )
-                    except ValueError:
+                    except (ValueError, TypeError):
                         continue
         corpus = bindings.get("ALL_PROMPTS")
         if (
@@ -103,7 +103,7 @@ def load_reference_sample_text() -> str | None:
                 if isinstance(inner, ast.Return) and inner.value is not None:
                     try:
                         text = _eval_data_node(inner.value, {})
-                    except ValueError:
+                    except (ValueError, TypeError):
                         return None
                     return text if isinstance(text, str) and text else None
     return None

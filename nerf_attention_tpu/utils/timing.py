@@ -121,6 +121,7 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
     """
     from nerf_attention_tpu.models.siren import positions, siren_apply
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
+    from nerf_attention_tpu.parallel.sweep import _resolve_sin
 
     if reps is None:
         # Enough iterations that the n..4n delta rises above RTT jitter. On
@@ -131,13 +132,18 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
     use_fused = fused and _on_tpu()
     dtype = compute_dtype if compute_dtype is not None else jnp.float32
     pos = positions(seq_len)
+    sin = _resolve_sin(sin_impl)
 
     def forward(p):
         if use_fused:
             return siren_decode_fused(
                 p, float(omega), seq_len, compute_dtype=dtype, sin_impl=sin_impl
             )
-        return siren_apply(p, float(omega), pos)
+        # Non-fused path: honor the variant options too, so non-TPU runs
+        # don't mislabel exact-fp32 re-measurements as fast-sin/bf16 columns.
+        pc = [(w.astype(dtype), b.astype(dtype)) for w, b in p]
+        y = siren_apply(pc, float(omega), pos.astype(dtype), sin=sin)
+        return y.astype(jnp.float32)
 
     return time_perturbed_forward_ms(
         params, forward, reps, samples=samples, stats=stats

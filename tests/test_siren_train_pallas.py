@@ -35,19 +35,20 @@ def _xla_loss_and_grads(params, targets_norm, omega):
     return losses, grads
 
 
+@pytest.mark.parametrize("stash", ["act", "sincos"])
 @pytest.mark.parametrize(
     "config",
     [CONFIGS_FULL[0], CONFIGS_FULL[2], CONFIGS_FULL[4]],  # tiny, medium, deep
     ids=lambda c: c.name,
 )
-def test_fused_grads_match_autodiff(config, rng):
+def test_fused_grads_match_autodiff(config, stash, rng):
     n, s, d = 3, 96, 16
     targets = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
     targets_norm = jax.vmap(lambda t: normalize_targets(t)[0])(targets)
     params = _batched_params(config, n, d)
 
     loss, grads = siren_train_grads(
-        params, targets_norm, omega=config.omega_0, interpret=True
+        params, targets_norm, omega=config.omega_0, interpret=True, stash=stash
     )
     want_loss, want_grads = _xla_loss_and_grads(params, targets_norm, config.omega_0)
 
@@ -55,6 +56,22 @@ def test_fused_grads_match_autodiff(config, rng):
     for (gw, gb), (ww, wb) in zip(grads, want_grads):
         np.testing.assert_allclose(gw, ww, rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(gb, wb, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_grads_rejects_unknown_options(rng):
+    """stash/sin_impl typos must error, not silently fall back to a layout."""
+    config = CONFIGS_FULL[0]
+    n, s, d = 2, 32, 8
+    targets_norm = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
+    params = _batched_params(config, n, d)
+    with pytest.raises(ValueError, match="stash"):
+        siren_train_grads(
+            params, targets_norm, omega=30.0, interpret=True, stash="sin_cos"
+        )
+    with pytest.raises(ValueError, match="sin_impl"):
+        siren_train_grads(
+            params, targets_norm, omega=30.0, interpret=True, sin_impl="poly"
+        )
 
 
 @pytest.mark.parametrize(

@@ -150,8 +150,11 @@ def main() -> None:
     def matmul_rate(m, k, n, dtype, batch=None):
         shape_a = (m, k) if batch is None else (batch, m, k)
         shape_b = (k, n) if batch is None else (batch, k, n)
-        a = jnp.ones(shape_a, dtype=dtype)
-        b = jnp.ones(shape_b, dtype=dtype)
+        # Random operands: splat constants (jnp.ones) let XLA's simplifier
+        # collapse broadcast-of-scalar patterns and the dot itself.
+        ka, kb = jax.random.split(jax.random.PRNGKey(0))
+        a = jax.random.normal(ka, shape_a, dtype=jnp.float32).astype(dtype)
+        b = jax.random.normal(kb, shape_b, dtype=jnp.float32).astype(dtype)
 
         def fwd(p):
             (w0, b0) = p[0]

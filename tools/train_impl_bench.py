@@ -43,7 +43,7 @@ def main() -> None:
     )
     parser.add_argument(
         "--variants", type=str, default="xla:fast,pallas:fast",
-        help="comma-separated impl:sin_impl pairs",
+        help="comma-separated impl:sin_impl[:stash] triples (stash: act|sincos)",
     )
     args = parser.parse_args()
 
@@ -81,7 +81,7 @@ def main() -> None:
     pos = positions(args.seq_len)
     interpret = backend != "tpu"
 
-    def make_runner(config, impl: str, sin_impl: str):
+    def make_runner(config, impl: str, sin_impl: str, stash: str = "act"):
         """Dynamic-epoch trainer: one compile, differenced trip counts."""
         tx = _make_optimizer(1e-4, 2000)
         omega = config.omega_0
@@ -112,7 +112,7 @@ def main() -> None:
                     p, s = carry
                     _, grads = siren_train_grads(
                         p, tn, omega=omega, interpret=interpret,
-                        sin_impl=sin_impl,
+                        sin_impl=sin_impl, stash=stash,
                     )
                     updates, s = tx.update(grads, s, p)
                     return (optax.apply_updates(p, updates), s)
@@ -124,21 +124,28 @@ def main() -> None:
 
     names = [c.strip() for c in args.configs.split(",") if c.strip()]
     configs = [c for c in CONFIGS_FULL if not names or c.name in names]
-    variants = [tuple(v.split(":")) for v in args.variants.split(",")]
+    variants = [tuple((v.split(":") + ["act"])[:3]) for v in args.variants.split(",")]
+    for impl, _, stash in variants:
+        if impl == "xla" and stash != "act":
+            raise SystemExit(
+                f"stash={stash!r} only applies to the pallas kernel; "
+                f"an xla variant would silently run without it"
+            )
 
     results = []
     for config in configs:
         row = {"config": config.name}
-        for impl, sin_impl in variants:
-            run = make_runner(config, impl, sin_impl)
+        for impl, sin_impl, stash in variants:
+            run = make_runner(config, impl, sin_impl, stash)
             t0 = time.perf_counter()
             deltas = _per_iter_samples(
                 run, keys, targets, reps=args.n1, samples=args.samples
             )
             stats = replicate_stats([d * 1e3 for d in deltas])
-            row[f"{impl}_{sin_impl}_ms_per_epoch"] = stats
+            key = f"{impl}_{sin_impl}" + ("" if stash == "act" else f"_{stash}")
+            row[f"{key}_ms_per_epoch"] = stats
             log(
-                f"  {config.name} {impl}:{sin_impl}: "
+                f"  {config.name} {impl}:{sin_impl}:{stash}: "
                 f"{stats['median']:.3f} ms/epoch "
                 f"[{stats['q25']:.3f},{stats['q75']:.3f}] "
                 f"(took {time.perf_counter() - t0:.0f}s)"
