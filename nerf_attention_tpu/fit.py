@@ -19,6 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from nerf_attention_tpu.io import checkpoint, kvstore
+from nerf_attention_tpu.models.siren import layer_dims
 from nerf_attention_tpu.parallel.sweep import (
     BatchFitMetrics,
     fit_batch,
@@ -66,8 +67,13 @@ def _batch_to_fit_result(
     seq_len: int,
     d_head: int,
 ) -> FitResult:
-    params = select_fit_params(batch.params, i)
-    num_params = sum(w.size + b.size for w, b in params)
+    # params may be absent (fit_batch_collect(with_params=False) skips the
+    # device->host pull for groups that never checkpoint) — sizes come from
+    # the config's layer shapes, identical to counting the arrays.
+    params = select_fit_params(batch.params, i) if batch.params else []
+    num_params = sum(
+        d_in * d_out + d_out for d_in, d_out in layer_dims(config, d_head)
+    )
     raw_size = seq_len * d_head * 2  # KV cache is natively fp16 (siren.py:127)
     siren_size = num_params * 4  # params stored fp32
     return FitResult(
@@ -297,7 +303,12 @@ def fit_kv_cache(
         # Groups run back-to-back on the device queue, so the gap between
         # consecutive completions is this group's device time (the first
         # gap also carries all overlapped compile time not yet amortized).
-        batch = fit_batch_collect(handle, now - prev_done)
+        # Params are only ever used for the medium group's checkpoints;
+        # skipping the pull for other groups avoids ~200 MB/sweep of dead
+        # device->host traffic (large alone is ~94 MB through the tunnel).
+        batch = fit_batch_collect(
+            handle, now - prev_done, with_params=config.name == "medium"
+        )
         prev_done = now
         if verbose:
             print(

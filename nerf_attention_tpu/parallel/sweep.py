@@ -332,8 +332,16 @@ def fit_batch_dispatch(
     return n, params, metrics
 
 
-def fit_batch_collect(handle, train_time_seconds: float) -> BatchFitMetrics:
-    """Host-materialize a dispatched group's results."""
+def fit_batch_collect(
+    handle, train_time_seconds: float, with_params: bool = True
+) -> BatchFitMetrics:
+    """Host-materialize a dispatched group's results.
+
+    ``with_params=False`` skips pulling the parameter arrays to the host —
+    the sweep only needs them for the medium group's checkpoints, and the
+    other six groups' params are ~200 MB/sweep of dead device->host
+    traffic through the tunnel (large alone is ~94 MB).
+    """
     n, params, metrics = handle
     # np.asarray forces completion: block_until_ready can return early on
     # tunneled platforms (observed on axon).
@@ -341,7 +349,7 @@ def fit_batch_collect(handle, train_time_seconds: float) -> BatchFitMetrics:
 
     take = lambda x: np.asarray(x[:n])
     return BatchFitMetrics(
-        params=[(take(w), take(b)) for w, b in params],
+        params=[(take(w), take(b)) for w, b in params] if with_params else [],
         target_mean=take(metrics["target_mean"]),
         target_std=take(metrics["target_std"]),
         losses=take(metrics["losses"]),
