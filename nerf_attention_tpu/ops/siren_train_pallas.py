@@ -243,7 +243,7 @@ def siren_train_grads(
     pre-sine activations: the backward pass then does zero trig, at the cost
     of 2x activation scratch (smaller row tile at the same VMEM budget).
     ``stash='auto'`` picks per config from the v5e measurement
-    (benchmarks/r2/train_impl.json stash rows): sincos wins ~3% on
+    (benchmarks/r2/train_impl_stash.json): sincos wins ~3% on
     large/deep (wide or deep nets, trig-heavy), act elsewhere (medium's
     tile halves 1024->512 under 2x scratch, cancelling the trig saving).
     """

@@ -105,6 +105,22 @@ def test_deterministic_given_seed():
     np.testing.assert_array_equal(a.final_mse, b.final_mse)
 
 
+def test_sweep_sizes_correct_without_param_pull(tiny_kv_dir, tmp_path):
+    """Non-checkpointing groups skip the device->host param pull; their
+    record sizes must still equal the true parameter counts."""
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.types import CONFIGS_QUICK
+
+    records = fit_kv_cache(tiny_kv_dir, tmp_path, epochs=20, quick=True, verbose=False)
+    by_name = {c.name: c for c in CONFIGS_QUICK}
+    for r in records:
+        config = by_name[r["config_name"]]
+        assert r["num_parameters"] == config.num_parameters(r["d_head"])
+        assert r["siren_size_bytes"] == r["num_parameters"] * 4
+    # Only the medium group writes checkpoints; its params did get pulled.
+    assert list(tmp_path.glob("*medium_model.npz"))
+
+
 def test_sweep_resume_skips_completed_groups(tiny_kv_dir, tmp_path, capsys):
     from nerf_attention_tpu.fit import fit_kv_cache
 
