@@ -38,7 +38,7 @@ def main() -> None:
     parser.add_argument("--kv_dir", type=str, default="results/bench_kv")
     parser.add_argument("--out_dir", type=str, default="results/bench_fits")
     parser.add_argument(
-        "--runs", type=int, default=2,
+        "--runs", type=int, default=3,
         help="sweep repetitions; the BEST wall-clock is reported. The chip "
         "is shared (CLAUDE.md documents a 4-17x contention band on "
         "identical runs), so a single sample measures the moment, not the "

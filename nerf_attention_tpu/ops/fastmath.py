@@ -2,9 +2,9 @@
 
 Measured on v5e (benchmarks/r2/mfu_profile.json): the sweep's training step
 is SINE-bound, not matmul-bound — the medium forward takes 1.66 ms of which
-1.49 ms is the two `jnp.sin` layers (matmuls alone: 0.17 ms; the chip's
-achievable matmul rate at sweep shapes is ~198 TFLOP/s, so matmuls are ~5%
-of the step). XLA's exact sine costs ~34 VPU ops/element; the polynomial
+1.49 ms is the two `jnp.sin` layers (the no-sin forward runs in 0.16 ms;
+the chip's achievable sweep-shaped fp32 matmul rate is ~102 TFLOP/s, so
+matmuls are ~16% of the full step). XLA's exact sine costs ~34 VPU ops/element; the polynomial
 here costs ~11, and its error (2.4e-7 abs on the reduced range, fp32
 range-reduction floor ~6e-6 at |x|~100) is orders of magnitude below fp32
 training noise — CosSim parity with the exact path is bit-indistinguishable
