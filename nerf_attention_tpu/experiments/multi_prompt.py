@@ -64,7 +64,12 @@ def _extract_prompt_cache(
     if backend == "jax":
         from nerf_attention_tpu.extract import extract_kv_cache_jax
 
-        return extract_kv_cache_jax(model_name, seq_len, kv_dir, text=prompt_text)
+        # hf_state doubles as the jax-backend cache (each backend guards on
+        # its own key — "model" vs "model_dir"), so the checkpoint loads
+        # once across all four prompts (same contract as extract_with_hf).
+        return extract_kv_cache_jax(
+            model_name, seq_len, kv_dir, text=prompt_text, state=hf_state
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -108,6 +113,10 @@ def run_multi_prompt_experiment(
         grid: list[str] = []
         tensors: list[np.ndarray] = []
         for layer_idx in layers_to_fit:
+            if not kvstore.has_layer(kv_dir, layer_idx):
+                if verbose:
+                    print(f"  Skipping layer {layer_idx} (not found)")
+                continue
             keys, values = kvstore.load_layer(kv_dir, layer_idx)
             for head_idx in range(min(metadata.num_kv_heads, 2)):
                 for kv_type, tensor in (
@@ -117,6 +126,10 @@ def run_multi_prompt_experiment(
                     grid.append(kv_type)
                     tensors.append(np.asarray(tensor, dtype=np.float32))
 
+        if not tensors:
+            raise FileNotFoundError(
+                f"no sampled layer files under {kv_dir} (layers {layers_to_fit})"
+            )
         batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs)
         key_cossims = [
             float(batch.cosine_mean[i]) for i, kv in enumerate(grid) if kv == "key"

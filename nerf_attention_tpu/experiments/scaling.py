@@ -25,7 +25,7 @@ import numpy as np
 
 from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.evaluate import HBM_BW
-from nerf_attention_tpu.utils.timing import measured_hbm_read_ms as measure_hbm_read_ms
+from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
 from nerf_attention_tpu.fit import _batch_to_fit_result, result_to_record
 from nerf_attention_tpu.io import checkpoint, kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
@@ -52,6 +52,7 @@ def _extract_all_seq_lengths(
     """
     metadata_map: dict[int, KVMetadata] = {}
     hf_state: dict = {}  # hf backend: model loaded lazily, once
+    jax_state: dict = {}  # jax backend: checkpoint/tokenizer loaded once
 
     for seq_len in seq_lengths:
         kv_dir = base_dir / f"seq_{seq_len}" / "kv_cache"
@@ -88,7 +89,7 @@ def _extract_all_seq_lengths(
 
                 text = "\n\n".join(get_prompts().values()) * 3
                 metadata_map[seq_len] = extract_kv_cache_jax(
-                    model_name, seq_len, kv_dir, text=text
+                    model_name, seq_len, kv_dir, text=text, state=jax_state
                 )
             else:
                 raise ValueError(f"unknown backend {backend!r}")
@@ -145,10 +146,18 @@ def run_scaling_experiment(
         grid: list[tuple[int, str]] = []
         tensors: list[np.ndarray] = []
         for layer_idx in layers_to_fit:
+            if not kvstore.has_layer(kv_dir, layer_idx):
+                if verbose:
+                    print(f"  Skipping layer {layer_idx} (not found)")
+                continue
             keys, values = kvstore.load_layer(kv_dir, layer_idx)
             for kv_type, tensor in (("key", keys[0]), ("value", values[0])):
                 grid.append((layer_idx, kv_type))
                 tensors.append(np.asarray(tensor, dtype=np.float32))
+        if not tensors:
+            raise FileNotFoundError(
+                f"no sampled layer files under {kv_dir} (layers {layers_to_fit})"
+            )
 
         batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs)
         fit_results = []
@@ -182,7 +191,7 @@ def run_scaling_experiment(
                 )
 
         siren_time_ms = _profile_siren_latency(fits_dir, metadata.seq_len)
-        hbm_measured_ms = measure_hbm_read_ms(metadata.seq_len, metadata.head_dim)
+        hbm_measured_ms = measured_hbm_read_ms(metadata.seq_len, metadata.head_dim)
 
         raw_bytes = metadata.seq_len * metadata.head_dim * 2  # fp16 KV cache
         key_r = [r for r in fit_results if r["kv_type"] == "key"]
@@ -259,7 +268,13 @@ def plot_scaling_crossover(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    entries = sorted(scaling_results.values(), key=lambda r: r["seq_len"])
+    # Dedupe by ACTUAL sequence length: hf/jax extraction truncates to the
+    # tokenized text, so two requested lengths can yield identical records —
+    # double-weighted points would bias the power-law fit and the crossover.
+    by_actual = {}
+    for r in scaling_results.values():
+        by_actual.setdefault(r["seq_len"], r)
+    entries = sorted(by_actual.values(), key=lambda r: r["seq_len"])
     if len(entries) < 2:
         print(
             f"  Skipping crossover plot: need >=2 sequence lengths, "
@@ -448,6 +463,11 @@ def run_full_layer_profile(
             grid.append((layer_idx, kv_type))
             tensors.append(np.asarray(tensor, dtype=np.float32))
 
+    if not tensors:
+        raise FileNotFoundError(
+            f"no layer files under {kv_dir} "
+            f"(expected layer_00..layer_{metadata.num_layers - 1:02d})"
+        )
     if verbose:
         print(f"Layer profile: {len(grid)} fits x {epochs} epochs (one batch)")
     batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs, mesh=mesh)

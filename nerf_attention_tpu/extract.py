@@ -258,8 +258,13 @@ def extract_kv_cache_jax(
     output_dir: Path,
     text: str | None = None,
     mesh=None,
+    state: dict | None = None,
 ) -> KVMetadata:
-    """Native path: JAX Llama prefill on the mesh with per-layer KV capture."""
+    """Native path: JAX Llama prefill on the mesh with per-layer KV capture.
+
+    ``state``: share across calls to load the checkpoint/tokenizer once
+    (same contract as extract_with_hf's ``state``).
+    """
     from nerf_attention_tpu.models.llama_jax import extract_kv_with_jax_llama
 
     return extract_kv_with_jax_llama(
@@ -268,6 +273,7 @@ def extract_kv_cache_jax(
         output_dir=Path(output_dir),
         text=text if text is not None else get_sample_text(),
         mesh=mesh,
+        state=state,
     )
 
 
@@ -280,6 +286,9 @@ def main() -> None:
     parser.add_argument(
         "--backend", type=str, default="hf", choices=["hf", "jax", "synthetic"]
     )
+    # Reference extract.py:268 defaults --device to 'cuda'; this framework
+    # targets TPU hosts where torch is CPU-only, so 'cpu' is the working
+    # default (documented divergence — see PARITY.md).
     parser.add_argument("--device", type=str, default="cpu")
     parser.add_argument(
         "--values_mode", type=str, default="reference",

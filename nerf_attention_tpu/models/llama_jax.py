@@ -119,7 +119,48 @@ def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (norm * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin, mask):
+ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
+
+
+def _causal_attention(q: jax.Array, k_full: jax.Array, v_full: jax.Array):
+    """Causal softmax attention, query-chunked.
+
+    q/k_full/v_full: (H, S, D). The full (H, S, S) fp32 logits tensor of a
+    single-shot attention is ~8.6 GB per layer at S=8192 for 32 heads —
+    chunking queries into ATTN_BLOCK rows bounds the live logits to
+    (H, BLOCK, S) (~0.5 GB at 8192) so long-context extraction fits a
+    single chip. Math is identical: each query row still softmaxes over
+    its full causal prefix.
+    """
+    h_heads, s, d = q.shape
+    scale = jax.lax.rsqrt(jnp.float32(d))
+    neg_inf = jnp.finfo(jnp.float32).min
+    cols = jnp.arange(s)
+
+    block = min(ATTN_BLOCK, s)
+    n_blocks = -(-s // block)
+    pad = n_blocks * block - s
+    q_pad = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    q_blocks = q_pad.reshape(h_heads, n_blocks, block, d).transpose(1, 0, 2, 3)
+
+    def one_block(row0, qb):
+        logits = (
+            jnp.einsum("hqd,hkd->hqk", qb, k_full, preferred_element_type=jnp.float32)
+            * scale
+        )
+        rows = row0 + jnp.arange(block)
+        causal = cols[None, None, :] <= rows[None, :, None]
+        logits = jnp.where(causal, logits, neg_inf)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+        return jnp.einsum("hqk,hkd->hqd", probs, v_full)
+
+    row0s = jnp.arange(n_blocks) * block
+    attn = jax.lax.map(lambda args: one_block(*args), (row0s, q_blocks))
+    attn = attn.transpose(1, 0, 2, 3).reshape(h_heads, n_blocks * block, d)
+    return attn[:, :s]
+
+
+def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     """One decoder layer. h: (S, hidden). Returns (h, (keys, values))."""
     n_q, n_kv, d = (
         config.num_attention_heads,
@@ -141,12 +182,7 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin, mask):
     k_full = jnp.repeat(k, group, axis=0)
     v_full = jnp.repeat(v, group, axis=0)
 
-    logits = jnp.einsum(
-        "hqd,hkd->hqk", q, k_full, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(d))
-    logits = jnp.where(mask[None, :, :], logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
-    attn = jnp.einsum("hqk,hkd->hqd", probs, v_full)
+    attn = _causal_attention(q, k_full, v_full)
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
     h = h + attn @ lp["o"]
 
@@ -170,10 +206,9 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
     angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
     angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
     cos, sin = jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
-    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
 
     def scan_layer(h, lp):
-        h, kv = _layer_forward(config, h, lp, cos, sin, mask)
+        h, kv = _layer_forward(config, h, lp, cos, sin)
         return h, kv
 
     _, (keys, values) = jax.lax.scan(scan_layer, h, params["layers"])
@@ -369,16 +404,30 @@ def extract_kv_with_jax_llama(
     text: str,
     mesh=None,
     dtype=jnp.bfloat16,
+    state: dict | None = None,
 ) -> KVMetadata:
-    """Native extraction: tokenize, prefill on the TPU, persist per-layer KV."""
+    """Native extraction: tokenize, prefill on the TPU, persist per-layer KV.
+
+    ``state``: pass the same dict across calls to load the checkpoint and
+    tokenizer once (the scaling/multi-prompt ladders extract at several
+    lengths/prompts from one model — same contract as extract_with_hf).
+    """
     from transformers import AutoTokenizer
 
-    print(f"Loading {model_dir} into JAX...")
-    config, params = load_llama_params(Path(model_dir), dtype=dtype)
-    if mesh is not None:
-        params = shard_llama_params(params, mesh)
-
-    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    state = state if state is not None else {}
+    if state.get("model_dir") != (str(model_dir), str(dtype), id(mesh)):
+        print(f"Loading {model_dir} into JAX...")
+        config, params = load_llama_params(Path(model_dir), dtype=dtype)
+        if mesh is not None:
+            params = shard_llama_params(params, mesh)
+        state.update(
+            model_dir=(str(model_dir), str(dtype), id(mesh)),
+            config=config,
+            params=params,
+            tokenizer=AutoTokenizer.from_pretrained(model_dir),
+        )
+    config, params = state["config"], state["params"]
+    tokenizer = state["tokenizer"]
     ids = np.asarray(
         tokenizer(text, truncation=True, max_length=seq_len)["input_ids"]
     )

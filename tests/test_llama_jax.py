@@ -204,3 +204,29 @@ def test_kv_parity_with_hf_mistral(tmp_path):
             np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_chunked_attention_matches_single_shot(monkeypatch):
+    """Query-chunked causal attention (S > ATTN_BLOCK, incl. a ragged last
+    block) must equal the naive full-logits computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.models import llama_jax
+
+    rng = np.random.default_rng(11)
+    h_heads, s, d = 3, 70, 16
+    q = jnp.asarray(rng.standard_normal((h_heads, s, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h_heads, s, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h_heads, s, d)), dtype=jnp.float32)
+
+    def naive(q, k, v):
+        logits = jnp.einsum("hqd,hkd->hqk", q, k) / jnp.sqrt(jnp.float32(d))
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        logits = jnp.where(mask[None], logits, jnp.finfo(jnp.float32).min)
+        return jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(logits, axis=-1), v)
+
+    want = naive(q, k, v)
+    monkeypatch.setattr(llama_jax, "ATTN_BLOCK", 32)  # 70 -> blocks 32/32/6
+    got = llama_jax._causal_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
