@@ -331,6 +331,8 @@ def sweep_findings_text(results: list[dict]) -> str:
     """Findings-box content for the sweep summary (pure; unit-tested)."""
     highlights = figdata.headline_fits(results, threshold=0.9)
     best = highlights["best"]
+    if best is None:
+        return "Key Findings\n" + "─" * 30 + "\n\nNo fit results"
     lines = [
         "Key Findings",
         "─" * 30,

@@ -71,12 +71,23 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
             ):
                 continue
             loaded.append([(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]])
-    source = f"{len(loaded)} trained checkpoints" if loaded else "SIREN init"
     nets = list(loaded)
     key = jax.random.PRNGKey(0)
     while len(nets) < n_networks:
         key, sub = jax.random.split(key)
         nets.append(init_siren(sub, MEDIUM, head_dim))
+    n_trained = min(len(loaded), n_networks)
+    if n_trained == 0:
+        source = "SIREN init"
+    elif n_trained == n_networks:
+        source = f"{n_networks} trained checkpoints"
+    else:
+        # Be explicit that the stack is mixed — the latency conclusion is
+        # shape-only, but the artifact must not claim all-trained weights.
+        source = (
+            f"{n_trained} trained checkpoints + "
+            f"{n_networks - n_trained} random-init"
+        )
     return _stack_params(nets[:n_networks]), source
 
 

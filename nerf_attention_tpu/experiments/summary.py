@@ -183,7 +183,12 @@ def generate_final_summary(
         value_layers, value_quality = series["value"]
         ax.plot(key_layers, key_quality, "o-", markersize=4, linewidth=1.2, **KEY_STYLE)
         ax.plot(value_layers, value_quality, "s-", markersize=4, linewidth=1.2, **VALUE_STYLE)
-        ax.fill_between(key_layers, key_quality, value_quality, alpha=0.08, color="gray")
+        if np.array_equal(key_layers, value_layers):
+            # The K/V gap band needs matching layer grids; a profile with
+            # only one kv_type (trimmed or foreign) still plots its line.
+            ax.fill_between(
+                key_layers, key_quality, value_quality, alpha=0.08, color="gray"
+            )
         for dip in figdata.local_minima(key_quality):
             ax.annotate(
                 f"L{int(key_layers[dip])}",

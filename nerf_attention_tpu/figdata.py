@@ -106,7 +106,11 @@ def architecture_ranking(records: Sequence[dict]) -> tuple[list[str], np.ndarray
 
 def headline_fits(records: Sequence[dict], threshold: float = 0.9) -> dict:
     """The records a findings box quotes: best quality, best compression
-    among fits above the quality threshold (None if none qualify), count."""
+    among fits above the quality threshold (None if none qualify), count.
+    Empty input (e.g. a foreign/truncated fit_results.json) yields
+    best=None rather than crashing the figure pipeline."""
+    if not records:
+        return {"best": None, "most_compressed_above": None, "count": 0}
     best = max(records, key=lambda rec: rec[QUALITY])
     qualifying = [rec for rec in records if rec[QUALITY] > threshold]
     most_compressed = (

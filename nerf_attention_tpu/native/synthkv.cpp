@@ -166,11 +166,9 @@ void synth_head(uint32_t seed, int seq_len, int head_dim,
     LegacyRandomState rng(seed);
     double* spikes = new double[seq_len];
 
-    // np.linspace(0, 1, S): s * step with the endpoint pinned to exactly 1.0.
+    // np.linspace(0, 1, S) step; the endpoint rows are pinned to exactly
+    // t=1.0 inline below (the oscillators recurse over s*dt otherwise).
     const double dt = seq_len > 1 ? 1.0 / (seq_len - 1) : 0.0;
-    auto t_at = [&](int s) {
-        return (seq_len > 1 && s == seq_len - 1) ? 1.0 : s * dt;
-    };
     for (int d = 0; d < head_dim; ++d) {
         double freq1 = rng.uniform(1.0, 5.0);
         double freq2 = rng.uniform(3.0, 10.0);

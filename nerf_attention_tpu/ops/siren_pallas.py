@@ -27,11 +27,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nerf_attention_tpu.ops.tiling import SUBLANE, round_up
+
 DEFAULT_TILE = 512
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # The polynomial sine (ops/fastmath.py): the decode kernel is sine-
@@ -128,8 +128,8 @@ def siren_decode_fused(
     n_layers = len(params)
     d_out = params[-1][0].shape[1]
 
-    tile = min(tile, _round_up(seq_len, 8))
-    padded_s = _round_up(seq_len, tile)
+    tile = min(tile, round_up(seq_len, SUBLANE))
+    padded_s = round_up(seq_len, tile)
     grid = (padded_s // tile,)
 
     flat = _flat_weights(params, compute_dtype)
@@ -278,8 +278,8 @@ def siren_decode_batch(
     n_layers = len(params)
     d_out = params[-1][0].shape[-1]
 
-    tile = min(tile, _round_up(seq_len, 8))
-    padded_s = _round_up(seq_len, tile)
+    tile = min(tile, round_up(seq_len, SUBLANE))
+    padded_s = round_up(seq_len, tile)
     grid = (n, padded_s // tile)
 
     flat = _flat_weights(params, compute_dtype, n=n)

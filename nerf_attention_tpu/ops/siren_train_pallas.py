@@ -45,8 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from nerf_attention_tpu.ops.tiling import SUBLANE, round_up
+
 
 
 VMEM_BUDGET = 6 * 1024 * 1024  # measured-safe: medium @2048 rows blows 16 MB
@@ -261,8 +261,8 @@ def siren_train_grads(
 
     if tile is None:
         tile = pick_tile(hidden, d_out, n_layers, scratch_per_layer)
-    tile = min(tile, _round_up(seq_len, 8))
-    padded_s = _round_up(seq_len, tile)
+    tile = min(tile, round_up(seq_len, SUBLANE))
+    padded_s = round_up(seq_len, tile)
     n_tiles = padded_s // tile
     if padded_s != seq_len:
         targets_norm = jnp.pad(

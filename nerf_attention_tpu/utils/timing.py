@@ -153,6 +153,20 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
 MIN_POOL_BYTES = 128 * 1024 * 1024  # >> 16 MB VMEM: slices must come from HBM
 
 
+def _random_pool(shape, dtype):
+    """Random-valued read pool for the HBM timers.
+
+    A jnp.ones pool is the CLAUDE.md splat-constant trap: today it is only
+    protected because the pool is a jit *parameter* (opaque to XLA), but a
+    constant pool one refactor away would let the simplifier fold the timed
+    reduction and silently zero the measured bandwidth. Random contents
+    make the measurement robust by construction.
+    """
+    return jax.random.uniform(
+        jax.random.PRNGKey(0), shape, dtype=jnp.float32
+    ).astype(dtype)
+
+
 def measured_hbm_read_ms(
     seq_len: int, d_head: int, reps: int | None = None, dtype=jnp.bfloat16,
     samples: int = 3, stats: bool = False,
@@ -173,7 +187,7 @@ def measured_hbm_read_ms(
         reps = int(np.clip(15e9 / slice_bytes / 3, 200, 50_000)) if _on_tpu() else 20
     pool_bytes = MIN_POOL_BYTES if _on_tpu() else 4 * 1024 * 1024
     k = max(2, pool_bytes // slice_bytes)
-    pool = jnp.ones((k, seq_len, d_head), dtype=dtype)
+    pool = _random_pool((k, seq_len, d_head), dtype)
 
     @jax.jit
     def run(pool, n):
@@ -216,7 +230,7 @@ def measured_hbm_stream_read_ms(
         # ~15 GB of traffic between the two timing points (see
         # _per_iter_seconds); CPU tests only need functionality.
         reps = int(np.clip(15e9 / total_bytes / 3, 8, 2000)) if _on_tpu() else 3
-    pool = jnp.ones((2, n_slices, seq_len, d_head), dtype=dtype)
+    pool = _random_pool((2, n_slices, seq_len, d_head), dtype)
 
     @jax.jit
     def run(pool, n):
