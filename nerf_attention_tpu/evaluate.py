@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 from pathlib import Path
 
 import matplotlib
@@ -26,7 +25,11 @@ import jax.numpy as jnp
 
 from nerf_attention_tpu import figdata
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.models.siren import positions, siren_forward
+from nerf_attention_tpu.models.siren import (
+    count_parameters,
+    positions,
+    siren_forward,
+)
 from nerf_attention_tpu.parallel.sweep import cosine_similarity
 
 # Color/marker contracts (reference evaluate.py:19-26) — figures key off names.
@@ -153,7 +156,8 @@ def plot_keys_vs_values(results: list[dict], output_dir: Path) -> None:
                 bins=15, alpha=0.5, label=label, color=color,
             )
     ax.set(xlabel="Cosine Similarity", ylabel="Count", title="Distribution of Reconstruction Quality")
-    ax.legend()
+    if ax.get_legend_handles_labels()[0]:
+        ax.legend()
     ax.grid(True, alpha=0.3)
 
     plt.tight_layout()
@@ -218,7 +222,8 @@ def plot_per_position_error(
             title=f"L{metrics['layer']} H{metrics['head']} {metrics['kv_type']}",
         )
         ax.set_ylim(bottom=max(0, per_pos_cos.min() - 0.05))
-        ax.legend(fontsize=8)
+        if ax.get_legend_handles_labels()[0]:
+            ax.legend(fontsize=8)
         ax.grid(True, alpha=0.3)
 
     plt.tight_layout()
@@ -289,7 +294,7 @@ def profile_latency(
             "speedup_vs_4060": (raw_bytes / HBM_BW["rtx4060"]) / max(elapsed, 1e-10),
             "speedup_vs_h100": (raw_bytes / HBM_BW["h100"]) / max(elapsed, 1e-10),
             "speedup_vs_v5e": (raw_bytes / HBM_BW["tpu_v5e"]) / max(elapsed, 1e-10),
-            "num_params": sum(w.size + b.size for w, b in ckpt["params"]),
+            "num_params": count_parameters(ckpt["params"]),
         }
         results.append(result)
         print(

@@ -19,7 +19,6 @@ from pathlib import Path
 import numpy as np
 
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.models.siren import layer_dims
 from nerf_attention_tpu.parallel.sweep import (
     BatchFitMetrics,
     fit_batch,
@@ -68,12 +67,10 @@ def _batch_to_fit_result(
     d_head: int,
 ) -> FitResult:
     # params may be absent (fit_batch_collect(with_params=False) skips the
-    # device->host pull for groups that never checkpoint) — sizes come from
-    # the config's layer shapes, identical to counting the arrays.
+    # device->host pull for groups that never checkpoint) — the size comes
+    # from the config, identical to counting the arrays.
     params = select_fit_params(batch.params, i) if batch.params else []
-    num_params = sum(
-        d_in * d_out + d_out for d_in, d_out in layer_dims(config, d_head)
-    )
+    num_params = config.num_parameters(d_head)
     raw_size = seq_len * d_head * 2  # KV cache is natively fp16 (siren.py:127)
     siren_size = num_params * 4  # params stored fp32
     return FitResult(
@@ -183,6 +180,11 @@ def fit_kv_cache(
                 items.append(FitItem(layer_idx, head_idx, kv_type))
                 tensors.append(np.asarray(tensor, dtype=np.float32))
 
+    if not items:
+        raise FileNotFoundError(
+            f"no layer files under {kv_dir} for the sweep layers "
+            f"{layers_to_fit} — nothing to fit"
+        )
     total = len(items) * len(configs)
     if verbose:
         print(f"Sweep: {len(items)} tensors x {len(configs)} configs = {total} fits")
@@ -192,14 +194,20 @@ def fit_kv_cache(
     # the same sweep parameters (sweep_meta.json stamp) — records carry no
     # epochs/seed field, so without the stamp a 100-epoch run would be
     # silently merged into a 5000-epoch one.
+    # The stamp includes impl: the XLA and fused-kernel paths differ by
+    # fp32 reduction-order rounding, so resumed groups must come from the
+    # same training path as the new ones.
     sweep_meta = {
         "epochs": epochs, "lr": lr, "seed": seed, "quick": quick,
         "seq_len": metadata.seq_len, "kv_dir": str(kv_dir),
-        "sin_impl": sin_impl,
+        "sin_impl": sin_impl, "impl": impl,
     }
     meta_path = output_dir / "sweep_meta.json"
     results_path = output_dir / "fit_results.json"
-    prior_meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
+    try:
+        prior_meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
+    except json.JSONDecodeError:
+        prior_meta = None  # torn stamp from a crash mid-write: treat as stale
     done_records: dict[str, list[dict]] = {}
     if resume and prior_meta == sweep_meta and results_path.exists():
         with open(results_path) as f:
@@ -225,8 +233,10 @@ def fit_kv_cache(
         # after the stamp but before the first group write must not leave
         # old-parameter records that a later --resume would adopt.
         results_path.unlink(missing_ok=True)
-        with open(meta_path, "w") as f:
+        meta_tmp = output_dir / "sweep_meta.json.tmp"
+        with open(meta_tmp, "w") as f:
             json.dump(sweep_meta, f, indent=2)
+        meta_tmp.replace(meta_path)  # atomic: a crash can't tear the stamp
 
     # Durable results, keyed by config group and always serialized in config
     # order. Seeded with ALL resumed groups up front so a crash mid-sweep
@@ -253,9 +263,13 @@ def fit_kv_cache(
 
     import jax.numpy as jnp
 
-    # One host->device transfer shared by all 7 group dispatches.
-    stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
     start = time.perf_counter()
+    todo = [c for c in configs if c.name not in done_records]
+    if todo:
+        # One host->device transfer shared by all group dispatches; skipped
+        # entirely when every group is resumed (a resume-complete run then
+        # avoids the tunnel transfer and the first-dispatch client warmup).
+        stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
 
     # Dispatch every architecture group before collecting any: group k+1's
     # compile / persistent-cache load (host-side, blocking) overlaps group
@@ -350,8 +364,10 @@ def fit_kv_cache(
     wall = time.perf_counter() - start
 
     if verbose:
-        print(f"\nTotal sweep wall-clock: {wall:.1f}s for {total} fits "
-              f"({total / max(wall, 1e-9):.2f} fits/s)")
+        trained = len(handles) * len(items)  # resumed fits did not train
+        resumed_note = f" ({total - trained} resumed)" if trained < total else ""
+        print(f"\nTotal sweep wall-clock: {wall:.1f}s for {trained} fits"
+              f"{resumed_note} ({trained / max(wall, 1e-9):.2f} fits/s)")
         print_summary(all_results, layers_to_fit)
     return all_results
 

@@ -198,3 +198,45 @@ def test_resume_rejects_parameter_mismatch(tiny_kv_dir, tmp_path, capsys):
     assert "different parameters" in out
     assert "skipping completed groups" not in out
     assert len(resumed) == 12  # full rerun at the new epoch count
+
+
+def test_sweep_rejects_empty_kv_dir(tmp_path):
+    """metadata.json without layer files must raise early, not wipe results."""
+    import pytest
+
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.types import KVMetadata
+
+    kv_dir = tmp_path / "kv_cache"
+    kv_dir.mkdir()
+    kvstore.save_metadata(
+        kv_dir,
+        KVMetadata(
+            model_name="t", num_layers=4, num_kv_heads=2, seq_len=64,
+            head_dim=8, actual_tokens=64,
+        ),
+    )
+    out = tmp_path / "fits"
+    with pytest.raises(FileNotFoundError, match="no layer files"):
+        fit_kv_cache(kv_dir, out, epochs=10, quick=True, verbose=False)
+    # A prior good fit_results.json must survive the failed resume attempt.
+    out.mkdir(exist_ok=True)
+    (out / "fit_results.json").write_text('[{"name": "keep"}]')
+    with pytest.raises(FileNotFoundError):
+        fit_kv_cache(kv_dir, out, epochs=10, quick=True, verbose=False, resume=True)
+    assert (out / "fit_results.json").read_text() == '[{"name": "keep"}]'
+
+
+def test_sweep_recovers_from_torn_meta_stamp(tiny_kv_dir, tmp_path):
+    """A crash mid-write of sweep_meta.json must not brick later sweeps."""
+    from nerf_attention_tpu.fit import fit_kv_cache
+
+    (tmp_path / "sweep_meta.json").write_text('{"epochs": 3')  # torn JSON
+    records = fit_kv_cache(
+        tiny_kv_dir, tmp_path, epochs=10, quick=True, verbose=False
+    )
+    assert records
+    import json
+
+    assert json.loads((tmp_path / "sweep_meta.json").read_text())["epochs"] == 10
