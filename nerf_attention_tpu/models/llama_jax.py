@@ -170,9 +170,11 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     s = h.shape[0]
 
     x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
-    q = (x @ lp["q"]).reshape(s, n_q, d).transpose(1, 0, 2)
-    k = (x @ lp["k"]).reshape(s, n_kv, d).transpose(1, 0, 2)
-    v = (x @ lp["v"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+    # QKV biases: zeros for Llama/Mistral, loaded for Qwen2-family
+    # checkpoints (their attention projections carry biases).
+    q = (x @ lp["q"] + lp["q_bias"]).reshape(s, n_q, d).transpose(1, 0, 2)
+    k = (x @ lp["k"] + lp["k_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+    v = (x @ lp["v"] + lp["v_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
@@ -294,11 +296,28 @@ def load_llama_params(
             x = x.T
         return np.ascontiguousarray(x.astype(np_dtype))
 
-    layers: dict[str, list] = {k: [] for k in (*_LAYER_MAP, "input_norm", "post_norm")}
+    bias_keys = ("q_bias", "k_bias", "v_bias")
+    layers: dict[str, list] = {
+        k: [] for k in (*_LAYER_MAP, *bias_keys, "input_norm", "post_norm")
+    }
+    bias_dims = {
+        "q_bias": config.num_attention_heads * config.head_dim,
+        "k_bias": config.num_key_value_heads * config.head_dim,
+        "v_bias": config.num_key_value_heads * config.head_dim,
+    }
     for i in range(config.num_hidden_layers):
         prefix = f"model.layers.{i}"
         for short, hf in _LAYER_MAP.items():
             layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
+        for bk in bias_keys:
+            # Qwen2-family attention projections carry biases; Llama/Mistral
+            # checkpoints don't ship the tensor — use zeros.
+            name = f"{prefix}.{_LAYER_MAP[bk[0]]}.bias"
+            layers[bk].append(
+                arr(name)
+                if name in names
+                else np.zeros(bias_dims[bk], dtype=np_dtype)
+            )
         layers["input_norm"].append(arr(f"{prefix}.input_layernorm.weight"))
         layers["post_norm"].append(arr(f"{prefix}.post_attention_layernorm.weight"))
 
@@ -329,6 +348,9 @@ def init_random_llama(
         "q": w(n_l, h, n_q * d),
         "k": w(n_l, h, n_kv * d),
         "v": w(n_l, h, n_kv * d),
+        "q_bias": jnp.zeros((n_l, n_q * d), dtype=dtype),
+        "k_bias": jnp.zeros((n_l, n_kv * d), dtype=dtype),
+        "v_bias": jnp.zeros((n_l, n_kv * d), dtype=dtype),
         "o": w(n_l, n_q * d, h),
         "gate": w(n_l, h, i_sz),
         "up": w(n_l, h, i_sz),
@@ -356,6 +378,10 @@ def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
         "q": put(lp["q"], P(None, None, axis)),
         "k": put(lp["k"], P(None, None, axis)),
         "v": put(lp["v"], P(None, None, axis)),
+        # Biases follow their projection's output dim (Megatron column split).
+        "q_bias": put(lp["q_bias"], P(None, axis)),
+        "k_bias": put(lp["k_bias"], P(None, axis)),
+        "v_bias": put(lp["v_bias"], P(None, axis)),
         "o": put(lp["o"], P(None, axis, None)),
         "gate": put(lp["gate"], P(None, None, axis)),
         "up": put(lp["up"], P(None, None, axis)),

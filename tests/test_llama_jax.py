@@ -230,3 +230,54 @@ def test_chunked_attention_matches_single_shot(monkeypatch):
     monkeypatch.setattr(llama_jax, "ATTN_BLOCK", 32)  # 70 -> blocks 32/32/6
     got = llama_jax._causal_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_kv_parity_with_hf_qwen2(tmp_path):
+    """Qwen2-family checkpoints carry QKV projection BIASES — the loader
+    must pick them up (zeros for Llama/Mistral) and still match HF's
+    post-RoPE KV exactly."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    model.eval()
+    # HF initializes biases to zero — fill them with random values so the
+    # test actually exercises the bias path end-to-end.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (
+                layer.self_attn.q_proj,
+                layer.self_attn.k_proj,
+                layer.self_attn.v_proj,
+            ):
+                assert proj.bias is not None
+                proj.bias.normal_(std=0.5)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert float(np.abs(params["layers"]["q_bias"]).max()) > 0  # loaded, not zeros
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
