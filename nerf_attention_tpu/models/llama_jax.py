@@ -39,11 +39,33 @@ class LlamaConfig:
     head_dim: int
     rope_theta: float = 10000.0  # HF LlamaConfig default (Llama-2 era)
     rms_norm_eps: float = 1e-6  # HF LlamaConfig default
+    sliding_window: int | None = None  # Mistral-style windowed attention
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
+
+    @staticmethod
+    def _resolve_sliding_window(d: dict) -> int | None:
+        """Windowed-attention config across families.
+
+        Mistral: ``sliding_window`` (null = full attention; v0.2+ ship
+        null). Qwen2: carries a ``sliding_window`` value but it is inert
+        unless ``use_sliding_window`` is true, and then applies only to
+        layers >= max_window_layers — a per-layer mix this prefill doesn't
+        implement, so it's rejected rather than silently wrong.
+        """
+        window = d.get("sliding_window")
+        if "use_sliding_window" in d:  # Qwen2-family config shape
+            if not d["use_sliding_window"]:
+                return None
+            if d.get("max_window_layers", 0) > 0:
+                raise NotImplementedError(
+                    "Qwen2 per-layer sliding window (max_window_layers > 0) "
+                    "is not supported; uniform windows are"
+                )
+        return window
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
@@ -70,6 +92,7 @@ class LlamaConfig:
             # (Llama-2-era checkpoints) must get HF's values, not Llama-3's.
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            sliding_window=cls._resolve_sliding_window(d),
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -122,7 +145,10 @@ def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
 
 
-def _causal_attention(q: jax.Array, k_full: jax.Array, v_full: jax.Array):
+def _causal_attention(
+    q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+    window: int | None = None,
+):
     """Causal softmax attention, query-chunked.
 
     q/k_full/v_full: (H, S, D). The full (H, S, S) fp32 logits tensor of a
@@ -130,7 +156,8 @@ def _causal_attention(q: jax.Array, k_full: jax.Array, v_full: jax.Array):
     chunking queries into ATTN_BLOCK rows bounds the live logits to
     (H, BLOCK, S) (~0.5 GB at 8192) so long-context extraction fits a
     single chip. Math is identical: each query row still softmaxes over
-    its full causal prefix.
+    its full causal prefix. ``window``: Mistral-style sliding window — row
+    r attends to cols in (r - window, r], matching HF's mask diagonal.
     """
     h_heads, s, d = q.shape
     scale = jax.lax.rsqrt(jnp.float32(d))
@@ -149,8 +176,10 @@ def _causal_attention(q: jax.Array, k_full: jax.Array, v_full: jax.Array):
             * scale
         )
         rows = row0 + jnp.arange(block)
-        causal = cols[None, None, :] <= rows[None, :, None]
-        logits = jnp.where(causal, logits, neg_inf)
+        keep = cols[None, None, :] <= rows[None, :, None]
+        if window is not None:
+            keep &= cols[None, None, :] > rows[None, :, None] - window
+        logits = jnp.where(keep, logits, neg_inf)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
         return jnp.einsum("hqk,hkd->hqd", probs, v_full)
 
@@ -184,7 +213,7 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     k_full = jnp.repeat(k, group, axis=0)
     v_full = jnp.repeat(v, group, axis=0)
 
-    attn = _causal_attention(q, k_full, v_full)
+    attn = _causal_attention(q, k_full, v_full, window=config.sliding_window)
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
     h = h + attn @ lp["o"]
 

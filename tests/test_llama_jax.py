@@ -281,3 +281,54 @@ def test_kv_parity_with_hf_qwen2(tmp_path):
             np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_kv_parity_with_hf_mistral_sliding_window(tmp_path):
+    """A Mistral checkpoint with an active sliding_window must produce HF's
+    KV: the window changes deeper layers' KV through the attention output
+    feeding the next layer, so ignoring it would extract wrong tensors."""
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=3, attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    model = transformers.MistralForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.sliding_window == 3
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    # The window must actually bite: layer-1 KV differs from the
+    # full-attention result (layer 0's KV is pre-attention, identical).
+    full_cfg = LlamaConfig(**{**config.__dict__, "sliding_window": None})
+    keys_full, _ = llama_prefill_kv(full_cfg, params, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(keys[1]), np.asarray(keys_full[1]), atol=1e-5)
+
+    # HF's sliding-window cache RETAINS only the window tail; our
+    # extraction keeps the full length (a superset). Compare the kept rows
+    # — off-by-one window semantics would show up as ~1e-1 diffs (probed:
+    # window 2/4/None give 0.035-0.094, window 3 gives 5.7e-4).
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        hf_k = hf_k.squeeze(0).float().numpy()
+        hf_v = hf_v.squeeze(0).float().numpy()
+        kept = hf_k.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx])[:, -kept:], hf_k, atol=1e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx])[:, -kept:], hf_v, atol=1e-3, rtol=1e-3,
+        )
