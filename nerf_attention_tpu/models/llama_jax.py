@@ -40,6 +40,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0  # HF LlamaConfig default (Llama-2 era)
     rms_norm_eps: float = 1e-6  # HF LlamaConfig default
     sliding_window: int | None = None  # Mistral-style windowed attention
+    hidden_act: str = "silu"  # MLP activation (Gemma: gelu_pytorch_tanh)
+    norm_offset: bool = False  # Gemma RMSNorm scales by (1 + w), not w
+    scale_embeddings: bool = False  # Gemma multiplies embeddings by sqrt(h)
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -67,8 +70,20 @@ class LlamaConfig:
                 )
         return window
 
+    # Families this forward implements faithfully. Anything else must fail
+    # loudly: e.g. gemma2/3 add pre/post-norms and logit softcapping,
+    # mixtral swaps the MLP for MoE — silently extracting with the wrong
+    # architecture would produce plausible-looking but wrong KV.
+    _SUPPORTED_MODEL_TYPES = {None, "llama", "mistral", "qwen2", "gemma"}
+
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
+        model_type = d.get("model_type")
+        if model_type not in cls._SUPPORTED_MODEL_TYPES:
+            raise NotImplementedError(
+                f"model_type {model_type!r} is not supported (have: "
+                f"llama, mistral, qwen2, gemma)"
+            )
         scaling = d.get("rope_scaling") or {}
         rope_type = scaling.get("rope_type", scaling.get("type"))
         is_llama3 = rope_type == "llama3"
@@ -93,6 +108,11 @@ class LlamaConfig:
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             sliding_window=cls._resolve_sliding_window(d),
+            # Gemma config names the MLP activation hidden_activation;
+            # older configs use hidden_act.
+            hidden_act=d.get("hidden_activation") or d.get("hidden_act", "silu"),
+            norm_offset=model_type == "gemma",
+            scale_embeddings=model_type == "gemma",
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -136,10 +156,25 @@ def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos[None, :, :] + rotated * sin[None, :, :]
 
 
-def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def _rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float, offset: bool = False
+) -> jax.Array:
     xf = x.astype(jnp.float32)
     norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (norm * weight.astype(jnp.float32)).astype(x.dtype)
+    w = weight.astype(jnp.float32)
+    if offset:
+        w = 1.0 + w  # Gemma stores zero-centered norm weights
+    return (norm * w).astype(x.dtype)
+
+
+def _mlp_act(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu_pytorch_tanh":
+        return partial(jax.nn.gelu, approximate=True)
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    raise NotImplementedError(f"hidden_act {name!r} is not supported")
 
 
 ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
@@ -198,7 +233,7 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     )
     s = h.shape[0]
 
-    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
+    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
     # QKV biases: zeros for Llama/Mistral, loaded for Qwen2-family
     # checkpoints (their attention projections carry biases).
     q = (x @ lp["q"] + lp["q_bias"]).reshape(s, n_q, d).transpose(1, 0, 2)
@@ -217,8 +252,8 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
     h = h + attn @ lp["o"]
 
-    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
+    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
+    gated = _mlp_act(config.hidden_act)(x @ lp["gate"]) * (x @ lp["up"])
     h = h + gated @ lp["down"]
     return h, (k, v)
 
@@ -231,6 +266,10 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
     """
     s = input_ids.shape[0]
     h = params["embed"][input_ids]
+    if config.scale_embeddings:
+        # Gemma scales embeddings by sqrt(hidden), cast to the compute dtype
+        # BEFORE the multiply (HF casts the normalizer tensor to dtype).
+        h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
 
     inv_freq = jnp.asarray(_rope_frequencies(config))
     pos = jnp.arange(s, dtype=jnp.float32)

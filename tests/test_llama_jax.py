@@ -332,3 +332,51 @@ def test_kv_parity_with_hf_mistral_sliding_window(tmp_path):
         np.testing.assert_allclose(
             np.asarray(values[layer_idx])[:, -kept:], hf_v, atol=1e-3, rtol=1e-3,
         )
+
+
+def test_kv_parity_with_hf_gemma(tmp_path):
+    """Gemma-family: sqrt(hidden) embedding scaling, (1+w) RMSNorm, and
+    tanh-GELU MLP — all three must be active to match HF's KV."""
+    cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+    )
+    torch.manual_seed(4)
+    model = transformers.GemmaForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.norm_offset and config.scale_embeddings
+    assert config.hidden_act == "gelu_pytorch_tanh"
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_unsupported_model_type_rejected():
+    with pytest.raises(NotImplementedError, match="gemma2"):
+        LlamaConfig.from_hf_dict(
+            dict(model_type="gemma2", vocab_size=8, hidden_size=8,
+                 intermediate_size=8, num_hidden_layers=1,
+                 num_attention_heads=1)
+        )
