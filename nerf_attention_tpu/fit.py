@@ -24,6 +24,7 @@ from nerf_attention_tpu.parallel.sweep import (
     fit_batch,
     fit_batch_collect,
     fit_batch_dispatch,
+    resolve_impl,
     select_fit_params,
 )
 from nerf_attention_tpu.types import (
@@ -194,13 +195,19 @@ def fit_kv_cache(
     # the same sweep parameters (sweep_meta.json stamp) — records carry no
     # epochs/seed field, so without the stamp a 100-epoch run would be
     # silently merged into a 5000-epoch one.
-    # The stamp includes impl: the XLA and fused-kernel paths differ by
-    # fp32 reduction-order rounding, so resumed groups must come from the
-    # same training path as the new ones.
+    # The stamp records the RESOLVED per-group implementation, not the
+    # user's impl string: the XLA and fused-kernel paths differ by fp32
+    # reduction-order rounding, and 'auto' resolves differently across
+    # backends/meshes — a crash on TPU resumed on CPU must rerun, not merge.
+    multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
     sweep_meta = {
         "epochs": epochs, "lr": lr, "seed": seed, "quick": quick,
         "seq_len": metadata.seq_len, "kv_dir": str(kv_dir),
-        "sin_impl": sin_impl, "impl": impl,
+        "sin_impl": sin_impl,
+        "impl": {
+            c.name: resolve_impl(impl, multi_device=multi_device, config=c)
+            for c in configs
+        },
     }
     meta_path = output_dir / "sweep_meta.json"
     results_path = output_dir / "fit_results.json"
@@ -264,12 +271,6 @@ def fit_kv_cache(
     import jax.numpy as jnp
 
     start = time.perf_counter()
-    todo = [c for c in configs if c.name not in done_records]
-    if todo:
-        # One host->device transfer shared by all group dispatches; skipped
-        # entirely when every group is resumed (a resume-complete run then
-        # avoids the tunnel transfer and the first-dispatch client warmup).
-        stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
 
     # Dispatch every architecture group before collecting any: group k+1's
     # compile / persistent-cache load (host-side, blocking) overlaps group
@@ -291,10 +292,15 @@ def fit_kv_cache(
     order = sorted(
         enumerate(configs), key=lambda ic: group_cost(ic[1]), reverse=True
     )
+    # Only non-resumed groups dispatch; binding `stacked` under the same
+    # predicate keeps a fully-resumed run off the tunnel entirely (no
+    # host->device transfer, no first-dispatch client warmup).
+    todo_order = [(gi, c) for gi, c in order if c.name not in done_records]
+    if todo_order:
+        # One host->device transfer shared by all group dispatches.
+        stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
     handles: dict[int, tuple] = {}
-    for gi, config in order:
-        if config.name in done_records:
-            continue
+    for gi, config in todo_order:
         if verbose:
             print(
                 f"[dispatch {gi + 1}/{len(configs)}] {config.name}: "
@@ -308,10 +314,8 @@ def fit_kv_cache(
         )
 
     prev_done = start
-    for gi, config in order:  # collect in dispatch (device-queue) order
-        handle = handles.get(gi)
-        if handle is None:  # resumed group: records already durable on disk
-            continue
+    for gi, config in todo_order:  # collect in dispatch (device-queue) order
+        handle = handles[gi]
         np.asarray(handle[2]["final_mse"])  # wait for this group's completion
         now = time.perf_counter()
         # Groups run back-to-back on the device queue, so the gap between

@@ -54,21 +54,25 @@ class LlamaConfig:
         """Windowed-attention config across families.
 
         Mistral: ``sliding_window`` (null = full attention; v0.2+ ship
-        null). Qwen2: carries a ``sliding_window`` value but it is inert
-        unless ``use_sliding_window`` is true, and then applies only to
-        layers >= max_window_layers — a per-layer mix this prefill doesn't
-        implement, so it's rejected rather than silently wrong.
+        null; an ABSENT key means HF's MistralConfig default 4096, not
+        full attention). Qwen2: carries a ``sliding_window`` value but it
+        is inert unless ``use_sliding_window`` is true, and then applies
+        only to layers >= max_window_layers (HF default 28) — a per-layer
+        mix this prefill doesn't implement, so it's rejected rather than
+        silently wrong.
         """
-        window = d.get("sliding_window")
         if "use_sliding_window" in d:  # Qwen2-family config shape
             if not d["use_sliding_window"]:
                 return None
-            if d.get("max_window_layers", 0) > 0:
+            if d.get("max_window_layers", 28) > 0:
                 raise NotImplementedError(
                     "Qwen2 per-layer sliding window (max_window_layers > 0) "
                     "is not supported; uniform windows are"
                 )
-        return window
+            return d.get("sliding_window", 4096)
+        if d.get("model_type") == "mistral":
+            return d.get("sliding_window", 4096)  # HF MistralConfig default
+        return d.get("sliding_window")
 
     # Families this forward implements faithfully. Anything else must fail
     # loudly: e.g. gemma2/3 add pre/post-norms and logit softcapping,
@@ -108,9 +112,11 @@ class LlamaConfig:
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             sliding_window=cls._resolve_sliding_window(d),
-            # Gemma config names the MLP activation hidden_activation;
-            # older configs use hidden_act.
-            hidden_act=d.get("hidden_activation") or d.get("hidden_act", "silu"),
+            # Parity contract is the installed transformers: GemmaMLP reads
+            # config.hidden_act and IGNORES the hidden_activation field some
+            # Gemma hub configs also carry — follow HF exactly, or real
+            # checkpoints would extract KV with a different activation.
+            hidden_act=d.get("hidden_act", "silu"),
             norm_offset=model_type == "gemma",
             scale_embeddings=model_type == "gemma",
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,

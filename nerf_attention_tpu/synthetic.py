@@ -231,7 +231,7 @@ def generate_synthetic_kv(
     kvstore.save_metadata(output_dir, metadata)
 
     if verbose:
-        n_written = len(list(layers))
+        n_written = len(layers)
         total_mb = n_written * num_kv_heads * seq_len * head_dim * 2 * 4 / 1024 / 1024
         print(f"Saved to {output_dir}/ ({total_mb:.1f} MB, {n_written} layers)")
     return metadata
