@@ -78,7 +78,7 @@ class LlamaConfig:
     # loudly: e.g. gemma2/3 add pre/post-norms and logit softcapping,
     # mixtral swaps the MLP for MoE — silently extracting with the wrong
     # architecture would produce plausible-looking but wrong KV.
-    _SUPPORTED_MODEL_TYPES = {None, "llama", "mistral", "qwen2", "gemma"}
+    _SUPPORTED_MODEL_TYPES = {None, "llama", "mistral", "qwen2", "gemma", "phi3"}
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
@@ -86,7 +86,11 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, qwen2, gemma)"
+                f"llama, mistral, qwen2, gemma, phi3)"
+            )
+        if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
+            raise NotImplementedError(
+                "phi3 partial rotary embeddings are not supported"
             )
         scaling = d.get("rope_scaling") or {}
         rope_type = scaling.get("rope_type", scaling.get("type"))
@@ -379,10 +383,28 @@ def load_llama_params(
         "k_bias": config.num_key_value_heads * config.head_dim,
         "v_bias": config.num_key_value_heads * config.head_dim,
     }
+    n_q_cols = config.num_attention_heads * config.head_dim
+    n_kv_cols = config.num_key_value_heads * config.head_dim
     for i in range(config.num_hidden_layers):
         prefix = f"model.layers.{i}"
+        fused_qkv = f"{prefix}.self_attn.qkv_proj.weight"
+        fused_gate_up = f"{prefix}.mlp.gate_up_proj.weight"
+        split_cols: dict[str, np.ndarray] = {}
+        if fused_qkv in names:
+            # Phi-3-family fused projections: qkv_proj columns are q|k|v,
+            # gate_up_proj columns are gate|up (HF Phi3Attention/Phi3MLP).
+            qkv = arr(fused_qkv, transpose=True)
+            split_cols["q"] = qkv[:, :n_q_cols]
+            split_cols["k"] = qkv[:, n_q_cols : n_q_cols + n_kv_cols]
+            split_cols["v"] = qkv[:, n_q_cols + n_kv_cols :]
+            gate_up = arr(fused_gate_up, transpose=True)
+            split_cols["gate"] = gate_up[:, : config.intermediate_size]
+            split_cols["up"] = gate_up[:, config.intermediate_size :]
         for short, hf in _LAYER_MAP.items():
-            layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
+            if short in split_cols:
+                layers[short].append(np.ascontiguousarray(split_cols[short]))
+            else:
+                layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
         for bk in bias_keys:
             # Qwen2-family attention projections carry biases; Llama/Mistral
             # checkpoints don't ship the tensor — use zeros.

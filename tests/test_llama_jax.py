@@ -380,3 +380,42 @@ def test_unsupported_model_type_rejected():
                  intermediate_size=8, num_hidden_layers=1,
                  num_attention_heads=1)
         )
+
+
+def test_kv_parity_with_hf_phi3(tmp_path):
+    """Phi-3-family: fused qkv_proj (q|k|v columns) and gate_up_proj
+    (gate|up) checkpoints split correctly and match HF's post-RoPE KV."""
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,  # defaults exceed the tiny vocab
+    )
+    torch.manual_seed(5)
+    model = transformers.Phi3ForCausalLM(cfg)
+    model.eval()
+    assert hasattr(model.model.layers[0].self_attn, "qkv_proj")  # fused
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
