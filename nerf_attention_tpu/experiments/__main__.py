@@ -56,6 +56,11 @@ def main() -> None:
         "--seq_lengths", type=int, nargs="+", default=[512, 1024, 2048, 4096, 8192]
     )
     parser.add_argument(
+        "--train_weights", action="store_true",
+        help="aggregate_decode: fit ALL L*H*2 medium SIRENs first (one "
+        "batched program) so the timed stack is fully trained",
+    )
+    parser.add_argument(
         "--synth_layers", type=int, default=32,
         help="synthetic backend: layer count for generated caches",
     )
@@ -153,6 +158,9 @@ def main() -> None:
             output_dir=Path("results/aggregate_decode"),
             siren_dir=siren_dir if siren_dir.exists() else None,
             figures_dir=figures_dir,
+            train=args.train_weights,
+            kv_dir=Path(args.kv_dir) if args.train_weights else None,
+            epochs=args.epochs,
         )
 
     if args.experiment == "all":

@@ -126,6 +126,67 @@ def _time_batched_decode_ms(
     return time_perturbed_forward_ms(stacked, forward, reps, samples=samples)
 
 
+def _train_full_stack(
+    kv_dir: Path | None,
+    seq_len: int,
+    head_dim: int,
+    num_layers: int,
+    num_kv_heads: int,
+    epochs: int,
+    verbose: bool,
+):
+    """Fit a medium SIREN to EVERY (layer, head, K|V) slice — one batched
+    program over all L*H*2 fits (512 for Llama-3.1-8B geometry).
+
+    Returns (stacked params as device arrays, source label, quality dict).
+    Uses the synthetic cache at ``kv_dir`` (generated there if absent).
+    """
+    import numpy as np
+
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    kv_dir = Path(kv_dir) if kv_dir is not None else Path("results/aggregate_kv")
+    if not (kv_dir / "metadata.json").exists():
+        generate_synthetic_kv(
+            seq_len=seq_len, num_layers=num_layers, num_kv_heads=num_kv_heads,
+            head_dim=head_dim, output_dir=kv_dir, verbose=verbose,
+        )
+    targets = np.empty(
+        (num_layers * num_kv_heads * 2, seq_len, head_dim), dtype=np.float32
+    )
+    quality_index = []  # (kv_type) per row, row order = layer-major, head, K|V
+    row = 0
+    for layer_idx in range(num_layers):
+        keys, values = kvstore.load_layer(kv_dir, layer_idx)
+        for head_idx in range(num_kv_heads):
+            for kv_type, tensor in (
+                ("key", keys[head_idx]), ("value", values[head_idx])
+            ):
+                targets[row] = tensor
+                quality_index.append(kv_type)
+                row += 1
+
+    if verbose:
+        print(f"  training {row} medium SIRENs as one batched program "
+              f"({epochs} epochs) ...")
+    batch = fit_batch(targets, MEDIUM, epochs=epochs)
+    if verbose:
+        print(f"  trained in {batch.train_time_seconds:.1f}s "
+              f"({batch.seconds_per_fit * 1e3:.1f} ms/fit)")
+    import numpy as _np
+
+    k_mask = _np.asarray([t == "key" for t in quality_index])
+    quality = {
+        "keys_cosine_mean": float(batch.cosine_mean[k_mask].mean()),
+        "values_cosine_mean": float(batch.cosine_mean[~k_mask].mean()),
+        "epochs": epochs,
+    }
+    stacked = [(jnp.asarray(w), jnp.asarray(b)) for w, b in batch.params]
+    return stacked, f"{row} freshly trained fits", quality
+
+
 def run_aggregate_decode_experiment(
     output_dir: Path,
     siren_dir: Path | None = None,
@@ -135,15 +196,30 @@ def run_aggregate_decode_experiment(
     num_kv_heads: int = 8,
     verbose: bool = True,
     figures_dir: Path | None = None,
+    train: bool = False,
+    kv_dir: Path | None = None,
+    epochs: int = 2000,
 ) -> dict:
-    """Measure reconstructing the WHOLE cache vs reading it from HBM."""
+    """Measure reconstructing the WHOLE cache vs reading it from HBM.
+
+    ``train=True`` fits all L*H*2 medium SIRENs to the synthetic cache
+    first (one batched program) so the timed stack is fully trained and the
+    artifact also reports serving-scale reconstruction quality.
+    """
     from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
     n_networks = num_layers * num_kv_heads * 2  # K and V per (layer, head)
-    stacked, source = _gather_networks(siren_dir, n_networks, head_dim)
+    quality = None
+    if train:
+        stacked, source, quality = _train_full_stack(
+            kv_dir, seq_len, head_dim, num_layers, num_kv_heads, epochs,
+            verbose,
+        )
+    else:
+        stacked, source = _gather_networks(siren_dir, n_networks, head_dim)
     num_params = sum(int(w.size) + int(b.size) for w, b in stacked)
 
     if verbose:
@@ -195,6 +271,14 @@ def run_aggregate_decode_experiment(
         / max(cache_bytes / HBM_BW["tpu_v5e"] * 1000, 1e-12),
         "backend": jax.default_backend(),
     }
+    if quality is not None:
+        results["trained_quality"] = quality
+        if verbose:
+            print(
+                f"  serving-scale quality (all {n_networks} fits): "
+                f"keys CosSim {quality['keys_cosine_mean']:.4f} / "
+                f"values {quality['values_cosine_mean']:.4f}"
+            )
 
     if verbose:
         print(

@@ -155,3 +155,28 @@ def test_aggregate_decode_experiment(tmp_path, figqa):
     assert results["ratio_vs_measured"] > 0
     assert (tmp_path / "aggregate_decode.json").exists()
     figqa(tmp_path / "aggregate_decode.png")
+
+
+def test_aggregate_decode_trained_stack(tmp_path):
+    """train=True fits every (layer, head, K|V) slice first; the artifact
+    then reports serving-scale quality and an all-trained weights source."""
+    from nerf_attention_tpu.experiments.aggregate_decode import (
+        run_aggregate_decode_experiment,
+    )
+
+    results = run_aggregate_decode_experiment(
+        output_dir=tmp_path,
+        seq_len=64,
+        head_dim=8,
+        num_layers=2,
+        num_kv_heads=2,
+        verbose=False,
+        train=True,
+        kv_dir=tmp_path / "kv",
+        epochs=30,
+    )
+    assert results["weights_source"] == "8 freshly trained fits"
+    q = results["trained_quality"]
+    assert 0.0 < q["keys_cosine_mean"] <= 1.0
+    assert 0.0 < q["values_cosine_mean"] <= 1.0
+    assert q["epochs"] == 30
