@@ -25,7 +25,9 @@ def trace(profile_dir: str | Path | None):
         yield
         return
 
-    import jax
+    import sys
+
+import jax
 
     profile_dir = Path(profile_dir)
     profile_dir.mkdir(parents=True, exist_ok=True)
@@ -34,8 +36,13 @@ def trace(profile_dir: str | Path | None):
         yield
     finally:
         jax.profiler.stop_trace()
-        print(f"  Profiler trace written to {profile_dir}/ "
-              f"(view: tensorboard --logdir {profile_dir})")
+        # stderr: callers like bench.py reserve stdout for machine-readable
+        # output (one JSON line) — diagnostics must not corrupt it.
+        print(
+            f"  Profiler trace written to {profile_dir}/ "
+            f"(view: tensorboard --logdir {profile_dir})",
+            file=sys.stderr,
+        )
 
 
 def annotate(name: str):

@@ -78,7 +78,6 @@ def main() -> None:
     # --- quality delta at the headline point, from a trained checkpoint ---
     log(f"training medium fits at S={args.quality_seq_len} for the quality delta ...")
     kv_dir = Path("results/bench_kv")
-    quality = None
     md = None
     if (kv_dir / "metadata.json").exists():
         md = kvstore.load_metadata(kv_dir)
@@ -86,8 +85,11 @@ def main() -> None:
             md = None
     if md is None:
         kv_dir = out_dir / "quality_kv"
+        # num_kv_heads must match the bench cache (8): the per-head RNG seed
+        # is layer*H+head, so a 1-head regeneration would measure a
+        # DIFFERENT layer-16 signal than the cache-reuse path.
         generate_synthetic_kv(
-            seq_len=args.quality_seq_len, num_layers=32, num_kv_heads=1,
+            seq_len=args.quality_seq_len, num_layers=32, num_kv_heads=8,
             head_dim=args.head_dim, output_dir=kv_dir, verbose=False,
             layer_indices=[16],
         )

@@ -56,6 +56,13 @@ def main() -> None:
     parser.add_argument("--seq_len", type=int, default=2048)
     parser.add_argument("--head_dim", type=int, default=128)
     parser.add_argument("--square", type=int, default=4096)
+    parser.add_argument(
+        "--sin_impl", type=str, default="exact", choices=["exact", "fast"],
+        help="group-table sine path. Default 'exact': the archived r2 "
+        "attribution (benchmarks/r2/mfu_profile.json) profiles the exact "
+        "sine to expose the sine bound; pass 'fast' to profile the "
+        "production (polynomial-sine) XLA step instead",
+    )
     parser.add_argument("--trace", action="store_true",
                         help="also capture a jax.profiler trace (medium group)")
     args = parser.parse_args()
@@ -92,32 +99,14 @@ def main() -> None:
     targets = jnp.asarray(targets_np)
     pos = positions(args.seq_len)
 
-    # ---- dynamic-epoch group trainer: one compile, any epoch count ----
+    # ---- dynamic-epoch group trainer (shared with train_impl_bench) ----
+    from tools.bench_common import make_group_runner
+
     def make_runner(config):
-        tx = _make_optimizer(1e-4, 2000)
-        omega = config.omega_0
-
-        @jax.jit
-        def run(keys, targets, n):
-            tn, mean, std = jax.vmap(normalize_targets)(targets)
-            params = jax.vmap(lambda k: init_siren(k, config, args.head_dim))(keys)
-            opt_state = tx.init(params)
-
-            def loss_fn(p):
-                pred = jax.vmap(lambda q: siren_apply(q, omega, pos))(p)
-                return jnp.mean((pred - tn) ** 2)
-
-            def body(_, carry):
-                p, s = carry
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, s = tx.update(grads, s, p)
-                return (optax.apply_updates(p, updates), s)
-
-            params, _ = jax.lax.fori_loop(0, n, body, (params, opt_state))
-            # Tiny output forces completion without a bulk transfer.
-            return jnp.mean(params[-1][1])
-
-        return run
+        return make_group_runner(
+            config, args.head_dim, args.seq_len, impl="xla",
+            sin_impl=args.sin_impl,
+        )
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.n_fits)
     groups = []
@@ -293,6 +282,7 @@ def main() -> None:
 
     payload = {
         "backend": backend,
+        "sin_impl": args.sin_impl,
         "geometry": {"n_fits": args.n_fits, "seq_len": args.seq_len, "head_dim": args.head_dim},
         "v5e_bf16_peak_tflops": V5E_BF16_PEAK / 1e12,
         "groups": groups,

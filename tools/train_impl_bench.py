@@ -43,7 +43,8 @@ def main() -> None:
     )
     parser.add_argument(
         "--variants", type=str, default="xla:fast,pallas:fast",
-        help="comma-separated impl:sin_impl[:stash] triples (stash: act|sincos)",
+        help="comma-separated impl:sin_impl[:stash] entries (stash: "
+        "act|sincos|auto; omitted = auto, the production default)",
     )
     args = parser.parse_args()
 
@@ -54,18 +55,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
-    from nerf_attention_tpu.models.siren import init_siren
-    from nerf_attention_tpu.ops.siren_train_pallas import siren_train_grads
-    from nerf_attention_tpu.parallel.sweep import (
-        _make_optimizer,
-        _resolve_sin,
-        normalize_targets,
-    )
-    from nerf_attention_tpu.models.siren import positions, siren_apply
     from nerf_attention_tpu.types import CONFIGS_FULL
     from nerf_attention_tpu.utils.timing import _per_iter_samples, replicate_stats
+    from tools.bench_common import make_group_runner
 
     backend = jax.default_backend()
     log(f"backend={backend}")
@@ -78,59 +71,29 @@ def main() -> None:
         )
     )
     keys = jax.random.split(jax.random.PRNGKey(0), args.n_fits)
-    pos = positions(args.seq_len)
-    interpret = backend != "tpu"
 
-    def make_runner(config, impl: str, sin_impl: str, stash: str = "act"):
-        """Dynamic-epoch trainer: one compile, differenced trip counts."""
-        tx = _make_optimizer(1e-4, 2000)
-        omega = config.omega_0
-        sin = _resolve_sin(sin_impl)
-
-        @jax.jit
-        def run(keys, targets, n):
-            tn, _, _ = jax.vmap(normalize_targets)(targets)
-            params = jax.vmap(
-                lambda k: init_siren(k, config, args.head_dim)
-            )(keys)
-            opt_state = tx.init(params)
-
-            if impl == "xla":
-                def loss_fn(p):
-                    pred = jax.vmap(
-                        lambda q: siren_apply(q, omega, pos, sin=sin)
-                    )(p)
-                    return jnp.mean((pred - tn) ** 2)
-
-                def body(_, carry):
-                    p, s = carry
-                    _, grads = jax.value_and_grad(loss_fn)(p)
-                    updates, s = tx.update(grads, s, p)
-                    return (optax.apply_updates(p, updates), s)
-            else:
-                def body(_, carry):
-                    p, s = carry
-                    _, grads = siren_train_grads(
-                        p, tn, omega=omega, interpret=interpret,
-                        sin_impl=sin_impl, stash=stash,
-                    )
-                    updates, s = tx.update(grads, s, p)
-                    return (optax.apply_updates(p, updates), s)
-
-            params, _ = jax.lax.fori_loop(0, n, body, (params, opt_state))
-            return jnp.mean(params[-1][1])
-
-        return run
+    def make_runner(config, impl: str, sin_impl: str, stash: str = "auto"):
+        return make_group_runner(
+            config, args.head_dim, args.seq_len, impl=impl,
+            sin_impl=sin_impl, stash=stash,
+        )
 
     names = [c.strip() for c in args.configs.split(",") if c.strip()]
     configs = [c for c in CONFIGS_FULL if not names or c.name in names]
-    variants = [tuple((v.split(":") + ["act"])[:3]) for v in args.variants.split(",")]
-    for impl, _, stash in variants:
-        if impl == "xla" and stash != "act":
-            raise SystemExit(
-                f"stash={stash!r} only applies to the pallas kernel; "
-                f"an xla variant would silently run without it"
-            )
+    def parse_variant(v: str):
+        parts = v.split(":")
+        if len(parts) == 2:
+            return parts[0], parts[1], "auto"
+        if len(parts) == 3:
+            if parts[0] == "xla":
+                raise SystemExit(
+                    f"variant {v!r}: stash only applies to the pallas "
+                    f"kernel; an xla variant would silently run without it"
+                )
+            return parts[0], parts[1], parts[2]
+        raise SystemExit(f"bad variant {v!r}: expected impl:sin_impl[:stash]")
+
+    variants = [parse_variant(v) for v in args.variants.split(",")]
 
     results = []
     for config in configs:
@@ -142,7 +105,7 @@ def main() -> None:
                 run, keys, targets, reps=args.n1, samples=args.samples
             )
             stats = replicate_stats([d * 1e3 for d in deltas])
-            key = f"{impl}_{sin_impl}" + ("" if stash == "act" else f"_{stash}")
+            key = f"{impl}_{sin_impl}" + ("" if stash == "auto" else f"_{stash}")
             row[f"{key}_ms_per_epoch"] = stats
             log(
                 f"  {config.name} {impl}:{sin_impl}:{stash}: "

@@ -66,12 +66,12 @@ def main() -> None:
 
         medium = CONFIGS_BY_NAME["medium"]
         params = init_siren(jax.random.PRNGKey(0), medium, args.head_dim)
-        np.asarray(siren_decode(params, 30.0, args.seq_len))
+        np.asarray(siren_decode(params, medium.omega_0, args.seq_len))
         print("  decode kernel: compiled", flush=True)
         # Aggregate-decode geometry (32L x 8H x K/V = 512 networks).
         keys = jax.random.split(jax.random.PRNGKey(1), 512)
         batched = jax.vmap(lambda k: init_siren(k, medium, args.head_dim))(keys)
-        np.asarray(siren_decode_batch(batched, 30.0, args.seq_len))
+        np.asarray(siren_decode_batch(batched, medium.omega_0, args.seq_len))
         print("  batched decode kernel: compiled", flush=True)
 
     print("cache warm")
