@@ -40,6 +40,13 @@ from nerf_attention_tpu.evaluate import (
     profile_latency,
 )
 
+# Beyond-reference TPU additions (fused kernels + fast transcendentals).
+from nerf_attention_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
+from nerf_attention_tpu.ops.siren_pallas import (
+    siren_decode_batch,
+    siren_decode_fused,
+)
+
 __all__ = [
     "CONFIGS_FULL",
     "CONFIGS_QUICK",
@@ -68,6 +75,11 @@ __all__ = [
     "plot_per_position_error",
     "profile_latency",
     "generate_summary_figure",
+    "fast_sin",
+    "fast_cos",
+    "fast_sincos",
+    "siren_decode_fused",
+    "siren_decode_batch",
 ]
 
 __version__ = "0.1.0"
