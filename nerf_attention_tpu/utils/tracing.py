@@ -27,7 +27,7 @@ def trace(profile_dir: str | Path | None):
 
     import sys
 
-import jax
+    import jax
 
     profile_dir = Path(profile_dir)
     profile_dir.mkdir(parents=True, exist_ok=True)

@@ -56,3 +56,24 @@ def test_siren_forward_timer_stats_and_bf16():
         params, 30.0, 64, reps=30, compute_dtype=jnp.bfloat16
     )
     assert t_bf16 > 0
+
+
+def test_trace_context_manager(tmp_path, capsys):
+    """trace() must import cleanly and write a trace dir; its completion
+    message goes to stderr (stdout is bench.py's JSON contract). Regression:
+    a broken edit once left tracing.py with an IndentationError that only
+    the fit CLI's unconditional import surfaced."""
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.utils.tracing import annotate, trace
+
+    with trace(None):
+        pass  # no-op path
+
+    with trace(tmp_path / "tr"):
+        with annotate("region"):
+            jnp.ones(4).sum().block_until_ready()
+    out = capsys.readouterr()
+    assert "Profiler trace written" in out.err
+    assert out.out == ""
+    assert any((tmp_path / "tr").rglob("*"))
