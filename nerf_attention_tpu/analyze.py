@@ -20,6 +20,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
+from nerf_attention_tpu import figdata
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.ops.stats import (
     SPECTRAL_PERCENTS,
@@ -205,6 +206,46 @@ def _print_feasibility(ac_k: float, ac_v: float, en_k: float, en_v: float) -> No
         print("  CHALLENGING: Noisy/unstructured. Document why it fails.")
 
 
+# The three per-layer K-vs-V panels of the structure figure, as data: which
+# LayerSummary attribute pair to draw (via figdata.summary_kv_series), the
+# axis labels, and any horizontal threshold guides. Panel semantics and
+# styling match the reference figure (analyze.py:216-257 outputs).
+_KV_PANEL_SPECS = (
+    {
+        "stem": "avg_autocorr",
+        "ylabel": "Lag-1 Autocorrelation",
+        "title": "Temporal Correlation by Layer",
+        "guides": ((0.5, "green", "Good threshold"), (0.2, "red", "Bad threshold")),
+    },
+    {
+        "stem": "avg_energy_10pct",
+        "ylabel": "Energy in Low 10% Frequencies",
+        "title": "Spectral Concentration by Layer",
+        "guides": ((0.5, "green", "Good threshold"),),
+    },
+    {
+        "stem": "avg_rank_ratio",
+        "ylabel": "Effective Rank / Full Rank",
+        "title": "Effective Dimensionality by Layer",
+        "guides": (),
+    },
+)
+
+
+def _draw_kv_panel(ax, layer_summaries: list[LayerSummary], spec: dict) -> None:
+    """One per-layer panel: K series, V series, threshold guides."""
+    layers, k_series, v_series = figdata.summary_kv_series(
+        layer_summaries, spec["stem"]
+    )
+    ax.plot(layers, k_series, "bo-", label="Keys", markersize=8)
+    ax.plot(layers, v_series, "rs-", label="Values", markersize=8)
+    for level, color, label in spec["guides"]:
+        ax.axhline(y=level, color=color, linestyle="--", alpha=0.5, label=label)
+    ax.set(xlabel="Layer Index", ylabel=spec["ylabel"], title=spec["title"])
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+
+
 def _plot_analysis(
     all_results: list[dict],
     layer_summaries: list[LayerSummary],
@@ -216,38 +257,17 @@ def _plot_analysis(
     fig.suptitle(
         "KV Cache Structure Analysis: SIREN Feasibility", fontsize=14, fontweight="bold"
     )
-    layers = [s.layer for s in layer_summaries]
 
-    ax = axes[0, 0]
-    ax.plot(layers, [s.avg_autocorr_k for s in layer_summaries], "bo-", label="Keys", markersize=8)
-    ax.plot(layers, [s.avg_autocorr_v for s in layer_summaries], "rs-", label="Values", markersize=8)
-    ax.axhline(y=0.5, color="green", linestyle="--", alpha=0.5, label="Good threshold")
-    ax.axhline(y=0.2, color="red", linestyle="--", alpha=0.5, label="Bad threshold")
-    ax.set(xlabel="Layer Index", ylabel="Lag-1 Autocorrelation", title="Temporal Correlation by Layer")
-    ax.legend()
-    ax.grid(True, alpha=0.3)
+    # Per-layer K/V panels occupy every slot except bottom-left.
+    for ax, spec in zip((axes[0, 0], axes[0, 1], axes[1, 1]), _KV_PANEL_SPECS):
+        _draw_kv_panel(ax, layer_summaries, spec)
 
-    ax = axes[0, 1]
-    ax.plot(layers, [s.avg_energy_10pct_k for s in layer_summaries], "bo-", label="Keys", markersize=8)
-    ax.plot(layers, [s.avg_energy_10pct_v for s in layer_summaries], "rs-", label="Values", markersize=8)
-    ax.axhline(y=0.5, color="green", linestyle="--", alpha=0.5, label="Good threshold")
-    ax.set(xlabel="Layer Index", ylabel="Energy in Low 10% Frequencies", title="Spectral Concentration by Layer")
-    ax.legend()
-    ax.grid(True, alpha=0.3)
-
+    # Bottom-left: raw autocorrelation-decay curves for the first few heads.
     ax = axes[1, 0]
-    for result in all_results[:4]:
-        ac = result["mean_autocorrelation"]
-        ax.plot(range(len(ac)), ac, label=result["name"], alpha=0.7)
+    for name, curve in figdata.decay_curves(all_results):
+        ax.plot(np.arange(curve.size), curve, label=name, alpha=0.7)
     ax.set(xlabel="Lag (tokens)", ylabel="Autocorrelation", title="Autocorrelation Decay")
     ax.legend(fontsize=8)
-    ax.grid(True, alpha=0.3)
-
-    ax = axes[1, 1]
-    ax.plot(layers, [s.avg_rank_ratio_k for s in layer_summaries], "bo-", label="Keys", markersize=8)
-    ax.plot(layers, [s.avg_rank_ratio_v for s in layer_summaries], "rs-", label="Values", markersize=8)
-    ax.set(xlabel="Layer Index", ylabel="Effective Rank / Full Rank", title="Effective Dimensionality by Layer")
-    ax.legend()
     ax.grid(True, alpha=0.3)
 
     plt.tight_layout()

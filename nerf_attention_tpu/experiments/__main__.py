@@ -69,9 +69,21 @@ def main() -> None:
         help="rank-selection accounting (fp32 reproduces the published table)",
     )
     parser.add_argument("--randomized_svd", action="store_true")
+    parser.add_argument(
+        "--values_mode", type=str, default="reference",
+        choices=["reference", "hard"],
+        help="synthetic backend: value-signal recipe ('hard' reproduces the "
+        "real study's K>>V gap and quality-degradation trends hermetically)",
+    )
+    parser.add_argument(
+        "--results_root", type=str, default="results",
+        help="root directory for experiment outputs (lets a hard-mode study "
+        "run side-by-side with the default one)",
+    )
     args = parser.parse_args()
 
-    figures_dir = Path("results/figures")
+    root = Path(args.results_root)
+    figures_dir = root / "figures"
     figures_dir.mkdir(parents=True, exist_ok=True)
 
     if args.experiment in ("scaling", "all"):
@@ -81,10 +93,11 @@ def main() -> None:
         scaling = run_scaling_experiment(
             model_name=args.model,
             seq_lengths=args.seq_lengths,
-            base_dir=Path("results/scaling"),
+            base_dir=root / "scaling",
             epochs=args.epochs,
             backend=args.backend,
             synth_layers=args.synth_layers,
+            values_mode=args.values_mode,
         )
         plot_scaling_crossover(scaling, figures_dir)
         plot_scaling_quality(scaling, figures_dir)
@@ -95,12 +108,34 @@ def main() -> None:
         print("=" * 60)
         prompts = run_multi_prompt_experiment(
             model_name=args.model,
-            base_dir=Path("results/multi_prompt"),
+            base_dir=root / "multi_prompt",
             epochs=args.epochs,
             backend=args.backend,
             synth_layers=args.synth_layers,
+            values_mode=args.values_mode,
         )
         plot_multi_prompt(prompts, figures_dir)
+
+    if args.backend == "synthetic":
+        # Hermetic SVD/layer-profile inputs: generate the shared cache when
+        # it's absent or was built under the other value recipe.
+        from nerf_attention_tpu.io import kvstore
+        from nerf_attention_tpu.synthetic import (
+            generate_synthetic_kv,
+            synthetic_model_name,
+        )
+
+        kv_meta = Path(args.kv_dir) / "metadata.json"
+        have = kvstore.load_metadata(Path(args.kv_dir)).model_name if kv_meta.exists() else None
+        if have != synthetic_model_name(args.values_mode) and (
+            have is None or have.startswith("synthetic")
+        ):
+            generate_synthetic_kv(
+                seq_len=2048,
+                num_layers=args.synth_layers,
+                output_dir=Path(args.kv_dir),
+                values_mode=args.values_mode,
+            )
 
     kv_dir_ok = (Path(args.kv_dir) / "metadata.json").exists()
 
@@ -119,7 +154,7 @@ def main() -> None:
         for accounting in accountings:
             svd_run = run_svd_experiment(
                 kv_dir=Path(args.kv_dir),
-                base_dir=Path("results/svd"),
+                base_dir=root / "svd",
                 accounting=accounting,
                 randomized=args.randomized_svd,
             )
@@ -140,8 +175,11 @@ def main() -> None:
         print("=" * 60)
         layer_results = run_full_layer_profile(
             kv_dir=Path(args.kv_dir),
-            output_dir=Path("results/layer_profile"),
+            output_dir=root / "layer_profile",
             epochs=args.epochs,
+            backend=args.backend,
+            values_mode=args.values_mode,
+            synth_layers=args.synth_layers,
         )
         plot_full_layer_profile(layer_results, figures_dir)
 
@@ -155,7 +193,7 @@ def main() -> None:
 
         siren_dir = Path(args.siren_dir)
         run_aggregate_decode_experiment(
-            output_dir=Path("results/aggregate_decode"),
+            output_dir=root / "aggregate_decode",
             siren_dir=siren_dir if siren_dir.exists() else None,
             figures_dir=figures_dir,
             train=args.train_weights,
@@ -174,14 +212,18 @@ def main() -> None:
             print(f"  Warning: {path} not found, skipping")
             return None
 
-        scaling_data = _load_json(Path("results/scaling") / "scaling_results.json")
+        scaling_data = _load_json(root / "scaling" / "scaling_results.json")
         if scaling_data:
             scaling_data = {int(k): v for k, v in scaling_data.items()}
-        prompt_data = _load_json(Path("results/multi_prompt") / "multi_prompt_results.json")
-        svd_data = _load_json(Path("results/svd") / "svd_results.json")
+        prompt_data = _load_json(root / "multi_prompt" / "multi_prompt_results.json")
+        svd_data = _load_json(root / "svd" / "svd_results.json")
         siren_data = _load_json(Path(args.siren_dir) / "fit_results.json")
+        profile_data = _load_json(
+            root / "layer_profile" / "full_layer_profile.json"
+        )
         generate_final_summary(
-            scaling_data, prompt_data, siren_data, svd_data, figures_dir
+            scaling_data, prompt_data, siren_data, svd_data, figures_dir,
+            layer_profile=profile_data,
         )
 
 

@@ -23,7 +23,7 @@ from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.experiments.prompts import get_prompts
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
-from nerf_attention_tpu.synthetic import generate_synthetic_kv
+from nerf_attention_tpu.synthetic import generate_synthetic_kv, synthetic_model_name
 from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
 MEDIUM = CONFIGS_BY_NAME["medium"]
@@ -41,9 +41,15 @@ def _extract_prompt_cache(
     synth_layers: int = 32,
     synth_heads: int = 8,
     synth_dim: int = 128,
+    values_mode: str = "reference",
 ) -> KVMetadata:
     if (kv_dir / "metadata.json").exists():
-        return kvstore.load_metadata(kv_dir)
+        prior = kvstore.load_metadata(kv_dir)
+        # A synthetic cache is only reusable under the same value recipe.
+        if backend != "synthetic" or prior.model_name == synthetic_model_name(
+            values_mode
+        ):
+            return prior
 
     if backend == "synthetic":
         return generate_synthetic_kv(
@@ -54,6 +60,7 @@ def _extract_prompt_cache(
             output_dir=kv_dir,
             verbose=False,
             seed_offset=100_000 * (prompt_idx + 1),
+            values_mode=values_mode,
         )
     if backend == "hf":
         from nerf_attention_tpu.extract import extract_with_hf
@@ -80,6 +87,7 @@ def run_multi_prompt_experiment(
     seq_len: int = 2048,
     backend: str = "synthetic",
     synth_layers: int = 32,
+    values_mode: str = "reference",
     verbose: bool = True,
 ) -> dict[str, dict]:
     """Extract per-content-type KV caches, fit medium SIRENs, compare K/V.
@@ -103,6 +111,7 @@ def run_multi_prompt_experiment(
         metadata = _extract_prompt_cache(
             prompt_idx, prompt_name, prompt_text, kv_dir, model_name,
             backend, seq_len, hf_state, synth_layers=synth_layers,
+            values_mode=values_mode,
         )
 
         analysis = analyze_kv_cache(kv_dir, prompt_dir / "analysis", verbose=verbose)

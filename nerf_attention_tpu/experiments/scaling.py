@@ -29,7 +29,7 @@ from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
 from nerf_attention_tpu.fit import _batch_to_fit_result, result_to_record
 from nerf_attention_tpu.io import checkpoint, kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
-from nerf_attention_tpu.synthetic import generate_synthetic_kv
+from nerf_attention_tpu.synthetic import generate_synthetic_kv, synthetic_model_name
 from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
 MEDIUM = CONFIGS_BY_NAME["medium"]
@@ -43,12 +43,15 @@ def _extract_all_seq_lengths(
     synth_layers: int = 32,
     synth_heads: int = 8,
     synth_dim: int = 128,
+    values_mode: str = "reference",
     verbose: bool = True,
 ) -> dict[int, KVMetadata]:
     """Extract KV caches for every length, loading the model at most once.
 
     Resume-if-exists per length and graceful stop on OOM mirror the
-    reference (scaling.py:56-61, 111-116).
+    reference (scaling.py:56-61, 111-116). A resumed synthetic cache is
+    only reused if it was generated under the SAME ``values_mode`` (the
+    metadata records the recipe); otherwise it is regenerated.
     """
     metadata_map: dict[int, KVMetadata] = {}
     hf_state: dict = {}  # hf backend: model loaded lazily, once
@@ -57,10 +60,19 @@ def _extract_all_seq_lengths(
     for seq_len in seq_lengths:
         kv_dir = base_dir / f"seq_{seq_len}" / "kv_cache"
         if (kv_dir / "metadata.json").exists():
+            prior = kvstore.load_metadata(kv_dir)
+            if backend != "synthetic" or prior.model_name == synthetic_model_name(
+                values_mode
+            ):
+                if verbose:
+                    print(f"\n  seq_len={seq_len}: already extracted, skipping")
+                metadata_map[seq_len] = prior
+                continue
             if verbose:
-                print(f"\n  seq_len={seq_len}: already extracted, skipping")
-            metadata_map[seq_len] = kvstore.load_metadata(kv_dir)
-            continue
+                print(
+                    f"\n  seq_len={seq_len}: cached as {prior.model_name!r}, "
+                    f"regenerating for values_mode={values_mode!r}"
+                )
 
         if verbose:
             print(f"\n  Extracting seq_len={seq_len}...")
@@ -73,6 +85,7 @@ def _extract_all_seq_lengths(
                     num_kv_heads=synth_heads,
                     head_dim=synth_dim,
                     output_dir=kv_dir,
+                    values_mode=values_mode,
                     verbose=verbose,
                 )
             elif backend == "hf":
@@ -109,6 +122,7 @@ def run_scaling_experiment(
     epochs: int = 2000,
     backend: str = "synthetic",
     synth_layers: int = 32,
+    values_mode: str = "reference",
     verbose: bool = True,
 ) -> dict[int, dict]:
     """Extract + analyze + fit medium SIRENs at multiple sequence lengths.
@@ -123,7 +137,7 @@ def run_scaling_experiment(
 
     metadata_map = _extract_all_seq_lengths(
         model_name, seq_lengths, base_dir, backend, synth_layers=synth_layers,
-        verbose=verbose,
+        values_mode=values_mode, verbose=verbose,
     )
 
     for seq_len in seq_lengths:
@@ -384,50 +398,56 @@ def plot_scaling_crossover(
         )
 
 
+# The three panels of the scaling-quality figure, as data: which result
+# fields to draw (through figdata.scaling_series), how to style each series,
+# labels, and guides. Panel semantics match the reference figure
+# (scaling.py:356-384 outputs).
+_SCALING_PANEL_SPECS = (
+    {
+        "series": (("avg_cossim_keys", "bo-", "Keys"), ("avg_cossim_values", "rs-", "Values")),
+        "ylabel": "Avg Cosine Similarity",
+        "title": "Reconstruction Quality vs Seq Length",
+        "guides": ((0.95, "green"),),
+    },
+    {
+        "series": (("avg_compression", "go-", None),),
+        "ylabel": "Compression Ratio (x)",
+        "title": "Compression Ratio vs Seq Length",
+        "guides": (),
+    },
+    {
+        "series": (("autocorr_keys", "bo-", "Keys"), ("autocorr_values", "rs-", "Values")),
+        "ylabel": "Lag-1 Autocorrelation",
+        "title": "Structure Metrics vs Seq Length",
+        "guides": (),
+    },
+)
+
+
 def plot_scaling_quality(scaling_results: dict[int, dict], output_dir: Path) -> None:
     """CosSim, compression ratio, and autocorrelation vs sequence length."""
+    from nerf_attention_tpu import figdata
+
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     if not scaling_results:
         print("  Skipping quality plot: no scaling results")
         return
-    # x-coordinates: actual sequence lengths (hf extraction may truncate).
+    # Re-key by ACTUAL sequence length (hf extraction may truncate).
     by_actual = {r["seq_len"]: r for r in scaling_results.values()}
-    scaling_results = by_actual
-    seq_lens = sorted(scaling_results.keys())
 
     fig, axes = plt.subplots(1, 3, figsize=(16, 5))
-
-    ax = axes[0]
-    ax.plot(seq_lens, [scaling_results[s]["avg_cossim_keys"] for s in seq_lens],
-            "bo-", label="Keys", markersize=8)
-    ax.plot(seq_lens, [scaling_results[s]["avg_cossim_values"] for s in seq_lens],
-            "rs-", label="Values", markersize=8)
-    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-    ax.set(xlabel="Sequence Length", ylabel="Avg Cosine Similarity",
-           title="Reconstruction Quality vs Seq Length")
-    ax.set_xscale("log")
-    ax.legend()
-    ax.grid(True, alpha=0.3)
-
-    ax = axes[1]
-    ax.plot(seq_lens, [scaling_results[s]["avg_compression"] for s in seq_lens],
-            "go-", markersize=8)
-    ax.set(xlabel="Sequence Length", ylabel="Compression Ratio (x)",
-           title="Compression Ratio vs Seq Length")
-    ax.set_xscale("log")
-    ax.grid(True, alpha=0.3)
-
-    ax = axes[2]
-    ax.plot(seq_lens, [scaling_results[s]["autocorr_keys"] for s in seq_lens],
-            "bo-", label="Keys", markersize=8)
-    ax.plot(seq_lens, [scaling_results[s]["autocorr_values"] for s in seq_lens],
-            "rs-", label="Values", markersize=8)
-    ax.set(xlabel="Sequence Length", ylabel="Lag-1 Autocorrelation",
-           title="Structure Metrics vs Seq Length")
-    ax.set_xscale("log")
-    ax.legend()
-    ax.grid(True, alpha=0.3)
+    for ax, spec in zip(axes, _SCALING_PANEL_SPECS):
+        for field, style, label in spec["series"]:
+            seq_lens, values = figdata.scaling_series(by_actual, field)
+            ax.plot(seq_lens, values, style, label=label, markersize=8)
+        for level, color in spec["guides"]:
+            ax.axhline(y=level, color=color, linestyle="--", alpha=0.3)
+        ax.set(xlabel="Sequence Length", ylabel=spec["ylabel"], title=spec["title"])
+        ax.set_xscale("log")
+        if any(label for _, _, label in spec["series"]):
+            ax.legend()
+        ax.grid(True, alpha=0.3)
 
     plt.tight_layout()
     plt.savefig(output_dir / "scaling_quality.png", dpi=150, bbox_inches="tight")
@@ -440,15 +460,37 @@ def run_full_layer_profile(
     output_dir: Path,
     epochs: int = 2000,
     mesh=None,
+    backend: str | None = None,
+    values_mode: str = "reference",
+    synth_layers: int = 32,
+    synth_seq_len: int = 2048,
     verbose: bool = True,
 ) -> list[dict]:
     """Medium SIREN on ALL layers, head 0, keys + values — one batched program.
 
     The reference trains these 64 fits sequentially (scaling.py:387-422);
     here they are a single fit_batch, shardable over the mesh.
+
+    ``backend="synthetic"`` makes the profile hermetic: if ``kv_dir`` has no
+    cache (or one generated under a different ``values_mode``), a synthetic
+    cache with the requested value recipe is generated in place.
     """
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    if backend == "synthetic":
+        have = (
+            kvstore.load_metadata(kv_dir).model_name
+            if (kv_dir / "metadata.json").exists()
+            else None
+        )
+        if have != synthetic_model_name(values_mode):
+            generate_synthetic_kv(
+                seq_len=synth_seq_len,
+                num_layers=synth_layers,
+                output_dir=kv_dir,
+                values_mode=values_mode,
+                verbose=verbose,
+            )
     metadata = kvstore.load_metadata(kv_dir)
 
     grid: list[tuple[int, str]] = []

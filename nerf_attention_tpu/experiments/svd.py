@@ -157,76 +157,86 @@ def print_svd_summary(
             )
 
 
+def _style_axes(ax, title: str, guides: tuple[tuple[float, str], ...]) -> None:
+    """Shared Pareto-panel styling: log-x, guide lines, labels, grid."""
+    for level, color in guides:
+        ax.axhline(y=level, color=color, linestyle="--", alpha=0.3)
+    ax.set_xscale("log")
+    ax.set(
+        xlabel="Compression Ratio (x)",
+        ylabel="Cosine Similarity",
+        title=title,
+    )
+    ax.grid(True, alpha=0.3)
+
+
 def plot_siren_vs_svd(
     siren_results: list[dict], svd_results: list[dict], output_dir: Path
 ) -> None:
-    """Dual-panel Pareto: SIREN scatter + SVD diamonds (svd.py:100-161)."""
+    """Dual-panel Pareto figure, SIREN point clouds vs SVD diamonds.
+
+    Output contract (filename, panel semantics, guides, styling) matches
+    the reference figure (`/root/reference/nerf_attention/experiments/
+    svd.py:100-161`); data prep goes through figdata.
+    """
+    from nerf_attention_tpu import figdata
     from nerf_attention_tpu.evaluate import CONFIG_COLORS, CONFIG_MARKERS
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    fig, axes = plt.subplots(1, 2, figsize=(16, 7))
+    fig, (ax_all, ax_keys) = plt.subplots(1, 2, figsize=(16, 7))
 
-    ax = axes[0]
-    for cn in sorted({r["config_name"] for r in siren_results}):
-        cr = [r for r in siren_results if r["config_name"] == cn]
-        ax.scatter(
-            [r["compression_ratio"] for r in cr],
-            [r["final_cosine_mean"] for r in cr],
-            c=CONFIG_COLORS.get(cn, "#95a5a6"),
-            marker=CONFIG_MARKERS.get(cn, "o"),
-            s=60, alpha=0.5, label=f"SIREN {cn}",
+    # Left panel: every SIREN architecture's cloud plus all SVD points.
+    for arch, (ratios, quality) in figdata.pareto_series(siren_results).items():
+        ax_all.scatter(
+            ratios, quality,
+            c=CONFIG_COLORS.get(arch, "#95a5a6"),
+            marker=CONFIG_MARKERS.get(arch, "o"),
+            s=60, alpha=0.5, label=f"SIREN {arch}",
             edgecolors="black", linewidth=0.3,
         )
-    ax.scatter(
-        [r["actual_compression"] for r in svd_results],
-        [r["final_cosine_mean"] for r in svd_results],
+    ax_all.scatter(
+        figdata.column(svd_results, "actual_compression"),
+        figdata.column(svd_results, figdata.QUALITY),
         c="black", marker="D", s=80, alpha=0.7, label="SVD",
         edgecolors="black", linewidth=0.5,
     )
-    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-    ax.axhline(y=0.90, color="orange", linestyle="--", alpha=0.3)
-    ax.set_xscale("log")
-    ax.set(
-        xlabel="Compression Ratio (x)",
-        ylabel="Cosine Similarity",
-        title="SIREN vs SVD: Fidelity vs Compression",
+    _style_axes(
+        ax_all,
+        "SIREN vs SVD: Fidelity vs Compression",
+        guides=((0.95, "green"), (0.90, "orange")),
     )
-    ax.legend(fontsize=7, bbox_to_anchor=(1.05, 1), loc="upper left")
-    ax.grid(True, alpha=0.3)
+    ax_all.legend(fontsize=7, bbox_to_anchor=(1.05, 1), loc="upper left")
 
-    ax = axes[1]
-    siren_keys = [r for r in siren_results if r["kv_type"] == "key"]
-    svd_keys = [r for r in svd_results if r["kv_type"] == "key"]
-    svd_vals = [r for r in svd_results if r["kv_type"] == "value"]
-    if siren_keys:
-        ax.scatter(
-            [r["compression_ratio"] for r in siren_keys],
-            [r["final_cosine_mean"] for r in siren_keys],
-            c="#3498db", s=60, alpha=0.5, label="SIREN (keys)",
-            edgecolors="black", linewidth=0.3,
-        )
-    if svd_keys:
-        ax.scatter(
-            [r["actual_compression"] for r in svd_keys],
-            [r["final_cosine_mean"] for r in svd_keys],
-            c="black", marker="D", s=80, alpha=0.7, label="SVD (keys)",
-        )
-    if svd_vals:
-        ax.scatter(
-            [r["actual_compression"] for r in svd_vals],
-            [r["final_cosine_mean"] for r in svd_vals],
-            c="red", marker="D", s=80, alpha=0.7, label="SVD (values)",
-        )
-    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
-    ax.set_xscale("log")
-    ax.set(
-        xlabel="Compression Ratio (x)",
-        ylabel="Cosine Similarity",
-        title="Keys: SIREN vs SVD",
+    # Right panel: keys head-to-head, with SVD values for contrast. Each
+    # series is (record subset, x-axis field, scatter style).
+    head_to_head = (
+        (
+            figdata.only(siren_results, kv_type="key"),
+            "compression_ratio",
+            dict(c="#3498db", s=60, alpha=0.5, label="SIREN (keys)",
+                 edgecolors="black", linewidth=0.3),
+        ),
+        (
+            figdata.only(svd_results, kv_type="key"),
+            "actual_compression",
+            dict(c="black", marker="D", s=80, alpha=0.7, label="SVD (keys)"),
+        ),
+        (
+            figdata.only(svd_results, kv_type="value"),
+            "actual_compression",
+            dict(c="red", marker="D", s=80, alpha=0.7, label="SVD (values)"),
+        ),
     )
-    ax.legend(fontsize=9)
-    ax.grid(True, alpha=0.3)
+    for rows, x_field, style in head_to_head:
+        if rows:
+            ax_keys.scatter(
+                figdata.column(rows, x_field),
+                figdata.column(rows, figdata.QUALITY),
+                **style,
+            )
+    _style_axes(ax_keys, "Keys: SIREN vs SVD", guides=((0.95, "green"),))
+    ax_keys.legend(fontsize=9)
 
     plt.tight_layout()
     plt.savefig(output_dir / "siren_vs_svd.png", dpi=150, bbox_inches="tight")

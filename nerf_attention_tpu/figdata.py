@@ -144,6 +144,30 @@ def profile_series(layer_profile: Sequence[dict]) -> dict[str, tuple[np.ndarray,
     return out
 
 
+def summary_kv_series(
+    layer_summaries: Sequence, stem: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LayerSummary K/V attribute pair -> (layers, K series, V series).
+
+    ``stem`` names the attribute pair without its ``_k``/``_v`` suffix
+    (e.g. ``avg_autocorr`` -> ``avg_autocorr_k`` / ``avg_autocorr_v``).
+    """
+    layers = np.asarray([s.layer for s in layer_summaries], dtype=int)
+    k_series = np.asarray([getattr(s, f"{stem}_k") for s in layer_summaries])
+    v_series = np.asarray([getattr(s, f"{stem}_v") for s in layer_summaries])
+    return layers, k_series, v_series
+
+
+def decay_curves(
+    analysis_records: Sequence[dict], limit: int = 4
+) -> list[tuple[str, np.ndarray]]:
+    """First ``limit`` per-head autocorrelation-decay curves as (name, curve)."""
+    return [
+        (rec["name"], np.asarray(rec["mean_autocorrelation"], dtype=float))
+        for rec in analysis_records[:limit]
+    ]
+
+
 def scaling_series(
     scaling_results: dict[int, dict], field: str
 ) -> tuple[list[int], np.ndarray]:

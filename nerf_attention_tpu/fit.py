@@ -137,6 +137,7 @@ def fit_kv_cache(
     resume: bool = False,
     impl: str = "auto",
     sin_impl: str = "fast",
+    torch_checkpoints: bool = False,
 ) -> list[dict]:
     """Run the architecture sweep over an extracted KV cache.
 
@@ -300,10 +301,13 @@ def fit_kv_cache(
         # One host->device transfer shared by all group dispatches.
         stacked = jnp.asarray(np.stack(tensors, axis=0), dtype=jnp.float32)
     handles: dict[int, tuple] = {}
-    for gi, config in todo_order:
+    # Log a dispatch-sequence counter (position in todo_order), not the
+    # registry index gi — cost-descending order would otherwise print
+    # "[dispatch 4/7]" before "[dispatch 1/7]" and read as skipped groups.
+    for di, (gi, config) in enumerate(todo_order):
         if verbose:
             print(
-                f"[dispatch {gi + 1}/{len(configs)}] {config.name}: "
+                f"[dispatch {di + 1}/{len(todo_order)}] {config.name}: "
                 f"{len(items)} fits x {epochs} epochs",
                 flush=True,
             )
@@ -314,7 +318,8 @@ def fit_kv_cache(
         )
 
     prev_done = start
-    for gi, config in todo_order:  # collect in dispatch (device-queue) order
+    # Collect in dispatch (device-queue) order.
+    for di, (gi, config) in enumerate(todo_order):
         handle = handles[gi]
         np.asarray(handle[2]["final_mse"])  # wait for this group's completion
         now = time.perf_counter()
@@ -330,7 +335,7 @@ def fit_kv_cache(
         prev_done = now
         if verbose:
             print(
-                f"[group {gi + 1}/{len(configs)}] {config.name}: done in "
+                f"[group {di + 1}/{len(todo_order)}] {config.name}: done in "
                 f"{batch.train_time_seconds:.1f}s ({batch.seconds_per_fit:.3f} s/fit)",
                 flush=True,
             )
@@ -353,6 +358,19 @@ def fit_kv_cache(
                     result.target_std,
                     record,
                 )
+                if torch_checkpoints:
+                    # Reference-format .pt beside the .npz: the reference's
+                    # own evaluate.py then runs unmodified on this sweep's
+                    # output (reverse interop; see tools/reference_interop.py).
+                    checkpoint.save_torch_siren_checkpoint(
+                        output_dir / f"{name}_model.pt",
+                        result.params,
+                        config,
+                        metadata.head_dim,
+                        result.target_mean,
+                        result.target_std,
+                        record,
+                    )
 
         # Durable after every group: a crash mid-sweep leaves completed
         # groups on disk for --resume (atomic replace, no torn JSON).
@@ -492,6 +510,11 @@ def main() -> None:
         help="sine implementation for training (fast = polynomial, ~2.5-3x "
         "faster per step on TPU, CosSim-parity verified; exact = jnp.sin)",
     )
+    parser.add_argument(
+        "--torch_checkpoints", action="store_true",
+        help="also write reference-format .pt checkpoints for the medium "
+        "group (the reference's evaluate.py runs unmodified on them)",
+    )
     args = parser.parse_args()
     from nerf_attention_tpu.utils.platform import pin_platform
 
@@ -517,6 +540,7 @@ def main() -> None:
             resume=args.resume,
             impl=args.impl,
             sin_impl=args.sin_impl,
+            torch_checkpoints=args.torch_checkpoints,
         )
 
 

@@ -53,6 +53,66 @@ def save_siren_checkpoint(
     return path
 
 
+def save_torch_siren_checkpoint(
+    path: Path,
+    params: list[tuple[np.ndarray, np.ndarray]],
+    config: SIRENConfig,
+    out_features: int,
+    target_mean: np.ndarray,
+    target_std: np.ndarray,
+    metrics: dict,
+) -> Path | None:
+    """Write a reference-format torch ``.pt`` checkpoint.
+
+    The payload mirrors `/root/reference/nerf_attention/fit.py:121-137`
+    exactly, so the reference's own ``evaluate.py`` loads it unmodified via
+    ``model.load_state_dict``: state-dict keys are
+    ``network.{i}.linear.{weight,bias}`` for sine layers and
+    ``network.{n}.{weight,bias}`` for the final plain Linear, weights in
+    torch's (out, in) layout, target mean/std as (1, D) tensors.
+
+    Returns None (no-op) when torch is unavailable.
+    """
+    try:
+        import torch
+    except ImportError:
+        return None
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n_layers = len(params)
+    state: dict = {}
+    for i, (w, b) in enumerate(params):
+        module = f"network.{i}.linear" if i < n_layers - 1 else f"network.{i}"
+        state[f"{module}.weight"] = torch.as_tensor(
+            np.ascontiguousarray(np.asarray(w, dtype=np.float32).T)
+        )
+        state[f"{module}.bias"] = torch.as_tensor(
+            np.asarray(b, dtype=np.float32)
+        )
+    torch.save(
+        {
+            "model_state": state,
+            "config": {
+                "hidden_features": config.hidden_features,
+                "hidden_layers": config.hidden_layers,
+                "omega_0": config.omega_0,
+                "name": config.name,
+                "out_features": out_features,
+            },
+            "target_mean": torch.as_tensor(
+                np.asarray(target_mean, dtype=np.float32).reshape(1, -1)
+            ),
+            "target_std": torch.as_tensor(
+                np.asarray(target_std, dtype=np.float32).reshape(1, -1)
+            ),
+            "metrics": metrics,
+        },
+        path,
+    )
+    return path
+
+
 def _load_torch_siren_checkpoint(path: Path) -> dict:
     """Reference-format torch checkpoint (fit.py:121-137, evaluate.py:34-45).
 

@@ -64,6 +64,27 @@ def load_layer(kv_dir: Path, layer_idx: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def export_layer_torch(kv_dir: Path, layer_idx: int, out_dir: Path | None = None) -> Path:
+    """Write one layer as a reference-format torch file (``layer_NN.pt``).
+
+    The payload matches what the reference's extraction writes
+    (`/root/reference/nerf_attention/extract.py:159-162`): a dict of float32
+    CPU tensors ``{'keys': (H,S,D), 'values': (H,S,D)}`` — so the reference
+    pipeline's own readers run unmodified on caches produced here.
+    """
+    import torch  # local import: torch is optional at runtime
+
+    keys, values = load_layer(kv_dir, layer_idx)
+    out_dir = Path(out_dir) if out_dir is not None else Path(kv_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"layer_{layer_idx:02d}.pt"
+    torch.save(
+        {"keys": torch.as_tensor(keys), "values": torch.as_tensor(values)},
+        path,
+    )
+    return path
+
+
 def has_layer(kv_dir: Path, layer_idx: int) -> bool:
     return layer_path(kv_dir, layer_idx) is not None
 

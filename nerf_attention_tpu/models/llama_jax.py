@@ -61,8 +61,13 @@ class LlamaConfig:
         mix this prefill doesn't implement, so it's rejected rather than
         silently wrong.
         """
-        if "use_sliding_window" in d:  # Qwen2-family config shape
-            if not d["use_sliding_window"]:
+        if "use_sliding_window" in d or d.get("model_type") == "qwen2":
+            # Qwen2-family config shape. The window is inert unless
+            # use_sliding_window is explicitly true (Qwen2Config defaults it
+            # False even when a sliding_window value is present), so a config
+            # that merely OMITS the key must not fall through to the generic
+            # branch and enable a window HF would ignore.
+            if not d.get("use_sliding_window", False):
                 return None
             if d.get("max_window_layers", 28) > 0:
                 raise NotImplementedError(
@@ -537,13 +542,19 @@ def extract_kv_with_jax_llama(
     from transformers import AutoTokenizer
 
     state = state if state is not None else {}
-    if state.get("model_dir") != (str(model_dir), str(dtype), id(mesh)):
+    # Cache key holds the mesh OBJECT (compared with `is`), not id(mesh): a
+    # dead mesh's address can be reused by a new mesh, which would silently
+    # serve params sharded for the old one.
+    if state.get("model_dir") != (str(model_dir), str(dtype)) or (
+        state.get("mesh") is not mesh
+    ):
         print(f"Loading {model_dir} into JAX...")
         config, params = load_llama_params(Path(model_dir), dtype=dtype)
         if mesh is not None:
             params = shard_llama_params(params, mesh)
         state.update(
-            model_dir=(str(model_dir), str(dtype), id(mesh)),
+            model_dir=(str(model_dir), str(dtype)),
+            mesh=mesh,
             config=config,
             params=params,
             tokenizer=AutoTokenizer.from_pretrained(model_dir),

@@ -20,6 +20,7 @@ lr*0.01 over the full epoch budget.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -196,18 +197,14 @@ def _pallas_group_train(
     return params, metrics
 
 
-def _fit_batch_pallas_sharded(
-    keys, targets, mesh, *, config: SIRENConfig, epochs: int, lr: float,
-    sin_impl: str = "fast",
-):
-    """Fused-kernel training with the fit axis sharded over a mesh.
-
-    shard_map is the composition layer pjit can't provide for pallas_call
-    (a pallas_call under plain GSPMD would not be partitioned); each device
-    runs the fused kernel on its local shard of fits — zero collectives,
-    same layout as the XLA path's GSPMD partitioning. Inputs must already
-    be sharded/padded to the mesh (fit_batch_dispatch does both).
-    """
+@functools.lru_cache(maxsize=None)
+def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
+                           sin_impl: str):
+    """Build (once per (mesh, config, epochs, lr, sin_impl)) the jitted
+    shard_map wrapper for the fused kernel. Caching here is what lets the
+    jit trace cache hit across calls — a fresh jax.jit(closure) per
+    invocation would re-trace (and, without the persistent compile cache,
+    recompile) every multi-device pallas dispatch."""
     from jax.sharding import PartitionSpec as P
 
     body = partial(
@@ -225,7 +222,23 @@ def _fit_batch_pallas_sharded(
         from jax.experimental.shard_map import shard_map as _shard_map
 
         fn = _shard_map(body, check_rep=False, **common)
-    return jax.jit(fn)(keys, targets)
+    return jax.jit(fn)
+
+
+def _fit_batch_pallas_sharded(
+    keys, targets, mesh, *, config: SIRENConfig, epochs: int, lr: float,
+    sin_impl: str = "fast",
+):
+    """Fused-kernel training with the fit axis sharded over a mesh.
+
+    shard_map is the composition layer pjit can't provide for pallas_call
+    (a pallas_call under plain GSPMD would not be partitioned); each device
+    runs the fused kernel on its local shard of fits — zero collectives,
+    same layout as the XLA path's GSPMD partitioning. Inputs must already
+    be sharded/padded to the mesh (fit_batch_dispatch does both).
+    """
+    fn = _pallas_sharded_jitted(mesh, config, epochs, lr, sin_impl)
+    return fn(keys, targets)
 
 
 @partial(

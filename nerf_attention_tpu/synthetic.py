@@ -39,6 +39,15 @@ from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.types import KVMetadata
 
 
+def synthetic_model_name(values_mode: str) -> str:
+    """The metadata.model_name a synthetic cache records for a value recipe.
+
+    Extraction-resume checks key on this to avoid silently reusing a cache
+    generated under the other recipe.
+    """
+    return "synthetic" if values_mode == "reference" else "synthetic_hard"
+
+
 def _spike_train(
     rng: np.random.RandomState, seq_len: int, layer_sharpness: float
 ) -> np.ndarray:
@@ -221,7 +230,7 @@ def generate_synthetic_kv(
         kvstore.save_layer(output_dir, layer_idx, keys, values)
 
     metadata = KVMetadata(
-        model_name="synthetic" if values_mode == "reference" else "synthetic_hard",
+        model_name=synthetic_model_name(values_mode),
         num_layers=num_layers,
         num_kv_heads=num_kv_heads,
         seq_len=seq_len,

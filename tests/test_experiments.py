@@ -135,6 +135,71 @@ def test_final_summary_full_and_partial(scaling_run, multi_prompt_run, tmp_path,
     figqa(tmp_path / "partial" / "final_summary.png")
 
 
+def test_scaling_hard_mode(tmp_path):
+    """Hard values flow through the scaling ladder: caches record the hard
+    recipe, a reference-mode cache on disk is regenerated rather than
+    silently reused, and the K/V quality gap appears."""
+    from nerf_attention_tpu.io import kvstore
+
+    # Seed one length in reference mode first to exercise the mode check.
+    run_scaling_experiment(
+        model_name="synthetic", seq_lengths=[64], base_dir=tmp_path,
+        epochs=10, backend="synthetic", synth_layers=3, verbose=False,
+    )
+    assert (
+        kvstore.load_metadata(tmp_path / "seq_64" / "kv_cache").model_name
+        == "synthetic"
+    )
+
+    results = run_scaling_experiment(
+        model_name="synthetic", seq_lengths=[64, 128], base_dir=tmp_path,
+        epochs=150, backend="synthetic", synth_layers=3,
+        values_mode="hard", verbose=False,
+    )
+    for seq_len in (64, 128):
+        meta = kvstore.load_metadata(tmp_path / f"seq_{seq_len}" / "kv_cache")
+        assert meta.model_name == "synthetic_hard"
+        rec = results[seq_len]
+        assert rec["avg_cossim_keys"] > rec["avg_cossim_values"]
+
+
+def test_layer_profile_hard_synthetic_backend(tmp_path):
+    """backend='synthetic' makes the profile hermetic: it generates its own
+    cache under the requested value recipe, and hard values fit worse than
+    keys on every layer."""
+    from nerf_attention_tpu.io import kvstore
+
+    results = run_full_layer_profile(
+        tmp_path / "kv", tmp_path / "out", epochs=150, verbose=False,
+        backend="synthetic", values_mode="hard", synth_layers=3,
+        synth_seq_len=64,
+    )
+    assert kvstore.load_metadata(tmp_path / "kv").model_name == "synthetic_hard"
+    assert len(results) == 6  # 3 layers x {K,V}
+    by_type = {
+        kv: [r["final_cosine_mean"] for r in results if r["kv_type"] == kv]
+        for kv in ("key", "value")
+    }
+    assert np.mean(by_type["key"]) > np.mean(by_type["value"])
+
+
+def test_multi_prompt_hard_mode(tmp_path):
+    """Hard values flow through the multi-prompt harness (distinct caches
+    per prompt, K > V on every content type)."""
+    from nerf_attention_tpu.io import kvstore
+
+    results = run_multi_prompt_experiment(
+        model_name="synthetic", base_dir=tmp_path, epochs=150, seq_len=64,
+        backend="synthetic", synth_layers=3, values_mode="hard",
+        verbose=False,
+    )
+    assert set(results) == {"fiction", "code", "conversational", "technical"}
+    for name, rec in results.items():
+        assert rec["avg_cossim_keys"] > rec["avg_cossim_values"], name
+        meta = kvstore.load_metadata(tmp_path / name / "kv_cache")
+        assert meta.model_name == "synthetic_hard"
+
+
 def test_aggregate_decode_experiment(tmp_path, figqa):
     from nerf_attention_tpu.experiments.aggregate_decode import (
         run_aggregate_decode_experiment,

@@ -144,6 +144,82 @@ def test_checkpoint_reads_reference_pt_format(tmp_path, rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_save_torch_checkpoint_reference_format(tmp_path, rng):
+    """The .pt writer emits the reference's exact payload: it loads back
+    through OUR reference-format reader, and its state_dict loads into a
+    faithfully reconstructed torch SIREN (the reference's own
+    load_state_dict path) with a matching forward."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.models.siren import init_siren, siren_apply
+
+    config = SIRENConfig(8, 1, 30.0, "medium")
+    import jax
+
+    params = [
+        (np.asarray(w), np.asarray(b))
+        for w, b in init_siren(jax.random.PRNGKey(3), config, out_features=4)
+    ]
+    mean = rng.standard_normal((1, 4)).astype(np.float32)
+    std = (np.abs(rng.standard_normal((1, 4))) + 0.1).astype(np.float32)
+    metrics = {"name": "L0_H0_key_medium", "layer": 0, "head": 0, "kv_type": "key"}
+
+    path = checkpoint.save_torch_siren_checkpoint(
+        tmp_path / "L0_H0_key_medium_model.pt", params, config, 4, mean, std, metrics
+    )
+    assert path is not None
+
+    # Round trip through our reference-format reader.
+    ckpt = checkpoint.load_siren_checkpoint(path)
+    assert ckpt["config"] == config and ckpt["out_features"] == 4
+    for (w, b), (w2, b2) in zip(params, ckpt["params"]):
+        np.testing.assert_array_equal(w, w2)
+        np.testing.assert_array_equal(b, b2)
+
+    # The reference's loader contract: weights_only load + strict
+    # load_state_dict into an nn.Sequential shaped like reference siren.py.
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    assert set(payload) == {"model_state", "config", "target_mean", "target_std", "metrics"}
+    assert payload["target_mean"].shape == (1, 4)
+
+    class _Sine(torch.nn.Module):
+        def __init__(self, d_in, d_out):
+            super().__init__()
+            self.linear = torch.nn.Linear(d_in, d_out)
+
+        def forward(self, x):
+            return torch.sin(config.omega_0 * self.linear(x))
+
+    model = torch.nn.Sequential(_Sine(1, 8), _Sine(8, 8), torch.nn.Linear(8, 4))
+    # Strict by default: any key/shape mismatch with the reference module
+    # structure would raise here.
+    incompat = model.load_state_dict(
+        {k.replace("network.", ""): v for k, v in payload["model_state"].items()}
+    )
+    assert not incompat.missing_keys and not incompat.unexpected_keys
+
+    pos = np.linspace(0, 1, 16, dtype=np.float32)[:, None]
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(pos)).numpy()
+    ours = np.asarray(siren_apply(ckpt["params"], config.omega_0, jnp.asarray(pos)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_export_layer_torch_reference_format(tmp_path, rng):
+    """Exported layer_NN.pt matches the reference extraction payload."""
+    torch = pytest.importorskip("torch")
+    keys = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    values = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    kvstore.save_layer(tmp_path, 3, keys, values)
+    path = kvstore.export_layer_torch(tmp_path, 3)
+    assert path.name == "layer_03.pt"
+    data = torch.load(path, map_location="cpu", weights_only=True)
+    assert set(data) == {"keys", "values"}
+    np.testing.assert_array_equal(data["keys"].numpy(), keys)
+    np.testing.assert_array_equal(data["values"].numpy(), values)
+
+
 def test_checkpoint_glob_mixes_npz_and_pt(tmp_path, rng):
     torch = pytest.importorskip("torch")
     pt_path, _, config = _reference_format_checkpoint(tmp_path, rng, torch)

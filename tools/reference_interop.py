@@ -1,0 +1,212 @@
+"""Reverse checkpoint interop: run the REFERENCE's own evaluate.py on this
+framework's sweep output.
+
+The strongest no-weights cross-validation available: this framework extracts
+a synthetic cache, runs its batched TPU/JAX sweep, writes reference-format
+torch artifacts (``layer_NN.pt`` caches via kvstore.export_layer_torch and
+``*_model.pt`` checkpoints via checkpoint.save_torch_siren_checkpoint,
+payloads matching `/root/reference/nerf_attention/extract.py:159-162` and
+`fit.py:121-137`), and then the unmodified reference evaluation pipeline
+(`/root/reference/nerf_attention/evaluate.py:346-370`) is executed as a
+subprocess against those artifacts on CPU. If its checkpoint loader, figure
+generators, and latency profiler all run and produce their full output set,
+the two frameworks are interoperable in BOTH directions (the forward
+direction — this framework reading reference .pt — is covered by
+tests/test_io.py).
+
+Usage:
+    python tools/reference_interop.py [--workdir results/reference_interop]
+        [--epochs 500] [--out benchmarks/r3/reference_interop]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+
+# The output set reference evaluate.py can produce on current reference
+# code. summary_figure.png is excluded: reference evaluate.py:295
+# (`list(config_k.keys()) & set(...)`) raises TypeError unconditionally on
+# ANY non-empty fit_results.json — verified by reproducing the identical
+# crash on the reference's own 280 committed records
+# (results/fits/fit_results.json); its committed summary_figure.png predates
+# that line. The driver below still attempts it and records the outcome.
+EXPECTED_OUTPUTS = (
+    "pareto_frontier.png",
+    "keys_vs_values.png",
+    "per_position_error.png",
+    "latency_comparison.png",
+    "latency_results.json",
+)
+
+# Runs the unmodified reference stages in exactly main()'s order
+# (reference evaluate.py:346-370); called functions are the reference's own.
+_REFERENCE_DRIVER = """
+import json, sys
+from pathlib import Path
+import matplotlib
+matplotlib.use("Agg")
+from nerf_attention.evaluate import (
+    load_results, plot_pareto_frontier, plot_keys_vs_values,
+    plot_per_position_error, profile_latency, generate_summary_figure,
+)
+
+siren_dir, kv_dir, output_dir = (Path(p) for p in sys.argv[1:4])
+output_dir.mkdir(parents=True, exist_ok=True)
+results = load_results(siren_dir)
+print(f"loaded {len(results)} fit records")
+plot_pareto_frontier(results, output_dir)
+plot_keys_vs_values(results, output_dir)
+plot_per_position_error(siren_dir, kv_dir, output_dir, device="cpu")
+summary_error = None
+try:
+    generate_summary_figure(results, output_dir)
+except TypeError as e:
+    summary_error = str(e)
+    print(f"generate_summary_figure: reference-code TypeError ({e})")
+profile_latency(siren_dir, output_dir, device="cpu")
+(output_dir / "driver_status.json").write_text(
+    json.dumps({"summary_figure_error": summary_error})
+)
+"""
+
+
+def build_sweep_artifacts(workdir: Path, epochs: int, verbose: bool = True) -> dict:
+    """Synthetic cache -> our sweep -> reference-format torch artifacts."""
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    kv_dir = workdir / "kv_cache"
+    fits_dir = workdir / "fits"
+
+    # Quickstart shapes (reference quickstart.py:34-37): hermetic and quick,
+    # with hard values so the artifacts carry the study's real K>>V shape.
+    metadata = generate_synthetic_kv(
+        seq_len=512, num_layers=4, num_kv_heads=4, head_dim=128,
+        output_dir=kv_dir, values_mode="hard", verbose=verbose,
+    )
+    records = fit_kv_cache(
+        kv_dir, fits_dir, epochs=epochs, quick=True, verbose=verbose,
+        torch_checkpoints=True,
+    )
+
+    for layer_idx in range(metadata.num_layers):
+        kvstore.export_layer_torch(kv_dir, layer_idx)
+
+    pt_checkpoints = sorted(p.name for p in fits_dir.glob("*_model.pt"))
+    if not pt_checkpoints:
+        raise RuntimeError("sweep produced no reference-format .pt checkpoints")
+    return {
+        "num_fit_records": len(records),
+        "torch_checkpoints": pt_checkpoints,
+        "torch_kv_layers": sorted(p.name for p in kv_dir.glob("layer_*.pt")),
+    }
+
+
+def run_reference_evaluate(workdir: Path) -> subprocess.CompletedProcess:
+    """Execute the unmodified reference evaluation against our artifacts.
+
+    Stages run in main()'s exact order via _REFERENCE_DRIVER; every stage
+    body is the reference's own code. (Invoking ``-m nerf_attention.evaluate``
+    directly dies at its own evaluate.py:295 TypeError before
+    profile_latency — see EXPECTED_OUTPUTS.)
+    """
+    figures_dir = workdir / "reference_figures"
+    figures_dir.mkdir(parents=True, exist_ok=True)
+    env = dict(os.environ)
+    # The reference needs only torch/numpy/matplotlib (CPU); run it with its
+    # own repo root on the path, and keep the accelerator out of it.
+    env["PYTHONPATH"] = str(REFERENCE)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [
+            sys.executable, "-c", _REFERENCE_DRIVER,
+            str(workdir / "fits"),
+            str(workdir / "kv_cache"),
+            str(figures_dir),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Run the reference's evaluate.py on this framework's output"
+    )
+    parser.add_argument("--workdir", type=str, default="results/reference_interop")
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--out", type=str, default="benchmarks/r3/reference_interop")
+    args = parser.parse_args()
+
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    print("=" * 60)
+    print("STEP 1: our sweep -> reference-format artifacts")
+    print("=" * 60)
+    sweep_info = build_sweep_artifacts(workdir, args.epochs)
+
+    print("\n" + "=" * 60)
+    print("STEP 2: unmodified reference evaluate.py on those artifacts (CPU)")
+    print("=" * 60)
+    proc = run_reference_evaluate(workdir)
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+
+    figures_dir = workdir / "reference_figures"
+    produced = {name: (figures_dir / name).exists() for name in EXPECTED_OUTPUTS}
+    ok = proc.returncode == 0 and all(produced.values())
+
+    latency = None
+    latency_path = figures_dir / "latency_results.json"
+    if latency_path.exists():
+        latency = json.loads(latency_path.read_text())
+    driver_status = {}
+    status_path = figures_dir / "driver_status.json"
+    if status_path.exists():
+        driver_status = json.loads(status_path.read_text())
+
+    summary = {
+        "ok": ok,
+        "reference_evaluate_returncode": proc.returncode,
+        "epochs": args.epochs,
+        "sweep": sweep_info,
+        "reference_outputs_produced": produced,
+        "reference_latency_records": latency,
+        "reference_summary_figure_error": driver_status.get("summary_figure_error"),
+        "note": (
+            "Reference evaluation stages executed unmodified (main()'s "
+            "order) against this framework's fit_results.json, .pt "
+            "checkpoints, and .pt KV layers (CPU). summary_figure is a "
+            "reference-code defect (evaluate.py:295 TypeError), reproduced "
+            "identically on the reference's own committed fit_results.json."
+        ),
+    }
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "reference_interop.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    # Archive the reference-generated figures as the visible evidence.
+    for name, exists in produced.items():
+        if exists:
+            (out_dir / name).write_bytes((figures_dir / name).read_bytes())
+
+    print("\n" + ("INTEROP OK" if ok else "INTEROP FAILED"))
+    print(f"Summary: {out_dir / 'reference_interop.json'}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
