@@ -84,11 +84,13 @@ def save_torch_siren_checkpoint(
     state: dict = {}
     for i, (w, b) in enumerate(params):
         module = f"network.{i}.linear" if i < n_layers - 1 else f"network.{i}"
-        state[f"{module}.weight"] = torch.as_tensor(
-            np.ascontiguousarray(np.asarray(w, dtype=np.float32).T)
+        # Explicit copies: the arrays may be non-writable views of jax
+        # buffers, which torch.as_tensor would alias with a warning.
+        state[f"{module}.weight"] = torch.from_numpy(
+            np.array(w, dtype=np.float32).T.copy()
         )
-        state[f"{module}.bias"] = torch.as_tensor(
-            np.asarray(b, dtype=np.float32)
+        state[f"{module}.bias"] = torch.from_numpy(
+            np.array(b, dtype=np.float32, copy=True)
         )
     torch.save(
         {
@@ -100,11 +102,11 @@ def save_torch_siren_checkpoint(
                 "name": config.name,
                 "out_features": out_features,
             },
-            "target_mean": torch.as_tensor(
-                np.asarray(target_mean, dtype=np.float32).reshape(1, -1)
+            "target_mean": torch.from_numpy(
+                np.array(target_mean, dtype=np.float32, copy=True).reshape(1, -1)
             ),
-            "target_std": torch.as_tensor(
-                np.asarray(target_std, dtype=np.float32).reshape(1, -1)
+            "target_std": torch.from_numpy(
+                np.array(target_std, dtype=np.float32, copy=True).reshape(1, -1)
             ),
             "metrics": metrics,
         },

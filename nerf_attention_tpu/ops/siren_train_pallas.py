@@ -80,6 +80,7 @@ def _train_kernel(
     n_layers: int,
     fast: bool,
     stash_sincos: bool,
+    mxu_bf16: bool,
 ):
     """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
 
@@ -128,6 +129,21 @@ def _train_kernel(
     def b(i):
         return in_refs[2 * i + 1][0]  # (1, out)
 
+    # MXU pass precision: optionally feed the systolic array bf16 operands
+    # (fp32 accumulate via preferred_element_type). Everything else —
+    # params, activations in scratch, sine/cos, loss/grad reductions —
+    # stays fp32; only the dot inputs are rounded.
+    if mxu_bf16:
+        def dot(lhs, rhs):
+            return jnp.dot(
+                lhs.astype(jnp.bfloat16),
+                rhs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        def dot(lhs, rhs):
+            return jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+
     # ---- Forward ----
     # stash='act': store pre-sine activations; backward re-derives sin/cos.
     # stash='sincos': compute sincos once here, store post-sine h AND cos —
@@ -143,7 +159,7 @@ def _train_kernel(
         act_refs[0][:] = a
         h = sin_f(a)
     for i in range(1, n_layers - 1):
-        a = omega_f * (jnp.dot(h, w(i), preferred_element_type=jnp.float32) + b(i))
+        a = omega_f * (dot(h, w(i)) + b(i))
         if stash_sincos:
             h, c = sincos_f(a)
             act_refs[2 * i][:] = h
@@ -151,9 +167,7 @@ def _train_kernel(
         else:
             act_refs[i][:] = a
             h = sin_f(a)
-    y = jnp.dot(h, w(n_layers - 1), preferred_element_type=jnp.float32) + b(
-        n_layers - 1
-    )
+    y = dot(h, w(n_layers - 1)) + b(n_layers - 1)
 
     # ---- Loss + dy (masked, mean over S*D real elements) ----
     target = t_ref[0]  # (tile, D)
@@ -185,20 +199,18 @@ def _train_kernel(
         return grad_refs[2 * i + 1]
 
     # Final linear layer.
-    dw_ref(n_layers - 1)[0] += jnp.dot(
-        h.T, dy, preferred_element_type=jnp.float32
-    )
+    dw_ref(n_layers - 1)[0] += dot(h.T, dy)
     db_ref(n_layers - 1)[0] += jnp.sum(dy, axis=0, keepdims=True)
-    dh = jnp.dot(dy, w(n_layers - 1).T, preferred_element_type=jnp.float32)
+    dh = dot(dy, w(n_layers - 1).T)
 
     if stash_sincos:
         # All trig already paid in the forward pass; read h/cos from scratch.
         for i in range(n_layers - 2, 0, -1):
             da = dh * omega_f * act_refs[2 * i + 1][:]
             h_prev = act_refs[2 * (i - 1)][:]
-            dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
+            dw_ref(i)[0] += dot(h_prev.T, da)
             db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
-            dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+            dh = dot(da, w(i).T)
         da0 = dh * omega_f * act_refs[1][:]
     else:
         # Hidden sine layers, last to first. cos(a_{i-1}) computed alongside
@@ -208,9 +220,9 @@ def _train_kernel(
             c_i = cos_carry if cos_carry is not None else cos_f(act_refs[i][:])
             da = dh * omega_f * c_i
             h_prev, cos_carry = sincos_f(act_refs[i - 1][:])
-            dw_ref(i)[0] += jnp.dot(h_prev.T, da, preferred_element_type=jnp.float32)
+            dw_ref(i)[0] += dot(h_prev.T, da)
             db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
-            dh = jnp.dot(da, w(i).T, preferred_element_type=jnp.float32)
+            dh = dot(da, w(i).T)
         c_0 = cos_carry if cos_carry is not None else cos_f(act_refs[0][:])
         da0 = dh * omega_f * c_0
 
@@ -220,7 +232,8 @@ def _train_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("omega", "tile", "interpret", "sin_impl", "stash")
+    jax.jit,
+    static_argnames=("omega", "tile", "interpret", "sin_impl", "stash", "mxu"),
 )
 def siren_train_grads(
     params,
@@ -231,6 +244,7 @@ def siren_train_grads(
     interpret: bool = False,
     sin_impl: str = "exact",
     stash: str = "auto",
+    mxu: str = "fp32",
 ):
     """Loss and gradients for a batch of SIRENs in one fused kernel.
 
@@ -246,6 +260,10 @@ def siren_train_grads(
     (benchmarks/r2/train_impl_stash.json): sincos wins ~3% on
     large/deep (wide or deep nets, trig-heavy), act elsewhere (medium's
     tile halves 1024->512 under 2x scratch, cancelling the trig saving).
+    ``mxu='bf16'`` rounds the MXU pass operands to bf16 (fp32 accumulate);
+    params, activations, trig, and reductions stay fp32 — this is NOT full
+    bf16 training (measured -0.014 CosSim, rejected), it only targets the
+    fp32-vs-bf16 matmul-rate gap (102 vs 207 TFLOP/s on v5e).
     """
     n, seq_len, d_out = targets_norm.shape
     n_layers = len(params)
@@ -254,6 +272,8 @@ def siren_train_grads(
         raise ValueError(f"stash must be auto|act|sincos, got {stash!r}")
     if sin_impl not in ("exact", "fast"):
         raise ValueError(f"sin_impl must be exact|fast, got {sin_impl!r}")
+    if mxu not in ("fp32", "bf16"):
+        raise ValueError(f"mxu must be fp32|bf16, got {mxu!r}")
     if stash == "auto":
         stash = "sincos" if (hidden >= 512 or n_layers >= 5) else "act"
     stash_sincos = stash == "sincos"
@@ -303,6 +323,7 @@ def siren_train_grads(
         n_layers=n_layers,
         fast=sin_impl == "fast",
         stash_sincos=stash_sincos,
+        mxu_bf16=mxu == "bf16",
     )
     outs = pl.pallas_call(
         kernel,

@@ -156,7 +156,7 @@ def _final_eval(params, omega: float, pos, target, mean, std):
 
 def _pallas_group_train(
     keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
-    sin_impl: str = "fast",
+    sin_impl: str = "fast", mxu: str = "fp32",
 ):
     """One group's training with the fused kernel: whole forward+backward is
     one fused TPU kernel per step (ops/siren_train_pallas.py); init, the
@@ -181,7 +181,8 @@ def _pallas_group_train(
     def step(carry, _):
         p, s = carry
         loss, grads = siren_train_grads(
-            p, targets_norm, omega=omega, interpret=interpret, sin_impl=sin_impl
+            p, targets_norm, omega=omega, interpret=interpret,
+            sin_impl=sin_impl, mxu=mxu,
         )
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
@@ -199,7 +200,7 @@ def _pallas_group_train(
 
 @functools.lru_cache(maxsize=None)
 def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
-                           sin_impl: str):
+                           sin_impl: str, mxu: str = "fp32"):
     """Build (once per (mesh, config, epochs, lr, sin_impl)) the jitted
     shard_map wrapper for the fused kernel. Caching here is what lets the
     jit trace cache hit across calls — a fresh jax.jit(closure) per
@@ -209,7 +210,7 @@ def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
 
     body = partial(
         _pallas_group_train, config=config, epochs=epochs, lr=lr,
-        sin_impl=sin_impl,
+        sin_impl=sin_impl, mxu=mxu,
     )
     spec = P(FIT_AXIS)
     # Every output leaf leads with the fit axis, so one spec serves as the
@@ -227,7 +228,7 @@ def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
 
 def _fit_batch_pallas_sharded(
     keys, targets, mesh, *, config: SIRENConfig, epochs: int, lr: float,
-    sin_impl: str = "fast",
+    sin_impl: str = "fast", mxu: str = "fp32",
 ):
     """Fused-kernel training with the fit axis sharded over a mesh.
 
@@ -237,17 +238,17 @@ def _fit_batch_pallas_sharded(
     same layout as the XLA path's GSPMD partitioning. Inputs must already
     be sharded/padded to the mesh (fit_batch_dispatch does both).
     """
-    fn = _pallas_sharded_jitted(mesh, config, epochs, lr, sin_impl)
+    fn = _pallas_sharded_jitted(mesh, config, epochs, lr, sin_impl, mxu)
     return fn(keys, targets)
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "epochs", "lr", "impl", "sin_impl"),
+    static_argnames=("config", "epochs", "lr", "impl", "sin_impl", "mxu"),
 )
 def _fit_batch_compiled(
     keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
-    impl: str = "xla", sin_impl: str = "fast",
+    impl: str = "xla", sin_impl: str = "fast", mxu: str = "fp32",
 ):
     if impl == "xla":
         fit = partial(
@@ -256,7 +257,8 @@ def _fit_batch_compiled(
         return jax.vmap(fit)(keys, targets)
 
     params, metrics = _pallas_group_train(
-        keys, targets, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
+        keys, targets, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl,
+        mxu=mxu,
     )
     return params, metrics
 
@@ -305,6 +307,7 @@ def fit_batch_dispatch(
     dtype=jnp.float32,
     impl: str = "auto",
     sin_impl: str = "fast",
+    mxu: str = "fp32",
 ):
     """Enqueue one architecture group's batched training; don't block.
 
@@ -335,12 +338,12 @@ def fit_batch_dispatch(
     if impl == "pallas" and multi_device:
         params, metrics = _fit_batch_pallas_sharded(
             keys, targets, mesh, config=config, epochs=epochs, lr=lr,
-            sin_impl=sin_impl,
+            sin_impl=sin_impl, mxu=mxu,
         )
     else:
         params, metrics = _fit_batch_compiled(
             keys, targets, config=config, epochs=epochs, lr=lr, impl=impl,
-            sin_impl=sin_impl,
+            sin_impl=sin_impl, mxu=mxu,
         )
     return n, params, metrics
 
@@ -388,6 +391,7 @@ def fit_batch(
     dtype=jnp.float32,
     impl: str = "auto",
     sin_impl: str = "fast",
+    mxu: str = "fp32",
 ) -> BatchFitMetrics:
     """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
 
@@ -399,7 +403,7 @@ def fit_batch(
     start = time.perf_counter()
     handle = fit_batch_dispatch(
         targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype,
-        impl=impl, sin_impl=sin_impl,
+        impl=impl, sin_impl=sin_impl, mxu=mxu,
     )
     np.asarray(handle[2]["final_mse"])  # block
     return fit_batch_collect(handle, time.perf_counter() - start)

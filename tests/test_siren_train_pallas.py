@@ -100,6 +100,38 @@ def test_fused_fast_sine_grads_match_autodiff(config, rng):
         np.testing.assert_allclose(gb, wb, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "config",
+    [CONFIGS_FULL[2], CONFIGS_FULL[4]],  # medium, deep
+    ids=lambda c: c.name,
+)
+def test_fused_bf16_mxu_grads_near_autodiff(config, rng):
+    """mxu='bf16' rounds only the dot operands (fp32 accumulate): gradients
+    must track the fp32 oracle within bf16 input-rounding noise (~2^-8
+    relative), far tighter than full-bf16 training error."""
+    n, s, d = 3, 96, 16
+    targets = jnp.asarray(rng.standard_normal((n, s, d)), dtype=jnp.float32)
+    targets_norm = jax.vmap(lambda t: normalize_targets(t)[0])(targets)
+    params = _batched_params(config, n, d)
+
+    loss, grads = siren_train_grads(
+        params, targets_norm, omega=config.omega_0, interpret=True,
+        sin_impl="fast", mxu="bf16",
+    )
+    want_loss, want_grads = _xla_loss_and_grads(params, targets_norm, config.omega_0)
+
+    np.testing.assert_allclose(loss, want_loss, rtol=5e-2, atol=1e-3)
+    for (gw, gb), (ww, wb) in zip(grads, want_grads):
+        np.testing.assert_allclose(gw, ww, rtol=0.15, atol=2e-3)
+        np.testing.assert_allclose(gb, wb, rtol=0.15, atol=2e-3)
+
+    with pytest.raises(ValueError, match="mxu"):
+        siren_train_grads(
+            params, targets_norm, omega=config.omega_0, interpret=True,
+            mxu="fp16",
+        )
+
+
 def test_fused_grads_padding_masked(rng):
     """Sequence not a multiple of the tile: padded rows must not leak."""
     config = SIRENConfig(32, 1, 30.0, "t32")

@@ -19,6 +19,7 @@ def make_group_runner(
     impl: str = "xla",
     sin_impl: str = "fast",
     stash: str = "auto",
+    mxu: str = "fp32",
     lr: float = 1e-4,
     schedule_epochs: int = 2000,
 ):
@@ -68,7 +69,7 @@ def make_group_runner(
                 p, s = carry
                 _, grads = siren_train_grads(
                     p, tn, omega=omega, interpret=interpret,
-                    sin_impl=sin_impl, stash=stash,
+                    sin_impl=sin_impl, stash=stash, mxu=mxu,
                 )
                 updates, s = tx.update(grads, s, p)
                 return (optax.apply_updates(p, updates), s)

@@ -49,8 +49,10 @@ def matmul_flops_per_row(config, head_dim: int) -> int:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", type=str, default="benchmarks/r2")
-    parser.add_argument("--samples", type=int, default=3)
+    parser.add_argument("--out", type=str, default="benchmarks/r3")
+    # N>=5 interleaved replicates: the floor FINDINGS' replicate-policy
+    # claim commits every archived latency stat to.
+    parser.add_argument("--samples", type=int, default=5)
     parser.add_argument("--n1", type=int, default=200)
     parser.add_argument("--n_fits", type=int, default=40)
     parser.add_argument("--seq_len", type=int, default=2048)

@@ -31,8 +31,10 @@ def log(msg: str) -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", type=str, default="benchmarks/r2/train_impl.json")
-    parser.add_argument("--samples", type=int, default=3)
+    parser.add_argument("--out", type=str, default="benchmarks/r3/train_impl.json")
+    # N>=5 interleaved replicates: the floor FINDINGS' replicate-policy
+    # claim commits every archived latency stat to.
+    parser.add_argument("--samples", type=int, default=5)
     parser.add_argument("--n1", type=int, default=200)
     parser.add_argument("--n_fits", type=int, default=40)
     parser.add_argument("--seq_len", type=int, default=2048)
@@ -43,8 +45,10 @@ def main() -> None:
     )
     parser.add_argument(
         "--variants", type=str, default="xla:fast,pallas:fast",
-        help="comma-separated impl:sin_impl[:stash] entries (stash: "
-        "act|sincos|auto; omitted = auto, the production default)",
+        help="comma-separated impl:sin_impl[:stash[:mxu]] entries (stash: "
+        "act|sincos|auto, omitted = auto, the production default; mxu: "
+        "fp32|bf16, omitted = fp32 — bf16 rounds only the kernel's MXU "
+        "pass operands, fp32 accumulate)",
     )
     args = parser.parse_args()
 
@@ -72,43 +76,51 @@ def main() -> None:
     )
     keys = jax.random.split(jax.random.PRNGKey(0), args.n_fits)
 
-    def make_runner(config, impl: str, sin_impl: str, stash: str = "auto"):
+    def make_runner(
+        config, impl: str, sin_impl: str, stash: str = "auto",
+        mxu: str = "fp32",
+    ):
         return make_group_runner(
             config, args.head_dim, args.seq_len, impl=impl,
-            sin_impl=sin_impl, stash=stash,
+            sin_impl=sin_impl, stash=stash, mxu=mxu,
         )
 
     names = [c.strip() for c in args.configs.split(",") if c.strip()]
     configs = [c for c in CONFIGS_FULL if not names or c.name in names]
     def parse_variant(v: str):
         parts = v.split(":")
-        if len(parts) == 2:
-            return parts[0], parts[1], "auto"
-        if len(parts) == 3:
-            if parts[0] == "xla":
-                raise SystemExit(
-                    f"variant {v!r}: stash only applies to the pallas "
-                    f"kernel; an xla variant would silently run without it"
-                )
-            return parts[0], parts[1], parts[2]
-        raise SystemExit(f"bad variant {v!r}: expected impl:sin_impl[:stash]")
+        if not 2 <= len(parts) <= 4:
+            raise SystemExit(
+                f"bad variant {v!r}: expected impl:sin_impl[:stash[:mxu]]"
+            )
+        if len(parts) > 2 and parts[0] == "xla":
+            raise SystemExit(
+                f"variant {v!r}: stash/mxu only apply to the pallas "
+                f"kernel; an xla variant would silently run without them"
+            )
+        impl, sin_impl = parts[0], parts[1]
+        stash = parts[2] if len(parts) > 2 else "auto"
+        mxu = parts[3] if len(parts) > 3 else "fp32"
+        return impl, sin_impl, stash, mxu
 
     variants = [parse_variant(v) for v in args.variants.split(",")]
 
     results = []
     for config in configs:
         row = {"config": config.name}
-        for impl, sin_impl, stash in variants:
-            run = make_runner(config, impl, sin_impl, stash)
+        for impl, sin_impl, stash, mxu in variants:
+            run = make_runner(config, impl, sin_impl, stash, mxu)
             t0 = time.perf_counter()
             deltas = _per_iter_samples(
                 run, keys, targets, reps=args.n1, samples=args.samples
             )
             stats = replicate_stats([d * 1e3 for d in deltas])
-            key = f"{impl}_{sin_impl}" + ("" if stash == "auto" else f"_{stash}")
+            key = f"{impl}_{sin_impl}" + (
+                "" if stash == "auto" else f"_{stash}"
+            ) + ("" if mxu == "fp32" else f"_{mxu}mxu")
             row[f"{key}_ms_per_epoch"] = stats
             log(
-                f"  {config.name} {impl}:{sin_impl}:{stash}: "
+                f"  {config.name} {impl}:{sin_impl}:{stash}:{mxu}: "
                 f"{stats['median']:.3f} ms/epoch "
                 f"[{stats['q25']:.3f},{stats['q75']:.3f}] "
                 f"(took {time.perf_counter() - t0:.0f}s)"
