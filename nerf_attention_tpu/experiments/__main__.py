@@ -116,7 +116,10 @@ def main() -> None:
         )
         plot_multi_prompt(prompts, figures_dir)
 
-    if args.backend == "synthetic":
+    needs_kv_dir = args.experiment in ("svd", "layer_profile", "all") or (
+        args.experiment == "aggregate_decode" and args.train_weights
+    )
+    if args.backend == "synthetic" and needs_kv_dir:
         # Hermetic SVD/layer-profile inputs: generate the shared cache when
         # it's absent or was built under the other value recipe.
         from nerf_attention_tpu.io import kvstore

@@ -200,6 +200,54 @@ def test_multi_prompt_hard_mode(tmp_path):
         assert meta.model_name == "synthetic_hard"
 
 
+def test_experiments_cli_threads_values_mode(tmp_path, monkeypatch):
+    """--values_mode/--results_root reach the experiment runners (wiring
+    guard: heavy compute stubbed out)."""
+    import sys
+
+    import nerf_attention_tpu.experiments.__main__ as cli
+    import nerf_attention_tpu.synthetic as synthetic
+
+    calls = {}
+    monkeypatch.setattr(
+        cli, "run_scaling_experiment",
+        lambda **kw: calls.setdefault("scaling", kw) or {},
+    )
+    monkeypatch.setattr(cli, "plot_scaling_crossover", lambda *a, **k: None)
+    monkeypatch.setattr(cli, "plot_scaling_quality", lambda *a, **k: None)
+    monkeypatch.setattr(
+        synthetic, "generate_synthetic_kv",
+        lambda **kw: calls.setdefault("generate", kw),
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "scaling", "--values_mode", "hard",
+            "--results_root", str(tmp_path / "root"),
+            "--kv_dir", str(tmp_path / "kv"),
+        ],
+    )
+    cli.main()
+    assert calls["scaling"]["values_mode"] == "hard"
+    assert calls["scaling"]["base_dir"] == tmp_path / "root" / "scaling"
+    # scaling never reads --kv_dir: the shared-cache generation must not run.
+    assert "generate" not in calls
+
+    # svd DOES need the shared cache; generation gets the recipe (the
+    # stubbed generator writes no metadata, so the svd run itself is
+    # warn-skipped downstream).
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "svd", "--values_mode", "hard",
+            "--results_root", str(tmp_path / "root"),
+            "--kv_dir", str(tmp_path / "kv"),
+        ],
+    )
+    cli.main()
+    assert calls["generate"]["values_mode"] == "hard"
+
+
 def test_aggregate_decode_experiment(tmp_path, figqa):
     from nerf_attention_tpu.experiments.aggregate_decode import (
         run_aggregate_decode_experiment,
