@@ -264,6 +264,15 @@ def siren_train_grads(
     params, activations, trig, and reductions stay fp32 — this is NOT full
     bf16 training (measured -0.014 CosSim, rejected), it only targets the
     fp32-vs-bf16 matmul-rate gap (102 vs 207 TFLOP/s on v5e).
+
+    Measured verdict (v5e, benchmarks/r3/train_impl_bf16mxu.json): a
+    no-op-to-slightly-slower dead end. Mosaic's DEFAULT f32 matmul already
+    rounds operands to bf16 (one-pass DEFAULT precision: explicit bf16
+    casts compile to bit-identical results on every config, and only
+    Precision.HIGHEST changes values), so the bf16-rate lever is already
+    on; the explicit casts just add VPU convert cost (~3%). Option kept
+    for documentation and CPU-interpret studies, where the rounding is
+    real.
     """
     n, seq_len, d_out = targets_norm.shape
     n_layers = len(params)
