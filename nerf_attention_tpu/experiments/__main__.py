@@ -42,7 +42,7 @@ def main() -> None:
         "experiment",
         choices=[
             "scaling", "multi_prompt", "svd", "layer_profile",
-            "aggregate_decode", "all",
+            "aggregate_decode", "quantize", "all",
         ],
     )
     parser.add_argument("--model", type=str, default="unsloth/Llama-3.1-8B")
@@ -203,6 +203,27 @@ def main() -> None:
             kv_dir=Path(args.kv_dir) if args.train_weights else None,
             epochs=args.epochs,
         )
+
+    if args.experiment in ("quantize", "all"):
+        print("\n" + "=" * 60)
+        print("EXPERIMENT 6: Quantized Parameter Storage")
+        print("=" * 60)
+        siren_dir = Path(args.siren_dir)
+        if not (siren_dir.exists() and kv_dir_ok):
+            print(
+                f"  Warning: needs checkpoints under {siren_dir} and a cache "
+                f"under {args.kv_dir}, skipping quantization experiment"
+            )
+        else:
+            from nerf_attention_tpu.experiments.quantized_params import (
+                plot_quantized_pareto,
+                run_quantization_experiment,
+            )
+
+            quant = run_quantization_experiment(
+                siren_dir, Path(args.kv_dir), root / "quantized_params"
+            )
+            plot_quantized_pareto(quant, figures_dir)
 
     if args.experiment == "all":
         print("\n" + "=" * 60)

@@ -1,0 +1,163 @@
+"""Experiment 6 (beyond reference): quantized SIREN parameter storage.
+
+The reference's Pareto counts every SIREN at fp32 storage
+(`/root/reference/nerf_attention/siren.py:63-67`), so its medium config at
+S=2048 reads as an 0.8x "expansion" and its headline conclusion leans on
+that accounting. This experiment re-prices the SAME trained networks under
+bf16 / fp16 / int8 storage (`ops/quantize.py`) and measures the
+reconstruction delta directly: for each saved medium checkpoint, the
+original tensor is reconstructed from the de-quantized parameters and the
+per-position CosSim recomputed against the cache on disk.
+
+Outputs ``quantization_results.json`` (one record per checkpoint x scheme)
+and ``quantized_pareto.png`` (quality vs effective compression, one series
+per scheme), both under the experiment output dir.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_attention_tpu.io import checkpoint, kvstore
+from nerf_attention_tpu.models.siren import positions, siren_forward
+from nerf_attention_tpu.ops.quantize import SCHEMES, param_bytes, quantize_params
+from nerf_attention_tpu.parallel.sweep import cosine_similarity
+
+SCHEME_STYLE = {
+    "fp32": dict(color="#2ecc71", marker="o"),
+    "bf16": dict(color="#3498db", marker="s"),
+    "fp16": dict(color="#9b59b6", marker="^"),
+    "int8": dict(color="#e74c3c", marker="D"),
+}
+
+
+def _reconstruct(params, omega: float, seq_len: int, mean, std) -> np.ndarray:
+    pos = positions(seq_len)
+    pred = siren_forward(
+        [(jnp.asarray(w), jnp.asarray(b)) for w, b in params], omega, pos
+    )
+    return np.asarray(pred.reshape(seq_len, -1) * std + mean)
+
+
+def run_quantization_experiment(
+    siren_dir: Path,
+    kv_dir: Path,
+    output_dir: Path,
+    schemes: tuple[str, ...] = SCHEMES,
+    max_models: int | None = None,
+    verbose: bool = True,
+) -> list[dict]:
+    """Re-price every saved medium checkpoint under each storage scheme."""
+    siren_dir, kv_dir, output_dir = Path(siren_dir), Path(kv_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    model_files = checkpoint.checkpoint_glob(siren_dir)
+    if max_models is not None:
+        model_files = model_files[:max_models]
+    if not model_files:
+        raise FileNotFoundError(f"no checkpoints under {siren_dir}")
+
+    results: list[dict] = []
+    for model_file in model_files:
+        ckpt = checkpoint.load_siren_checkpoint(model_file)
+        metrics = ckpt["metrics"]
+        keys, values = kvstore.load_layer(kv_dir, metrics["layer"])
+        original = np.asarray(
+            (keys if metrics["kv_type"] == "key" else values)[metrics["head"]],
+            dtype=np.float32,
+        )
+        seq_len, d_head = original.shape
+        raw_bytes = seq_len * d_head * 2  # fp16 KV-cache accounting (reference)
+
+        for scheme in schemes:
+            _, dq_params = quantize_params(ckpt["params"], scheme)
+            pred = _reconstruct(
+                dq_params, ckpt["config"].omega_0, seq_len,
+                ckpt["target_mean"], ckpt["target_std"],
+            )
+            cos = np.asarray(cosine_similarity(jnp.asarray(pred), jnp.asarray(original)))
+            stored = param_bytes(ckpt["params"], scheme)
+            results.append(
+                {
+                    "name": metrics["name"],
+                    "layer": metrics["layer"],
+                    "head": metrics["head"],
+                    "kv_type": metrics["kv_type"],
+                    "scheme": scheme,
+                    "stored_bytes": stored,
+                    "compression_ratio": float(raw_bytes / stored),
+                    "final_cosine_mean": float(cos.mean()),
+                    "final_cosine_min": float(cos.min()),
+                    "seq_len": seq_len,
+                    "d_head": d_head,
+                }
+            )
+        if verbose:
+            by_scheme = {r["scheme"]: r for r in results if r["name"] == metrics["name"]}
+            row = " | ".join(
+                f"{s}={by_scheme[s]['final_cosine_mean']:.4f}"
+                f"@{by_scheme[s]['compression_ratio']:.2f}x"
+                for s in schemes
+            )
+            print(f"  {metrics['name']}: {row}")
+
+    with open(output_dir / "quantization_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    if verbose:
+        print_quantization_summary(results, schemes)
+    return results
+
+
+def print_quantization_summary(results: list[dict], schemes=SCHEMES) -> None:
+    print("\nQuantized-storage summary (mean over checkpoints):")
+    fp32_cos = None
+    for scheme in schemes:
+        rows = [r for r in results if r["scheme"] == scheme]
+        if not rows:
+            continue
+        cos = float(np.mean([r["final_cosine_mean"] for r in rows]))
+        ratio = float(np.mean([r["compression_ratio"] for r in rows]))
+        if scheme == "fp32":
+            fp32_cos = cos
+        delta = f" (delta {cos - fp32_cos:+.5f})" if fp32_cos is not None and scheme != "fp32" else ""
+        print(f"  {scheme:>5}: CosSim {cos:.4f}{delta} at {ratio:.2f}x")
+
+
+def plot_quantized_pareto(results: list[dict], output_dir: Path) -> None:
+    """Quality vs effective compression, one series per storage scheme."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(10, 7))
+
+    for scheme, style in SCHEME_STYLE.items():
+        rows = [r for r in results if r["scheme"] == scheme]
+        if not rows:
+            continue
+        ax.scatter(
+            [r["compression_ratio"] for r in rows],
+            [r["final_cosine_mean"] for r in rows],
+            s=70, alpha=0.7, label=f"{scheme} storage",
+            edgecolors="black", linewidth=0.4, **style,
+        )
+    ax.axhline(y=0.95, color="green", linestyle="--", alpha=0.3)
+    ax.axvline(x=1.0, color="gray", linestyle=":", alpha=0.5)
+    ax.set(
+        xlabel="Effective Compression Ratio (x)",
+        ylabel="Cosine Similarity",
+        title="Same Trained SIRENs, Re-Priced by Parameter Storage",
+    )
+    ax.legend(fontsize=9)
+    ax.grid(True, alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(output_dir / "quantized_pareto.png", dpi=150, bbox_inches="tight")
+    plt.close()
+    print(f"  Saved: {output_dir}/quantized_pareto.png")

@@ -1,0 +1,121 @@
+"""Quantized parameter storage: ops round-trips and the experiment driver."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.models.siren import init_siren
+from nerf_attention_tpu.ops.quantize import (
+    SCHEMES,
+    param_bytes,
+    quantize_array,
+    quantize_params,
+)
+from nerf_attention_tpu.types import SIRENConfig
+
+CONFIG = SIRENConfig(32, 1, 30.0, "t32")
+
+
+def _params():
+    return [
+        (np.asarray(w), np.asarray(b))
+        for w, b in init_siren(jax.random.PRNGKey(0), CONFIG, out_features=8)
+    ]
+
+
+def test_fp32_scheme_is_identity():
+    params = _params()
+    _, dq = quantize_params(params, "fp32")
+    for (w, b), (wq, bq) in zip(params, dq):
+        np.testing.assert_array_equal(w, wq)
+        np.testing.assert_array_equal(b, bq)
+
+
+def test_bf16_matches_jax_bfloat16_rounding():
+    """The numpy bf16 round-to-nearest-even must equal jax's cast."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4096) * 10 ** rng.uniform(-6, 6, 4096)).astype(
+        np.float32
+    )
+    _, dq = quantize_array(x, "bf16")
+    want = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(dq, want)
+
+
+def test_int8_roundtrip_error_bounded():
+    """Per-channel int8: error bounded by scale/2 per element."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    payload, dq = quantize_array(w, "int8", axis=1)
+    assert payload["data"].dtype == np.int8
+    assert payload["scale"].shape == (16,)
+    err = np.abs(dq - w)
+    assert (err <= payload["scale"][None, :] * 0.5 + 1e-9).all()
+
+
+def test_param_bytes_accounting():
+    params = _params()
+    n = sum(w.size + b.size for w, b in params)
+    assert param_bytes(params, "fp32") == n * 4
+    assert param_bytes(params, "bf16") == n * 2
+    assert param_bytes(params, "fp16") == n * 2
+    scales = sum(w.shape[-1] * 4 + 4 for w, _ in params)
+    assert param_bytes(params, "int8") == n + scales
+    with pytest.raises(ValueError, match="scheme"):
+        param_bytes(params, "int4")
+
+
+def test_quantization_experiment(tmp_path, figqa):
+    """End-to-end on a tiny fit: fp32 matches checkpoint quality, lossy
+    schemes stay close and report higher compression."""
+    from nerf_attention_tpu.experiments.quantized_params import (
+        plot_quantized_pareto,
+        run_quantization_experiment,
+    )
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    kv_dir = tmp_path / "kv"
+    fits = tmp_path / "fits"
+    generate_synthetic_kv(
+        seq_len=64, num_layers=3, num_kv_heads=1, head_dim=16,
+        output_dir=kv_dir, verbose=False,
+    )
+    fit_kv_cache(kv_dir, fits, epochs=200, quick=True, verbose=False)
+
+    results = run_quantization_experiment(
+        fits, kv_dir, tmp_path / "out", verbose=False
+    )
+    by_scheme = {
+        s: [r for r in results if r["scheme"] == s] for s in SCHEMES
+    }
+    n_ckpts = len(by_scheme["fp32"])
+    assert n_ckpts > 0 and all(len(v) == n_ckpts for v in by_scheme.values())
+
+    for fp32_rec in by_scheme["fp32"]:
+        peers = {
+            r["scheme"]: r for r in results if r["name"] == fp32_rec["name"]
+        }
+        # Storage ordering is exact: int8 < bf16 == fp16 < fp32 bytes.
+        assert peers["int8"]["stored_bytes"] < peers["bf16"]["stored_bytes"]
+        assert peers["bf16"]["stored_bytes"] == peers["fp16"]["stored_bytes"]
+        assert peers["bf16"]["stored_bytes"] < peers["fp32"]["stored_bytes"]
+        assert peers["bf16"]["compression_ratio"] == pytest.approx(
+            2 * fp32_rec["compression_ratio"]
+        )
+        # Lossy rounding must not collapse the reconstruction.
+        for scheme in ("bf16", "fp16", "int8"):
+            assert (
+                abs(peers[scheme]["final_cosine_mean"] - fp32_rec["final_cosine_mean"])
+                < 0.05
+            )
+
+    data = json.loads((tmp_path / "out" / "quantization_results.json").read_text())
+    assert len(data) == len(results)
+
+    plot_quantized_pareto(results, tmp_path / "figs")
+    figqa(tmp_path / "figs" / "quantized_pareto.png")
