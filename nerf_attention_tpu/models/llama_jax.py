@@ -43,6 +43,7 @@ class LlamaConfig:
     hidden_act: str = "silu"  # MLP activation (Gemma: gelu_pytorch_tanh)
     norm_offset: bool = False  # Gemma RMSNorm scales by (1 + w), not w
     scale_embeddings: bool = False  # Gemma multiplies embeddings by sqrt(h)
+    qk_norm: bool = False  # Qwen3: per-head RMSNorm on Q/K before RoPE
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -61,7 +62,7 @@ class LlamaConfig:
         mix this prefill doesn't implement, so it's rejected rather than
         silently wrong.
         """
-        if "use_sliding_window" in d or d.get("model_type") == "qwen2":
+        if "use_sliding_window" in d or d.get("model_type") in ("qwen2", "qwen3"):
             # Qwen2-family config shape. The window is inert unless
             # use_sliding_window is explicitly true (Qwen2Config defaults it
             # False even when a sliding_window value is present), so a config
@@ -83,7 +84,9 @@ class LlamaConfig:
     # loudly: e.g. gemma2/3 add pre/post-norms and logit softcapping,
     # mixtral swaps the MLP for MoE — silently extracting with the wrong
     # architecture would produce plausible-looking but wrong KV.
-    _SUPPORTED_MODEL_TYPES = {None, "llama", "mistral", "qwen2", "gemma", "phi3"}
+    _SUPPORTED_MODEL_TYPES = {
+        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "phi3",
+    }
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
@@ -91,7 +94,7 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, qwen2, gemma, phi3)"
+                f"llama, mistral, qwen2, qwen3, gemma, phi3)"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -128,6 +131,7 @@ class LlamaConfig:
             hidden_act=d.get("hidden_act", "silu"),
             norm_offset=model_type == "gemma",
             scale_embeddings=model_type == "gemma",
+            qk_norm=model_type == "qwen3",
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -254,6 +258,12 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     q = (x @ lp["q"] + lp["q_bias"]).reshape(s, n_q, d).transpose(1, 0, 2)
     k = (x @ lp["k"] + lp["k_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
     v = (x @ lp["v"] + lp["v_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+
+    if config.qk_norm:
+        # Qwen3: per-head RMSNorm over head_dim on Q and K, BEFORE RoPE
+        # (HF Qwen3Attention.forward: q_norm(q_proj(x).view(...))).
+        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps)
+        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
@@ -421,6 +431,13 @@ def load_llama_params(
             )
         layers["input_norm"].append(arr(f"{prefix}.input_layernorm.weight"))
         layers["post_norm"].append(arr(f"{prefix}.post_attention_layernorm.weight"))
+        if config.qk_norm:
+            layers.setdefault("q_norm", []).append(
+                arr(f"{prefix}.self_attn.q_norm.weight")
+            )
+            layers.setdefault("k_norm", []).append(
+                arr(f"{prefix}.self_attn.k_norm.weight")
+            )
 
     params = {
         "embed": arr("model.embed_tokens.weight"),
@@ -459,6 +476,9 @@ def init_random_llama(
         "input_norm": jnp.ones((n_l, h), dtype=dtype),
         "post_norm": jnp.ones((n_l, h), dtype=dtype),
     }
+    if config.qk_norm:
+        layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
+        layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
     return {"embed": w(config.vocab_size, h), "layers": layers}
 
 
@@ -490,6 +510,11 @@ def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
         "input_norm": put(lp["input_norm"], P(None, None)),
         "post_norm": put(lp["post_norm"], P(None, None)),
     }
+    # Qwen3 per-head Q/K norms are a single head_dim vector shared by every
+    # head, so they replicate (head sharding doesn't split head_dim).
+    for qk in ("q_norm", "k_norm"):
+        if qk in lp:
+            sharded[qk] = put(lp[qk], P(None, None))
     return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
 
 

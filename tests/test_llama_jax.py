@@ -283,6 +283,60 @@ def test_kv_parity_with_hf_qwen2(tmp_path):
         )
 
 
+def test_kv_parity_with_hf_qwen3(tmp_path):
+    """Qwen3 applies per-head RMSNorm to Q and K BEFORE RoPE (q_norm/k_norm)
+    and drops Qwen2's projection biases — post-RoPE keys must match HF, and
+    skipping the norm must visibly change them."""
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.Qwen3ForCausalLM(cfg)
+    model.eval()
+    # HF initializes the norm weights to ones; perturb them so the test
+    # exercises the learned-scale path, not just the normalization.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.qk_norm and config.sliding_window is None
+    assert params["layers"]["k_norm"].shape == (2, 8)
+    assert float(np.abs(params["layers"]["q_bias"]).max()) == 0  # no biases
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    # The norm must actually bite: disabling it diverges the keys.
+    no_norm = LlamaConfig(**{**config.__dict__, "qk_norm": False})
+    keys_nn, _ = llama_prefill_kv(no_norm, params, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(keys[0]), np.asarray(keys_nn[0]), atol=1e-4)
+
+
 def test_kv_parity_with_hf_mistral_sliding_window(tmp_path):
     """A Mistral checkpoint with an active sliding_window must produce HF's
     KV: the window changes deeper layers' KV through the attention output
