@@ -116,29 +116,20 @@ def main() -> None:
         )
         plot_multi_prompt(prompts, figures_dir)
 
-    needs_kv_dir = args.experiment in ("svd", "layer_profile", "all") or (
-        args.experiment == "aggregate_decode" and args.train_weights
-    )
+    needs_kv_dir = args.experiment in (
+        "svd", "layer_profile", "quantize", "all"
+    ) or (args.experiment == "aggregate_decode" and args.train_weights)
     if args.backend == "synthetic" and needs_kv_dir:
-        # Hermetic SVD/layer-profile inputs: generate the shared cache when
-        # it's absent or was built under the other value recipe.
-        from nerf_attention_tpu.io import kvstore
-        from nerf_attention_tpu.synthetic import (
-            generate_synthetic_kv,
-            synthetic_model_name,
-        )
+        # Hermetic SVD/layer-profile/quantize inputs. ensure_synthetic_cache
+        # reuses same-recipe synthetic AND real-model caches (an extraction
+        # is never overwritten); only other-recipe synthetic regenerates.
+        from nerf_attention_tpu.synthetic import ensure_synthetic_cache
 
-        kv_meta = Path(args.kv_dir) / "metadata.json"
-        have = kvstore.load_metadata(Path(args.kv_dir)).model_name if kv_meta.exists() else None
-        if have != synthetic_model_name(args.values_mode) and (
-            have is None or have.startswith("synthetic")
-        ):
-            generate_synthetic_kv(
-                seq_len=2048,
-                num_layers=args.synth_layers,
-                output_dir=Path(args.kv_dir),
-                values_mode=args.values_mode,
-            )
+        ensure_synthetic_cache(
+            Path(args.kv_dir),
+            values_mode=args.values_mode,
+            num_layers=args.synth_layers,
+        )
 
     kv_dir_ok = (Path(args.kv_dir) / "metadata.json").exists()
 

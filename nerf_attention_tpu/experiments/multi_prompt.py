@@ -23,7 +23,7 @@ from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.experiments.prompts import get_prompts
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
-from nerf_attention_tpu.synthetic import generate_synthetic_kv, synthetic_model_name
+from nerf_attention_tpu.synthetic import ensure_synthetic_cache
 from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
 MEDIUM = CONFIGS_BY_NAME["medium"]
@@ -43,25 +43,21 @@ def _extract_prompt_cache(
     synth_dim: int = 128,
     values_mode: str = "reference",
 ) -> KVMetadata:
-    if (kv_dir / "metadata.json").exists():
-        prior = kvstore.load_metadata(kv_dir)
-        # A synthetic cache is only reusable under the same value recipe.
-        if backend != "synthetic" or prior.model_name == synthetic_model_name(
-            values_mode
-        ):
-            return prior
-
     if backend == "synthetic":
-        return generate_synthetic_kv(
+        # Same-recipe synthetic and real-model caches reuse; other-recipe
+        # synthetic regenerates (ensure_synthetic_cache policy).
+        return ensure_synthetic_cache(
+            kv_dir,
+            values_mode=values_mode,
             seq_len=seq_len,
             num_layers=synth_layers,
             num_kv_heads=synth_heads,
             head_dim=synth_dim,
-            output_dir=kv_dir,
-            verbose=False,
             seed_offset=100_000 * (prompt_idx + 1),
-            values_mode=values_mode,
+            verbose=False,
         )
+    if (kv_dir / "metadata.json").exists():
+        return kvstore.load_metadata(kv_dir)
     if backend == "hf":
         from nerf_attention_tpu.extract import extract_with_hf
 

@@ -84,6 +84,19 @@ def run_quantization_experiment(
                 ckpt["target_mean"], ckpt["target_std"],
             )
             cos = np.asarray(cosine_similarity(jnp.asarray(pred), jnp.asarray(original)))
+            if scheme == "fp32":
+                # Guard against a checkpoint/cache mismatch (e.g. kv_dir
+                # regenerated under another recipe after the sweep): the
+                # fp32 reconstruction must reproduce the quality the sweep
+                # recorded for this exact tensor.
+                recorded = metrics.get("final_cosine_mean")
+                if recorded is not None and abs(float(cos.mean()) - recorded) > 0.02:
+                    print(
+                        f"  WARNING: {metrics['name']} fp32 CosSim "
+                        f"{float(cos.mean()):.4f} != recorded {recorded:.4f} — "
+                        f"{kv_dir} likely is NOT the cache this sweep was "
+                        f"trained on; quality numbers are meaningless"
+                    )
             stored = param_bytes(ckpt["params"], scheme)
             results.append(
                 {

@@ -29,7 +29,7 @@ from nerf_attention_tpu.utils.timing import measured_hbm_read_ms
 from nerf_attention_tpu.fit import _batch_to_fit_result, result_to_record
 from nerf_attention_tpu.io import checkpoint, kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
-from nerf_attention_tpu.synthetic import generate_synthetic_kv, synthetic_model_name
+from nerf_attention_tpu.synthetic import ensure_synthetic_cache
 from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
 MEDIUM = CONFIGS_BY_NAME["medium"]
@@ -49,9 +49,9 @@ def _extract_all_seq_lengths(
     """Extract KV caches for every length, loading the model at most once.
 
     Resume-if-exists per length and graceful stop on OOM mirror the
-    reference (scaling.py:56-61, 111-116). A resumed synthetic cache is
-    only reused if it was generated under the SAME ``values_mode`` (the
-    metadata records the recipe); otherwise it is regenerated.
+    reference (scaling.py:56-61, 111-116). Synthetic reuse policy is
+    ``ensure_synthetic_cache``: same-recipe synthetic and real-model caches
+    are reused; other-recipe synthetic caches regenerate.
     """
     metadata_map: dict[int, KVMetadata] = {}
     hf_state: dict = {}  # hf backend: model loaded lazily, once
@@ -59,33 +59,24 @@ def _extract_all_seq_lengths(
 
     for seq_len in seq_lengths:
         kv_dir = base_dir / f"seq_{seq_len}" / "kv_cache"
-        if (kv_dir / "metadata.json").exists():
-            prior = kvstore.load_metadata(kv_dir)
-            if backend != "synthetic" or prior.model_name == synthetic_model_name(
-                values_mode
-            ):
-                if verbose:
-                    print(f"\n  seq_len={seq_len}: already extracted, skipping")
-                metadata_map[seq_len] = prior
-                continue
+        if backend != "synthetic" and (kv_dir / "metadata.json").exists():
             if verbose:
-                print(
-                    f"\n  seq_len={seq_len}: cached as {prior.model_name!r}, "
-                    f"regenerating for values_mode={values_mode!r}"
-                )
+                print(f"\n  seq_len={seq_len}: already extracted, skipping")
+            metadata_map[seq_len] = kvstore.load_metadata(kv_dir)
+            continue
 
         if verbose:
             print(f"\n  Extracting seq_len={seq_len}...")
 
         try:
             if backend == "synthetic":
-                metadata_map[seq_len] = generate_synthetic_kv(
+                metadata_map[seq_len] = ensure_synthetic_cache(
+                    kv_dir,
+                    values_mode=values_mode,
                     seq_len=seq_len,
                     num_layers=synth_layers,
                     num_kv_heads=synth_heads,
                     head_dim=synth_dim,
-                    output_dir=kv_dir,
-                    values_mode=values_mode,
                     verbose=verbose,
                 )
             elif backend == "hf":
@@ -473,24 +464,20 @@ def run_full_layer_profile(
 
     ``backend="synthetic"`` makes the profile hermetic: if ``kv_dir`` has no
     cache (or one generated under a different ``values_mode``), a synthetic
-    cache with the requested value recipe is generated in place.
+    cache with the requested value recipe is generated in place. A
+    real-model cache is reused, never overwritten
+    (``ensure_synthetic_cache`` policy).
     """
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     if backend == "synthetic":
-        have = (
-            kvstore.load_metadata(kv_dir).model_name
-            if (kv_dir / "metadata.json").exists()
-            else None
+        ensure_synthetic_cache(
+            kv_dir,
+            values_mode=values_mode,
+            seq_len=synth_seq_len,
+            num_layers=synth_layers,
+            verbose=verbose,
         )
-        if have != synthetic_model_name(values_mode):
-            generate_synthetic_kv(
-                seq_len=synth_seq_len,
-                num_layers=synth_layers,
-                output_dir=kv_dir,
-                values_mode=values_mode,
-                verbose=verbose,
-            )
     metadata = kvstore.load_metadata(kv_dir)
 
     grid: list[tuple[int, str]] = []

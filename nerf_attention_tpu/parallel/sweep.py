@@ -322,6 +322,14 @@ def fit_batch_dispatch(
 
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
     impl = resolve_impl(impl, multi_device=multi_device, config=config)
+    if impl == "xla" and mxu != "fp32":
+        # The XLA autodiff path has no MXU-precision knob; silently training
+        # fp32 while the caller believes it measured bf16 MXU passes would
+        # mislabel results (same guard train_impl_bench applies to variants).
+        raise ValueError(
+            f"mxu={mxu!r} requires the pallas implementation; this call "
+            f"resolved to impl='xla' (pass impl='pallas' explicitly)"
+        )
 
     if multi_device:
         n_dev = int(np.prod(mesh.devices.shape))

@@ -48,6 +48,58 @@ def synthetic_model_name(values_mode: str) -> str:
     return "synthetic" if values_mode == "reference" else "synthetic_hard"
 
 
+def ensure_synthetic_cache(
+    kv_dir: Path,
+    *,
+    values_mode: str = "reference",
+    seq_len: int = 2048,
+    num_layers: int = 32,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    seed_offset: int = 0,
+    verbose: bool = True,
+) -> KVMetadata:
+    """Reuse-or-(re)generate a synthetic cache under the given value recipe.
+
+    The single reuse policy for every synthetic-backend driver (scaling
+    ladder, multi-prompt, layer profile, experiments CLI):
+
+      * a synthetic cache built under the SAME recipe is reused as-is;
+      * a synthetic cache built under the OTHER recipe is regenerated
+        (silently mixing recipes would corrupt a study);
+      * a REAL-model cache is always reused, never clobbered — an
+        extraction is expensive and a synthetic driver must not destroy it.
+    """
+    kv_dir = Path(kv_dir)
+    if (kv_dir / "metadata.json").exists():
+        prior = kvstore.load_metadata(kv_dir)
+        if prior.model_name == synthetic_model_name(values_mode):
+            return prior
+        if not prior.model_name.startswith("synthetic"):
+            if verbose:
+                print(
+                    f"  {kv_dir} holds a real-model cache "
+                    f"({prior.model_name!r}); reusing it, NOT overwriting "
+                    f"with synthetic data"
+                )
+            return prior
+        if verbose:
+            print(
+                f"  {kv_dir} cached as {prior.model_name!r}, regenerating "
+                f"for values_mode={values_mode!r}"
+            )
+    return generate_synthetic_kv(
+        seq_len=seq_len,
+        num_layers=num_layers,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        output_dir=kv_dir,
+        values_mode=values_mode,
+        seed_offset=seed_offset,
+        verbose=verbose,
+    )
+
+
 def _spike_train(
     rng: np.random.RandomState, seq_len: int, layer_sharpness: float
 ) -> np.ndarray:

@@ -162,3 +162,54 @@ def test_hard_values_reproduce_kv_gap(tmp_path):
     )
     key_cos, value_cos = np.asarray(batch.cosine_mean)
     assert key_cos - value_cos >= 0.08, (key_cos, value_cos)
+
+
+def test_ensure_synthetic_cache_policy(tmp_path):
+    """Reuse-or-regenerate policy: same-recipe reuse, other-recipe
+    regenerate, real-model caches NEVER clobbered."""
+    from nerf_attention_tpu.synthetic import ensure_synthetic_cache
+    from nerf_attention_tpu.types import KVMetadata
+
+    kw = dict(seq_len=32, num_layers=2, num_kv_heads=1, head_dim=8, verbose=False)
+    kv_dir = tmp_path / "kv"
+
+    meta = ensure_synthetic_cache(kv_dir, values_mode="reference", **kw)
+    assert meta.model_name == "synthetic"
+    keys_before, _ = kvstore.load_layer(kv_dir, 0)
+    marker = (kv_dir / "layer_00.npz").stat().st_mtime_ns
+
+    # Same recipe: reused, not regenerated.
+    meta = ensure_synthetic_cache(kv_dir, values_mode="reference", **kw)
+    assert (kv_dir / "layer_00.npz").stat().st_mtime_ns == marker
+
+    # Other recipe: regenerated (values change, keys stay parity-exact).
+    meta = ensure_synthetic_cache(kv_dir, values_mode="hard", **kw)
+    assert meta.model_name == "synthetic_hard"
+    keys_after, _ = kvstore.load_layer(kv_dir, 0)
+    np.testing.assert_array_equal(keys_before, keys_after)
+
+    # Real-model cache: reused untouched, never overwritten.
+    real_dir = tmp_path / "real"
+    generate_synthetic_kv(output_dir=real_dir, **kw)
+    real_meta = KVMetadata(
+        model_name="unsloth/Llama-3.1-8B", num_layers=2, num_kv_heads=1,
+        seq_len=32, head_dim=8, actual_tokens=32,
+    )
+    kvstore.save_metadata(real_dir, real_meta)
+    real_marker = (real_dir / "layer_00.npz").stat().st_mtime_ns
+    meta = ensure_synthetic_cache(real_dir, values_mode="hard", **kw)
+    assert meta.model_name == "unsloth/Llama-3.1-8B"
+    assert (real_dir / "layer_00.npz").stat().st_mtime_ns == real_marker
+
+
+def test_mxu_bf16_requires_pallas_impl():
+    """mxu='bf16' on a resolved-XLA path must error, not silently run fp32."""
+    import pytest
+
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import SIRENConfig
+
+    targets = np.random.default_rng(0).standard_normal((2, 32, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        fit_batch(targets, SIRENConfig(16, 1, 30.0, "t"), epochs=2,
+                  impl="xla", mxu="bf16")

@@ -117,13 +117,16 @@ def main() -> None:
             bf16_t = row["pallas_fast_bf16_ms_per_epoch"]["median"]
             row["speedup"] = fp32_t / bf16_t
 
-        # Quality: the sweep grid at full epochs, same seed both ways
-        # (matching fit.py's per-group seed derivation).
+        # Quality: the sweep grid at full epochs, same seed both ways.
+        # The seed derives from the config's REGISTRY index (fit.py's
+        # per-group derivation) so a --configs-filtered run still produces
+        # the same per-config numbers as the full sweep.
+        registry_idx = CONFIGS_FULL.index(config)
         cos = {}
         for mxu in ("fp32", "bf16"):
             batch = fit_batch(
-                stacked, config, epochs=args.epochs, seed=gi * 10_000,
-                impl="pallas", mxu=mxu,
+                stacked, config, epochs=args.epochs,
+                seed=registry_idx * 10_000, impl="pallas", mxu=mxu,
             )
             cos[mxu] = batch.cosine_mean
         delta = cos["bf16"] - cos["fp32"]

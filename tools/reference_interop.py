@@ -122,9 +122,14 @@ def run_reference_evaluate(workdir: Path) -> subprocess.CompletedProcess:
     figures_dir = workdir / "reference_figures"
     figures_dir.mkdir(parents=True, exist_ok=True)
     env = dict(os.environ)
-    # The reference needs only torch/numpy/matplotlib (CPU); run it with its
-    # own repo root on the path, and keep the accelerator out of it.
-    env["PYTHONPATH"] = str(REFERENCE)
+    # The reference needs only torch/numpy/matplotlib (CPU). APPEND its repo
+    # root to the inherited PYTHONPATH — overwriting would drop the
+    # environment's sitecustomize path (see CLAUDE.md) — and keep the
+    # accelerator out of the child.
+    inherited = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = (
+        f"{REFERENCE}:{inherited}" if inherited else str(REFERENCE)
+    )
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [
