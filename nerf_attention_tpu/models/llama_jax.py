@@ -44,6 +44,15 @@ class LlamaConfig:
     norm_offset: bool = False  # Gemma RMSNorm scales by (1 + w), not w
     scale_embeddings: bool = False  # Gemma multiplies embeddings by sqrt(h)
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on Q/K before RoPE
+    # Gemma2 extensions
+    attn_scale: float | None = None  # None -> rsqrt(head_dim); Gemma2 uses
+    #                                  query_pre_attn_scalar ** -0.5
+    attn_logit_softcap: float | None = None  # logits -> cap * tanh(logits/cap)
+    sandwich_norms: bool = False  # Gemma2 post-attn + pre/post-ffn norm wiring
+    # Per-layer sliding windows (None entry = full attention). Set from HF
+    # layer_types (Gemma2 alternates, Qwen2/3 window only layers >=
+    # max_window_layers); mutually exclusive with uniform sliding_window.
+    layer_windows: tuple | None = None
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -67,25 +76,53 @@ class LlamaConfig:
             # use_sliding_window is explicitly true (Qwen2Config defaults it
             # False even when a sliding_window value is present), so a config
             # that merely OMITS the key must not fall through to the generic
-            # branch and enable a window HF would ignore.
+            # branch and enable a window HF would ignore. A true
+            # use_sliding_window with max_window_layers > 0 is a per-layer
+            # mix, resolved via layer windows in from_hf_dict, not here.
             if not d.get("use_sliding_window", False):
                 return None
-            if d.get("max_window_layers", 28) > 0:
-                raise NotImplementedError(
-                    "Qwen2 per-layer sliding window (max_window_layers > 0) "
-                    "is not supported; uniform windows are"
-                )
             return d.get("sliding_window", 4096)
         if d.get("model_type") == "mistral":
             return d.get("sliding_window", 4096)  # HF MistralConfig default
         return d.get("sliding_window")
 
+    @classmethod
+    def _resolve_windows(cls, d: dict) -> tuple["int | None", "tuple | None"]:
+        """(uniform sliding_window, per-layer windows) for a HF config dict.
+
+        Precedence: an explicit ``layer_types`` list (Gemma2 always, Qwen2/3
+        when serialized) maps each layer to its window; a uniform result
+        collapses back to ``sliding_window``. Qwen-family configs without
+        layer_types derive the HF rule directly: sliding only for layers
+        >= max_window_layers.
+        """
+        n_layers = d["num_hidden_layers"]
+        layer_types = d.get("layer_types")
+        if layer_types:
+            sw = d.get("sliding_window")
+            windows = tuple(
+                sw if t == "sliding_attention" else None for t in layer_types
+            )
+        elif d.get("use_sliding_window", False):
+            sw = d.get("sliding_window", 4096)
+            first_full = d.get("max_window_layers", 28)
+            windows = tuple(
+                None if i < first_full else sw for i in range(n_layers)
+            )
+        else:
+            return cls._resolve_sliding_window(d), None
+        if all(w is None for w in windows):
+            return None, None
+        if all(w == windows[0] for w in windows):
+            return windows[0], None
+        return None, windows
+
     # Families this forward implements faithfully. Anything else must fail
-    # loudly: e.g. gemma2/3 add pre/post-norms and logit softcapping,
-    # mixtral swaps the MLP for MoE — silently extracting with the wrong
-    # architecture would produce plausible-looking but wrong KV.
+    # loudly: e.g. gemma3 adds interleaved local/global rope, mixtral swaps
+    # the MLP for MoE — silently extracting with the wrong architecture
+    # would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
-        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "phi3",
+        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
     }
 
     @classmethod
@@ -94,7 +131,7 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, qwen2, qwen3, gemma, phi3)"
+                f"llama, mistral, qwen2, qwen3, gemma, gemma2, phi3)"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -111,6 +148,18 @@ class LlamaConfig:
                 "(plain RoPE and llama3 rescaling are)"
             )
         num_heads = d["num_attention_heads"]
+        sliding_window, layer_windows = cls._resolve_windows(d)
+        if model_type == "gemma2":
+            # Gemma2MLP reads hidden_activation (Gemma2Config default).
+            hidden_act = d.get("hidden_activation", "gelu_pytorch_tanh")
+            attn_scale = d.get("query_pre_attn_scalar", 256) ** -0.5
+        else:
+            # Parity contract is the installed transformers: GemmaMLP reads
+            # config.hidden_act and IGNORES the hidden_activation field some
+            # Gemma hub configs also carry — follow HF exactly, or real
+            # checkpoints would extract KV with a different activation.
+            hidden_act = d.get("hidden_act", "silu")
+            attn_scale = None
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -123,15 +172,19 @@ class LlamaConfig:
             # (Llama-2-era checkpoints) must get HF's values, not Llama-3's.
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
-            sliding_window=cls._resolve_sliding_window(d),
-            # Parity contract is the installed transformers: GemmaMLP reads
-            # config.hidden_act and IGNORES the hidden_activation field some
-            # Gemma hub configs also carry — follow HF exactly, or real
-            # checkpoints would extract KV with a different activation.
-            hidden_act=d.get("hidden_act", "silu"),
-            norm_offset=model_type == "gemma",
-            scale_embeddings=model_type == "gemma",
+            sliding_window=sliding_window,
+            layer_windows=layer_windows,
+            hidden_act=hidden_act,
+            norm_offset=model_type in ("gemma", "gemma2"),
+            scale_embeddings=model_type in ("gemma", "gemma2"),
             qk_norm=model_type == "qwen3",
+            attn_scale=attn_scale,
+            attn_logit_softcap=(
+                d.get("attn_logit_softcapping", 50.0)
+                if model_type == "gemma2"
+                else None
+            ),
+            sandwich_norms=model_type == "gemma2",
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -201,7 +254,9 @@ ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
 
 def _causal_attention(
     q: jax.Array, k_full: jax.Array, v_full: jax.Array,
-    window: int | None = None,
+    window=None,
+    softcap: float | None = None,
+    scale: float | None = None,
 ):
     """Causal softmax attention, query-chunked.
 
@@ -210,11 +265,17 @@ def _causal_attention(
     chunking queries into ATTN_BLOCK rows bounds the live logits to
     (H, BLOCK, S) (~0.5 GB at 8192) so long-context extraction fits a
     single chip. Math is identical: each query row still softmaxes over
-    its full causal prefix. ``window``: Mistral-style sliding window — row
-    r attends to cols in (r - window, r], matching HF's mask diagonal.
+    its full causal prefix.
+
+    ``window``: sliding window — row r attends to cols in (r - window, r],
+    matching HF's mask diagonal. May be a static int (Mistral-uniform) or a
+    TRACED int32 scalar (per-layer windows scanned over layers; <= 0 means
+    full attention). ``softcap``: Gemma2 logit soft-capping, applied before
+    the mask like HF's eager path. ``scale``: logit scale override
+    (Gemma2's query_pre_attn_scalar ** -0.5); default rsqrt(head_dim).
     """
     h_heads, s, d = q.shape
-    scale = jax.lax.rsqrt(jnp.float32(d))
+    scale = jax.lax.rsqrt(jnp.float32(d)) if scale is None else jnp.float32(scale)
     neg_inf = jnp.finfo(jnp.float32).min
     cols = jnp.arange(s)
 
@@ -229,9 +290,15 @@ def _causal_attention(
             jnp.einsum("hqd,hkd->hqk", qb, k_full, preferred_element_type=jnp.float32)
             * scale
         )
+        if softcap is not None:
+            logits = softcap * jnp.tanh(logits / softcap)
         rows = row0 + jnp.arange(block)
         keep = cols[None, None, :] <= rows[None, :, None]
-        if window is not None:
+        if isinstance(window, jax.Array):
+            keep &= (window <= 0) | (
+                cols[None, None, :] > rows[None, :, None] - window
+            )
+        elif window is not None:
             keep &= cols[None, None, :] > rows[None, :, None] - window
         logits = jnp.where(keep, logits, neg_inf)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
@@ -273,13 +340,36 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     k_full = jnp.repeat(k, group, axis=0)
     v_full = jnp.repeat(v, group, axis=0)
 
-    attn = _causal_attention(q, k_full, v_full, window=config.sliding_window)
+    # Per-layer windows arrive as a scanned traced scalar in lp["window"];
+    # uniform windows stay the static config value.
+    window = lp["window"] if "window" in lp else config.sliding_window
+    attn = _causal_attention(
+        q, k_full, v_full, window=window,
+        softcap=config.attn_logit_softcap, scale=config.attn_scale,
+    )
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
-    h = h + attn @ lp["o"]
+    attn_out = attn @ lp["o"]
 
-    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
-    gated = _mlp_act(config.hidden_act)(x @ lp["gate"]) * (x @ lp["up"])
-    h = h + gated @ lp["down"]
+    act = _mlp_act(config.hidden_act)
+    if config.sandwich_norms:
+        # Gemma2 wiring: post-attention norm on the attention OUTPUT, then
+        # pre/post-feedforward norms around the MLP (Gemma2DecoderLayer).
+        h = h + _rms_norm(
+            attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
+        )
+        x = _rms_norm(
+            h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+        )
+        gated = act(x @ lp["gate"]) * (x @ lp["up"])
+        h = h + _rms_norm(
+            gated @ lp["down"], lp["post_ffn_norm"],
+            config.rms_norm_eps, config.norm_offset,
+        )
+    else:
+        h = h + attn_out
+        x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
+        gated = act(x @ lp["gate"]) * (x @ lp["up"])
+        h = h + gated @ lp["down"]
     return h, (k, v)
 
 
@@ -302,11 +392,20 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
     angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
     cos, sin = jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
 
+    layers = params["layers"]
+    if config.layer_windows is not None:
+        # Per-layer sliding windows ride the scan as one more leaf (<= 0
+        # means full attention for that layer).
+        layers = dict(layers)
+        layers["window"] = jnp.asarray(
+            [w if w else 0 for w in config.layer_windows], dtype=jnp.int32
+        )
+
     def scan_layer(h, lp):
         h, kv = _layer_forward(config, h, lp, cos, sin)
         return h, kv
 
-    _, (keys, values) = jax.lax.scan(scan_layer, h, params["layers"])
+    _, (keys, values) = jax.lax.scan(scan_layer, h, layers)
     return keys, values
 
 
@@ -438,6 +537,13 @@ def load_llama_params(
             layers.setdefault("k_norm", []).append(
                 arr(f"{prefix}.self_attn.k_norm.weight")
             )
+        if config.sandwich_norms:
+            layers.setdefault("pre_ffn_norm", []).append(
+                arr(f"{prefix}.pre_feedforward_layernorm.weight")
+            )
+            layers.setdefault("post_ffn_norm", []).append(
+                arr(f"{prefix}.post_feedforward_layernorm.weight")
+            )
 
     params = {
         "embed": arr("model.embed_tokens.weight"),
@@ -479,6 +585,9 @@ def init_random_llama(
     if config.qk_norm:
         layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
+    if config.sandwich_norms:
+        layers["pre_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
+        layers["post_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
     return {"embed": w(config.vocab_size, h), "layers": layers}
 
 
@@ -511,10 +620,11 @@ def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
         "post_norm": put(lp["post_norm"], P(None, None)),
     }
     # Qwen3 per-head Q/K norms are a single head_dim vector shared by every
-    # head, so they replicate (head sharding doesn't split head_dim).
-    for qk in ("q_norm", "k_norm"):
-        if qk in lp:
-            sharded[qk] = put(lp[qk], P(None, None))
+    # head (head sharding doesn't split head_dim), and Gemma2's extra
+    # hidden-size norms are norms — all replicate.
+    for extra in ("q_norm", "k_norm", "pre_ffn_norm", "post_ffn_norm"):
+        if extra in lp:
+            sharded[extra] = put(lp[extra], P(None, None))
     return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
 
 

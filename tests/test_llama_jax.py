@@ -428,11 +428,121 @@ def test_kv_parity_with_hf_gemma(tmp_path):
 
 
 def test_unsupported_model_type_rejected():
-    with pytest.raises(NotImplementedError, match="gemma2"):
+    with pytest.raises(NotImplementedError, match="mixtral"):
         LlamaConfig.from_hf_dict(
-            dict(model_type="gemma2", vocab_size=8, hidden_size=8,
+            dict(model_type="mixtral", vocab_size=8, hidden_size=8,
                  intermediate_size=8, num_hidden_layers=1,
                  num_attention_heads=1)
+        )
+
+
+def test_kv_parity_with_hf_gemma2(tmp_path):
+    """Gemma2: sandwich norms (post-attn + pre/post-ffn), logit
+    soft-capping, query_pre_attn_scalar scaling, and ALTERNATING per-layer
+    sliding windows — post-RoPE KV must match HF's eager path."""
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=3, query_pre_attn_scalar=16,
+        attn_logit_softcapping=1.0,  # tight cap so it bites at random-init scale
+        attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    model = transformers.Gemma2ForCausalLM(cfg)
+    model.eval()
+    # Random-init logits are ~1e-3, where tanh is identity; scale Q/K so
+    # logits are O(1) and the soft-cap demonstrably shapes the output.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.weight *= 8.0
+            layer.self_attn.k_proj.weight *= 8.0
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.sandwich_norms and config.norm_offset
+    assert config.attn_logit_softcap == 1.0
+    assert config.attn_scale == pytest.approx(16 ** -0.5)
+    # Gemma2 alternates sliding/full starting at layer 0.
+    assert config.sliding_window is None
+    assert config.layer_windows == (3, None, 3, None)
+    assert params["layers"]["pre_ffn_norm"].shape == (4, 32)
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    # HF's sliding layers may retain only the window tail in the cache;
+    # compare the kept rows (full-attention layers keep everything).
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        hf_k = hf_k.squeeze(0).float().numpy()
+        hf_v = hf_v.squeeze(0).float().numpy()
+        kept = hf_k.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx])[:, -kept:], hf_k, atol=1e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx])[:, -kept:], hf_v, atol=1e-3, rtol=1e-3,
+        )
+
+    # Both gemma2-specific mechanisms must bite: no-softcap and all-full-
+    # attention variants each diverge the deeper layers' KV.
+    no_cap = LlamaConfig(**{**config.__dict__, "attn_logit_softcap": None})
+    keys_nc, _ = llama_prefill_kv(no_cap, params, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(keys[1]), np.asarray(keys_nc[1]), atol=1e-5)
+    no_win = LlamaConfig(**{**config.__dict__, "layer_windows": None})
+    keys_nw, _ = llama_prefill_kv(no_win, params, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(keys[1]), np.asarray(keys_nw[1]), atol=1e-5)
+
+
+def test_kv_parity_with_hf_qwen2_mixed_windows(tmp_path):
+    """Qwen2 with use_sliding_window and max_window_layers: the first
+    max_window_layers layers attend fully, the rest through the window —
+    previously rejected, now supported via per-layer windows."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        use_sliding_window=True, sliding_window=3, max_window_layers=1,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.layer_windows == (None, 3, 3)
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        hf_k = hf_k.squeeze(0).float().numpy()
+        hf_v = hf_v.squeeze(0).float().numpy()
+        kept = hf_k.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx])[:, -kept:], hf_k, atol=1e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx])[:, -kept:], hf_v, atol=1e-3, rtol=1e-3,
         )
 
 
