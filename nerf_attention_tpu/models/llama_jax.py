@@ -53,6 +53,12 @@ class LlamaConfig:
     # layer_types (Gemma2 alternates, Qwen2/3 window only layers >=
     # max_window_layers); mutually exclusive with uniform sliding_window.
     layer_windows: tuple | None = None
+    # Gemma3 extensions
+    rope_local_theta: float | None = None  # sliding layers' rope base
+    #                                        (rope_local_base_freq); full
+    #                                        layers keep rope_theta
+    rope_linear_factor: float | None = None  # 'linear' rope_scaling: all
+    #                                          inv_freqs divided by factor
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -118,11 +124,12 @@ class LlamaConfig:
         return None, windows
 
     # Families this forward implements faithfully. Anything else must fail
-    # loudly: e.g. gemma3 adds interleaved local/global rope, mixtral swaps
+    # loudly: e.g. multimodal gemma3 nests its text config, mixtral swaps
     # the MLP for MoE — silently extracting with the wrong architecture
     # would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
-        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
+        "gemma3_text", "phi3",
     }
 
     @classmethod
@@ -131,26 +138,34 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, qwen2, qwen3, gemma, gemma2, phi3)"
+                f"llama, mistral, qwen2, qwen3, gemma, gemma2, gemma3_text, "
+                f"phi3)"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
                 "phi3 partial rotary embeddings are not supported"
             )
+        if model_type == "gemma3_text" and d.get("use_bidirectional_attention"):
+            raise NotImplementedError(
+                "gemma3 bidirectional attention (embedding variants) is not "
+                "supported"
+            )
         scaling = d.get("rope_scaling") or {}
         rope_type = scaling.get("rope_type", scaling.get("type"))
         is_llama3 = rope_type == "llama3"
-        if scaling and rope_type not in ("llama3", "default", None):
-            # linear/dynamic/yarn change the position mapping; silently
-            # falling back to plain RoPE would extract wrong KV tensors.
+        is_linear = rope_type == "linear"
+        if scaling and rope_type not in ("llama3", "linear", "default", None):
+            # dynamic/yarn change the position mapping; silently falling
+            # back to plain RoPE would extract wrong KV tensors.
             raise NotImplementedError(
                 f"rope_scaling type {rope_type!r} is not supported "
-                "(plain RoPE and llama3 rescaling are)"
+                "(plain RoPE, llama3 rescaling, and linear scaling are)"
             )
         num_heads = d["num_attention_heads"]
         sliding_window, layer_windows = cls._resolve_windows(d)
-        if model_type == "gemma2":
-            # Gemma2MLP reads hidden_activation (Gemma2Config default).
+        gemma_like = model_type in ("gemma", "gemma2", "gemma3_text")
+        if model_type in ("gemma2", "gemma3_text"):
+            # Gemma2/3 MLP reads hidden_activation (their config default).
             hidden_act = d.get("hidden_activation", "gelu_pytorch_tanh")
             attn_scale = d.get("query_pre_attn_scalar", 256) ** -0.5
         else:
@@ -175,16 +190,22 @@ class LlamaConfig:
             sliding_window=sliding_window,
             layer_windows=layer_windows,
             hidden_act=hidden_act,
-            norm_offset=model_type in ("gemma", "gemma2"),
-            scale_embeddings=model_type in ("gemma", "gemma2"),
-            qk_norm=model_type == "qwen3",
+            norm_offset=gemma_like,
+            scale_embeddings=gemma_like,
+            qk_norm=model_type in ("qwen3", "gemma3_text"),
             attn_scale=attn_scale,
             attn_logit_softcap=(
                 d.get("attn_logit_softcapping", 50.0)
                 if model_type == "gemma2"
                 else None
             ),
-            sandwich_norms=model_type == "gemma2",
+            sandwich_norms=model_type in ("gemma2", "gemma3_text"),
+            rope_local_theta=(
+                d.get("rope_local_base_freq", 10000.0)
+                if model_type == "gemma3_text"
+                else None
+            ),
+            rope_linear_factor=scaling.get("factor") if is_linear else None,
             rope_scaling_factor=scaling.get("factor") if is_llama3 else None,
             rope_low_freq_factor=scaling.get("low_freq_factor", 1.0),
             rope_high_freq_factor=scaling.get("high_freq_factor", 4.0),
@@ -194,12 +215,21 @@ class LlamaConfig:
         )
 
 
-def _rope_frequencies(config: LlamaConfig) -> np.ndarray:
-    """Inverse frequencies, with Llama-3.1 long-context rescaling if set."""
+def _rope_frequencies(
+    config: LlamaConfig, theta: float | None = None
+) -> np.ndarray:
+    """Inverse frequencies, with Llama-3.1 long-context rescaling if set.
+
+    ``theta`` overrides the base (Gemma3's local-attention table); the
+    'linear' rope_scaling divides every frequency by its factor (applied to
+    the GLOBAL table only, matching HF: Gemma3's rotary_emb_local is built
+    from a config copy with rope_scaling stripped).
+    """
     d = config.head_dim
-    inv_freq = 1.0 / (
-        config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
-    )
+    base = config.rope_theta if theta is None else theta
+    inv_freq = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    if theta is None and config.rope_linear_factor is not None:
+        inv_freq = inv_freq / config.rope_linear_factor
     if config.rope_scaling_factor is None:
         return inv_freq.astype(np.float32)
 
@@ -310,7 +340,10 @@ def _causal_attention(
     return attn[:, :s]
 
 
-def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
+def _layer_forward(
+    config: LlamaConfig, h: jax.Array, lp: dict, cos, sin,
+    cos_local=None, sin_local=None,
+):
     """One decoder layer. h: (S, hidden). Returns (h, (keys, values))."""
     n_q, n_kv, d = (
         config.num_attention_heads,
@@ -318,6 +351,13 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
         config.head_dim,
     )
     s = h.shape[0]
+
+    if "rope_local" in lp:
+        # Gemma3: sliding layers rotate with the local-base table, full
+        # layers with the global one (scanned per-layer flag).
+        use_local = lp["rope_local"] > 0
+        cos = jnp.where(use_local, cos_local, cos)
+        sin = jnp.where(use_local, sin_local, sin)
 
     x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
     # QKV biases: zeros for Llama/Mistral, loaded for Qwen2-family
@@ -327,10 +367,11 @@ def _layer_forward(config: LlamaConfig, h: jax.Array, lp: dict, cos, sin):
     v = (x @ lp["v"] + lp["v_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
 
     if config.qk_norm:
-        # Qwen3: per-head RMSNorm over head_dim on Q and K, BEFORE RoPE
-        # (HF Qwen3Attention.forward: q_norm(q_proj(x).view(...))).
-        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps)
-        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps)
+        # Qwen3/Gemma3: per-head RMSNorm over head_dim on Q and K, BEFORE
+        # RoPE (q_norm(q_proj(x).view(...))). Gemma-family norms carry the
+        # (1 + w) offset.
+        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
+        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
@@ -386,11 +427,15 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
         # BEFORE the multiply (HF casts the normalizer tensor to dtype).
         h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
 
-    inv_freq = jnp.asarray(_rope_frequencies(config))
-    pos = jnp.arange(s, dtype=jnp.float32)
-    angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
-    angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
-    cos, sin = jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+    def rope_table(theta=None):
+        inv_freq = jnp.asarray(_rope_frequencies(config, theta))
+        pos = jnp.arange(s, dtype=jnp.float32)
+        angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
+        angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
+        return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+
+    cos, sin = rope_table()
+    cos_local = sin_local = None
 
     layers = params["layers"]
     if config.layer_windows is not None:
@@ -400,9 +445,24 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
         layers["window"] = jnp.asarray(
             [w if w else 0 for w in config.layer_windows], dtype=jnp.int32
         )
+    if config.rope_local_theta is not None:
+        # Gemma3: sliding layers use the local-base rope table.
+        cos_local, sin_local = rope_table(config.rope_local_theta)
+        if config.layer_windows is not None:
+            local_flags = [1 if w else 0 for w in config.layer_windows]
+        else:
+            # Uniform-window (or windowless) config: every layer shares one
+            # attention type, so one flag serves all.
+            local_flags = [
+                1 if config.sliding_window is not None else 0
+            ] * config.num_hidden_layers
+        layers = dict(layers)
+        layers["rope_local"] = jnp.asarray(local_flags, dtype=jnp.int32)
 
     def scan_layer(h, lp):
-        h, kv = _layer_forward(config, h, lp, cos, sin)
+        h, kv = _layer_forward(
+            config, h, lp, cos, sin, cos_local=cos_local, sin_local=sin_local
+        )
         return h, kv
 
     _, (keys, values) = jax.lax.scan(scan_layer, h, layers)

@@ -503,6 +503,60 @@ def test_kv_parity_with_hf_gemma2(tmp_path):
     assert not np.allclose(np.asarray(keys[1]), np.asarray(keys_nw[1]), atol=1e-5)
 
 
+def test_kv_parity_with_hf_gemma3(tmp_path):
+    """Gemma3 (text): offset per-head Q/K norms, sandwich norms,
+    query_pre_attn_scalar, 5:1 sliding/full layer pattern with a SEPARATE
+    rope base for sliding layers — post-RoPE KV must match HF."""
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        sliding_window=3, query_pre_attn_scalar=16,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(8)
+    model = transformers.Gemma3ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.qk_norm and config.sandwich_norms and config.norm_offset
+    assert config.rope_local_theta == 10_000.0
+    assert config.attn_logit_softcap is None
+    # 5:1 pattern: full attention only at layer 5.
+    assert config.layer_windows == (3, 3, 3, 3, 3, None, 3)
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    past = out.past_key_values
+    if hasattr(past, "layers"):
+        hf_layers = [(l.keys, l.values) for l in past.layers]
+    elif hasattr(past, "key_cache"):
+        hf_layers = list(zip(past.key_cache, past.value_cache))
+    else:
+        hf_layers = [(k, v) for k, v in past]
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        hf_k = hf_k.squeeze(0).float().numpy()
+        hf_v = hf_v.squeeze(0).float().numpy()
+        kept = hf_k.shape[1]  # sliding layers may retain only the tail
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx])[:, -kept:], hf_k, atol=1e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx])[:, -kept:], hf_v, atol=1e-3, rtol=1e-3,
+        )
+
+    # The dual rope table must bite: forcing every layer onto the global
+    # base changes the sliding layers' keys directly.
+    one_base = LlamaConfig(**{**config.__dict__, "rope_local_theta": None})
+    keys_ob, _ = llama_prefill_kv(one_base, params, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(keys[0]), np.asarray(keys_ob[0]), atol=1e-4)
+
+
 def test_kv_parity_with_hf_qwen2_mixed_windows(tmp_path):
     """Qwen2 with use_sliding_window and max_window_layers: the first
     max_window_layers layers attend fully, the rest through the window —
