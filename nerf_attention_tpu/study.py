@@ -1,0 +1,160 @@
+"""One-command full study: extract -> fit -> evaluate -> experiments -> summary.
+
+The reference documents its study as five separate commands
+(`/root/reference/README.md:73-78`; quickstart.py covers only a reduced
+synthetic slice). This driver runs the COMPLETE study — the same chain the
+archived hard-mode study used (`benchmarks/r3/hard_study/`) — with one
+command, under any backend and value recipe, into a self-contained results
+root:
+
+    python -m nerf_attention_tpu.study                       # default recipe
+    python -m nerf_attention_tpu.study --values_mode hard \
+        --root results_hard                                  # hard-mode study
+    python -m nerf_attention_tpu.study --backend jax --model /path/to/ckpt
+
+Stages (each skippable via --skip, resumable where the stage supports it):
+
+  1. extract   — synthetic generator or real-model extraction into
+                 <root>/kv_cache
+  2. fit       — the 280-fit architecture sweep into <root>/fits
+                 (reference-format .pt checkpoints included for interop)
+  3. evaluate  — full figure set + measured latency roofline
+  4. experiments — scaling ladder, multi-prompt, SVD, layer profile,
+                 aggregate decode, quantized storage, final summary
+                 (delegates to experiments/__main__ with --results_root)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+STAGES = ("extract", "fit", "evaluate", "experiments")
+
+
+def main(argv: list[str] | None = None) -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    parser = argparse.ArgumentParser(
+        description="Run the complete study end-to-end"
+    )
+    parser.add_argument("--root", type=str, default="results")
+    parser.add_argument("--model", type=str, default="meta-llama/Llama-3.1-8B")
+    parser.add_argument(
+        "--backend", type=str, default="synthetic",
+        choices=["synthetic", "hf", "jax"],
+    )
+    parser.add_argument(
+        "--values_mode", type=str, default="reference",
+        choices=["reference", "hard"],
+        help="synthetic backend value recipe ('hard' reproduces the real "
+        "study's K>>V shapes hermetically)",
+    )
+    parser.add_argument("--seq_len", type=int, default=2048)
+    parser.add_argument("--epochs", type=int, default=2000)
+    parser.add_argument(
+        "--synth_layers", type=int, default=32,
+        help="synthetic backend: layer count for generated caches",
+    )
+    parser.add_argument(
+        "--skip", type=str, nargs="*", default=[], choices=list(STAGES),
+        help="stages to skip (e.g. --skip extract fit when resuming)",
+    )
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="shard the fit sweep over all local devices",
+    )
+    args = parser.parse_args(argv)
+
+    root = Path(args.root)
+    kv_dir = root / "kv_cache"
+    fits_dir = root / "fits"
+    figures_dir = root / "figures"
+
+    def banner(stage: str, detail: str) -> None:
+        print(f"\n{'=' * 60}\nSTUDY {stage.upper()}: {detail}\n{'=' * 60}")
+
+    if "extract" not in args.skip:
+        banner("extract", f"{args.backend} backend -> {kv_dir}")
+        if args.backend == "synthetic":
+            from nerf_attention_tpu.synthetic import ensure_synthetic_cache
+
+            ensure_synthetic_cache(
+                kv_dir,
+                values_mode=args.values_mode,
+                seq_len=args.seq_len,
+                num_layers=args.synth_layers,
+            )
+        elif args.backend == "jax":
+            from nerf_attention_tpu.extract import extract_kv_cache_jax
+
+            extract_kv_cache_jax(args.model, args.seq_len, kv_dir)
+        else:
+            from nerf_attention_tpu.extract import extract_kv_cache
+
+            extract_kv_cache(args.model, args.seq_len, kv_dir, "cpu")
+
+        from nerf_attention_tpu.analyze import analyze_kv_cache
+
+        analyze_kv_cache(kv_dir, root / "analysis")
+
+    if "fit" not in args.skip:
+        banner("fit", f"architecture sweep ({args.epochs} epochs) -> {fits_dir}")
+        from nerf_attention_tpu.fit import fit_kv_cache
+
+        mesh = None
+        if args.mesh:
+            from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+            mesh = fit_mesh()
+        fit_kv_cache(
+            kv_dir, fits_dir, epochs=args.epochs, resume=True, mesh=mesh,
+            torch_checkpoints=True,
+        )
+
+    if "evaluate" not in args.skip:
+        banner("evaluate", f"figures + latency roofline -> {figures_dir}")
+        from nerf_attention_tpu.evaluate import (
+            generate_summary_figure,
+            load_results,
+            plot_keys_vs_values,
+            plot_pareto_frontier,
+            plot_per_position_error,
+            profile_latency,
+        )
+
+        records = load_results(fits_dir)
+        plot_pareto_frontier(records, figures_dir)
+        plot_keys_vs_values(records, figures_dir)
+        plot_per_position_error(fits_dir, kv_dir, figures_dir)
+        generate_summary_figure(records, figures_dir)
+        profile_latency(fits_dir, figures_dir)
+
+    if "experiments" not in args.skip:
+        banner("experiments", f"all follow-ups -> {root}")
+        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
+
+        saved_argv = sys.argv
+        sys.argv = [
+            "experiments", "all",
+            "--model", args.model,
+            "--backend", args.backend,
+            "--values_mode", args.values_mode,
+            "--results_root", str(root),
+            "--kv_dir", str(kv_dir),
+            "--siren_dir", str(fits_dir),
+            "--epochs", str(args.epochs),
+            "--synth_layers", str(args.synth_layers),
+        ]
+        try:
+            experiments_main()
+        finally:
+            sys.argv = saved_argv
+
+    print(f"\nStudy complete. Everything under {root}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""One-command study driver: stage wiring and a tiny end-to-end run."""
+
+import json
+
+import pytest
+
+from nerf_attention_tpu import study
+
+
+def test_study_skip_controls_stages(tmp_path, monkeypatch):
+    """--skip gates each stage; args thread through (compute stubbed)."""
+    calls = []
+
+    import nerf_attention_tpu.analyze as analyze_mod
+    import nerf_attention_tpu.experiments.__main__ as exp_cli
+    import nerf_attention_tpu.fit as fit_mod
+    import nerf_attention_tpu.synthetic as synthetic_mod
+
+    monkeypatch.setattr(
+        synthetic_mod, "ensure_synthetic_cache",
+        lambda kv_dir, **kw: calls.append(("extract", kw)),
+    )
+    monkeypatch.setattr(
+        analyze_mod, "analyze_kv_cache",
+        lambda *a, **k: calls.append(("analyze", {})),
+    )
+    monkeypatch.setattr(
+        fit_mod, "fit_kv_cache",
+        lambda *a, **kw: calls.append(("fit", kw)) or [],
+    )
+    monkeypatch.setattr(
+        exp_cli, "main", lambda: calls.append(("experiments", {})),
+    )
+
+    study.main(
+        [
+            "--root", str(tmp_path), "--values_mode", "hard",
+            "--epochs", "7", "--skip", "evaluate",
+        ]
+    )
+    stages = [name for name, _ in calls]
+    assert stages == ["extract", "analyze", "fit", "experiments"]
+    extract_kw = dict(calls[0][1])
+    assert extract_kw["values_mode"] == "hard"
+    fit_kw = dict(calls[2][1])
+    assert fit_kw["epochs"] == 7
+    assert fit_kw["torch_checkpoints"] and fit_kw["resume"]
+
+
+def test_study_end_to_end_tiny(tmp_path, figqa):
+    """The full chain actually runs on tiny synthetic shapes."""
+    study.main(
+        [
+            "--root", str(tmp_path), "--values_mode", "hard",
+            "--seq_len", "64", "--epochs", "60", "--synth_layers", "3",
+            "--skip", "experiments",  # covered by test_experiments.py
+        ]
+    )
+    records = json.loads((tmp_path / "fits" / "fit_results.json").read_text())
+    assert len(records) == 3 * 4 * 2 * 7  # layers x heads x K/V x configs
+    assert (tmp_path / "fits" / "sweep_meta.json").exists()
+    # Reference-format interop checkpoints written by the fit stage.
+    assert list((tmp_path / "fits").glob("*medium_model.pt"))
+    figqa(tmp_path / "figures" / "pareto_frontier.png")
+    figqa(tmp_path / "figures" / "summary_figure.png")
+    figqa(tmp_path / "analysis" / "kv_structure_analysis.png")
+    assert (tmp_path / "figures" / "latency_results.json").exists()
