@@ -94,6 +94,40 @@ def siren_forward(params: SirenParams, omega_0: float, x: jax.Array) -> jax.Arra
     return siren_apply(params, omega_0, x)
 
 
+def fm_frequency_multipliers(
+    hidden: int, max_mult: float, dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
+    """Per-unit first-layer frequency multipliers, linearly spread 1..max.
+
+    FM-SIREN-style frequency diversity (PAPERS.md: "FM-SIREN & FM-FINER —
+    Nyquist-based orthogonality"): giving each first-layer neuron a DISTINCT
+    base frequency removes the redundancy of every unit sharing omega_0 and
+    widens the spectrum the network can represent without retuning omega.
+    """
+    return jnp.linspace(1.0, max_mult, hidden, dtype=dtype)
+
+
+def siren_apply_fm(
+    params: SirenParams,
+    omega_0: float,
+    mult: jax.Array,
+    x: jax.Array,
+    sin=jnp.sin,
+) -> jax.Array:
+    """SIREN forward with per-unit first-layer frequencies.
+
+    Identical to ``siren_apply`` except the first sine layer computes
+    ``sin(omega_0 * mult_i * (x W + b)_i)`` per hidden unit i. Same
+    parameter shapes/count, so compression accounting is unchanged.
+    """
+    w, b = params[0]
+    h = sin(omega_0 * mult * (x @ w + b))
+    for w, b in params[1:-1]:
+        h = sin(omega_0 * (h @ w + b))
+    w, b = params[-1]
+    return h @ w + b
+
+
 def positions(seq_len: int, dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Input coordinates: linspace(0, 1, S) as a (S, 1) column (siren.py:82)."""
     return jnp.linspace(0.0, 1.0, seq_len, dtype=dtype)[:, None]

@@ -78,3 +78,35 @@ def test_forward_output_shape():
     out = siren_apply(params, 30.0, positions(64))
     assert out.shape == (64, 12)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_siren_apply_fm_variant():
+    """Per-unit first-layer frequencies: mult=1 reduces exactly to the
+    shared-omega forward; a spread changes the output; shapes/params equal."""
+    import jax
+
+    from nerf_attention_tpu.models.siren import (
+        fm_frequency_multipliers,
+        init_siren,
+        positions,
+        siren_apply,
+        siren_apply_fm,
+    )
+    from nerf_attention_tpu.types import SIRENConfig
+
+    config = SIRENConfig(16, 1, 30.0, "t")
+    params = init_siren(jax.random.PRNGKey(0), config, out_features=4)
+    pos = positions(32)
+
+    base = siren_apply(params, config.omega_0, pos)
+    ones = jnp.ones(16, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(siren_apply_fm(params, config.omega_0, ones, pos)),
+        np.asarray(base),
+    )
+
+    mult = fm_frequency_multipliers(16, 4.0)
+    assert mult.shape == (16,) and float(mult[0]) == 1.0 and float(mult[-1]) == 4.0
+    spread = siren_apply_fm(params, config.omega_0, mult, pos)
+    assert spread.shape == base.shape
+    assert not np.allclose(np.asarray(spread), np.asarray(base), atol=1e-4)
