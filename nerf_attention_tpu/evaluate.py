@@ -167,10 +167,26 @@ def plot_keys_vs_values(results: list[dict], output_dir: Path) -> None:
 
 
 def _checkpoint_forward(ckpt: dict, seq_len: int) -> np.ndarray:
-    """De-normalized reconstruction from a saved checkpoint."""
+    """De-normalized reconstruction from a saved checkpoint.
+
+    Honors the FM-SIREN frequency spread when the checkpoint records one
+    (``fit --fm_mult``): the forward must match the trained architecture.
+    """
     pos = positions(seq_len)
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
-    pred_norm = siren_forward(params, ckpt["config"].omega_0, pos)
+    fm_mult = ckpt.get("fm_mult")
+    if fm_mult is not None:
+        from nerf_attention_tpu.models.siren import (
+            fm_frequency_multipliers,
+            siren_apply_fm,
+        )
+
+        mult = fm_frequency_multipliers(
+            ckpt["config"].hidden_features, fm_mult
+        )
+        pred_norm = siren_apply_fm(params, ckpt["config"].omega_0, mult, pos)
+    else:
+        pred_norm = siren_forward(params, ckpt["config"].omega_0, pos)
     pred = pred_norm * jnp.asarray(ckpt["target_std"]) + jnp.asarray(ckpt["target_mean"])
     return np.asarray(pred.reshape(seq_len, -1))
 

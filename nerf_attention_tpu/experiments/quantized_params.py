@@ -39,11 +39,23 @@ SCHEME_STYLE = {
 }
 
 
-def _reconstruct(params, omega: float, seq_len: int, mean, std) -> np.ndarray:
+def _reconstruct(
+    params, omega: float, seq_len: int, mean, std, fm_mult: float | None = None
+) -> np.ndarray:
     pos = positions(seq_len)
-    pred = siren_forward(
-        [(jnp.asarray(w), jnp.asarray(b)) for w, b in params], omega, pos
-    )
+    jparams = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    if fm_mult is not None:
+        from nerf_attention_tpu.models.siren import (
+            fm_frequency_multipliers,
+            siren_apply_fm,
+        )
+
+        hidden = jparams[0][0].shape[-1]
+        pred = siren_apply_fm(
+            jparams, omega, fm_frequency_multipliers(hidden, fm_mult), pos
+        )
+    else:
+        pred = siren_forward(jparams, omega, pos)
     return np.asarray(pred.reshape(seq_len, -1) * std + mean)
 
 
@@ -82,6 +94,7 @@ def run_quantization_experiment(
             pred = _reconstruct(
                 dq_params, ckpt["config"].omega_0, seq_len,
                 ckpt["target_mean"], ckpt["target_std"],
+                fm_mult=ckpt.get("fm_mult"),
             )
             cos = np.asarray(cosine_similarity(jnp.asarray(pred), jnp.asarray(original)))
             if scheme == "fp32":

@@ -138,6 +138,7 @@ def fit_kv_cache(
     impl: str = "auto",
     sin_impl: str = "fast",
     torch_checkpoints: bool = False,
+    fm_mult: float | None = None,
 ) -> list[dict]:
     """Run the architecture sweep over an extracted KV cache.
 
@@ -205,8 +206,13 @@ def fit_kv_cache(
         "epochs": epochs, "lr": lr, "seed": seed, "quick": quick,
         "seq_len": metadata.seq_len, "kv_dir": str(kv_dir),
         "sin_impl": sin_impl,
+        "fm_mult": fm_mult,
         "impl": {
-            c.name: resolve_impl(impl, multi_device=multi_device, config=c)
+            c.name: (
+                "xla"
+                if fm_mult is not None
+                else resolve_impl(impl, multi_device=multi_device, config=c)
+            )
             for c in configs
         },
     }
@@ -314,7 +320,7 @@ def fit_kv_cache(
         handles[gi] = fit_batch_dispatch(
             stacked, config, epochs=epochs, lr=lr,
             seed=seed + gi * 10_000, mesh=mesh, impl=impl,
-            sin_impl=sin_impl,
+            sin_impl=sin_impl, fm_mult=fm_mult,
         )
 
     prev_done = start
@@ -357,8 +363,18 @@ def fit_kv_cache(
                     result.target_mean,
                     result.target_std,
                     record,
+                    fm_mult=fm_mult,
                 )
-                if torch_checkpoints:
+                if torch_checkpoints and fm_mult is not None:
+                    # The reference SIREN has no per-unit frequencies; a
+                    # reference-format .pt of an FM network would silently
+                    # evaluate as the wrong architecture over there.
+                    if verbose and i == 0:
+                        print(
+                            "  (skipping reference-format .pt checkpoints: "
+                            "fm_mult networks have no reference equivalent)"
+                        )
+                elif torch_checkpoints:
                     # Reference-format .pt beside the .npz: the reference's
                     # own evaluate.py then runs unmodified on this sweep's
                     # output (reverse interop; see tools/reference_interop.py).
@@ -515,6 +531,12 @@ def main() -> None:
         help="also write reference-format .pt checkpoints for the medium "
         "group (the reference's evaluate.py runs unmodified on them)",
     )
+    parser.add_argument(
+        "--fm_mult", type=float, default=None,
+        help="FM-SIREN per-unit first-layer frequency spread 1..M (equal "
+        "parameter count; measured r3: M=64 recovers most of the hard-mode "
+        "value gap). XLA path only",
+    )
     args = parser.parse_args()
     from nerf_attention_tpu.utils.platform import pin_platform
 
@@ -541,6 +563,7 @@ def main() -> None:
             impl=args.impl,
             sin_impl=args.sin_impl,
             torch_checkpoints=args.torch_checkpoints,
+            fm_mult=args.fm_mult,
         )
 
 

@@ -28,6 +28,7 @@ def save_siren_checkpoint(
     target_mean: np.ndarray,
     target_std: np.ndarray,
     metrics: dict,
+    fm_mult: float | None = None,
 ) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -42,6 +43,11 @@ def save_siren_checkpoint(
         "num_layers": len(params),
         "metrics": metrics,
     }
+    if fm_mult is not None:
+        # FM-SIREN per-unit first-layer frequency spread (models/siren.py);
+        # readers must reconstruct with siren_apply_fm or the forward is a
+        # different network. Additive key: plain checkpoints are unchanged.
+        meta["config"]["fm_mult"] = fm_mult
     arrays: dict[str, np.ndarray] = {
         "target_mean": np.asarray(target_mean, dtype=np.float32),
         "target_std": np.asarray(target_std, dtype=np.float32),
@@ -154,6 +160,7 @@ def _load_torch_siren_checkpoint(path: Path) -> dict:
             torch.as_tensor(payload["target_std"]).to(torch.float32).numpy()
         ),
         "metrics": payload.get("metrics", {}),
+        "fm_mult": None,  # reference checkpoints are always shared-omega
     }
 
 
@@ -185,6 +192,7 @@ def load_siren_checkpoint(path: Path) -> dict:
         "target_mean": target_mean,
         "target_std": target_std,
         "metrics": meta["metrics"],
+        "fm_mult": cfg.get("fm_mult"),
     }
 
 

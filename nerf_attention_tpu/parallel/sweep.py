@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from nerf_attention_tpu.models.siren import init_siren, positions, siren_apply
+from nerf_attention_tpu.models.siren import (
+    fm_frequency_multipliers,
+    init_siren,
+    positions,
+    siren_apply,
+    siren_apply_fm,
+)
 from nerf_attention_tpu.parallel.mesh import (
     FIT_AXIS,
     batch_sharding,
@@ -98,6 +104,17 @@ def _resolve_sin(sin_impl: str):
     return fast_sin
 
 
+def _resolve_apply(config: SIRENConfig, fm_mult: float | None):
+    """The forward used by training/eval: shared-omega SIREN, or the
+    FM variant with per-unit first-layer multipliers spread 1..fm_mult
+    (equal parameter count; see models/siren.py and FINDINGS r3 — the
+    measured quality lever on hard values)."""
+    if fm_mult is None:
+        return siren_apply
+    mult = fm_frequency_multipliers(config.hidden_features, fm_mult)
+    return partial(siren_apply_fm, mult=mult)
+
+
 def _single_fit(
     key: jax.Array,
     target: jax.Array,
@@ -106,6 +123,7 @@ def _single_fit(
     epochs: int,
     lr: float,
     sin_impl: str = "fast",
+    fm_mult: float | None = None,
 ):
     """Train one SIREN on one (S, D) tensor. Traced once, vmapped over fits."""
     seq_len, d_head = target.shape
@@ -113,13 +131,14 @@ def _single_fit(
     tx = _make_optimizer(lr, epochs)
     omega = config.omega_0
     sin = _resolve_sin(sin_impl)
+    apply = _resolve_apply(config, fm_mult)
 
     targets_norm, mean, std = normalize_targets(target)
     params = init_siren(key, config, d_head, dtype=target.dtype)
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        pred = siren_apply(p, omega, pos, sin=sin)
+        pred = apply(p, omega, x=pos, sin=sin)
         return jnp.mean((pred - targets_norm) ** 2)
 
     def step(carry, _):
@@ -132,16 +151,16 @@ def _single_fit(
     (params, _), losses = jax.lax.scan(step, (params, opt_state), length=epochs)
 
     # Final evaluation in real (de-normalized) space (siren.py:119-126).
-    metrics = _final_eval(params, omega, pos, target, mean, std)
+    metrics = _final_eval(params, omega, pos, target, mean, std, apply=apply)
     metrics["losses"] = losses
     metrics["target_mean"] = mean
     metrics["target_std"] = std
     return params, metrics
 
 
-def _final_eval(params, omega: float, pos, target, mean, std):
+def _final_eval(params, omega: float, pos, target, mean, std, apply=siren_apply):
     """De-normalized final metrics for one fit (siren.py:119-126)."""
-    pred = siren_apply(params, omega, pos) * std + mean
+    pred = apply(params, omega, x=pos) * std + mean
     err = pred - target
     cos = cosine_similarity(pred, target)
     return {
@@ -244,15 +263,19 @@ def _fit_batch_pallas_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "epochs", "lr", "impl", "sin_impl", "mxu"),
+    static_argnames=(
+        "config", "epochs", "lr", "impl", "sin_impl", "mxu", "fm_mult"
+    ),
 )
 def _fit_batch_compiled(
     keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
     impl: str = "xla", sin_impl: str = "fast", mxu: str = "fp32",
+    fm_mult: float | None = None,
 ):
     if impl == "xla":
         fit = partial(
-            _single_fit, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl
+            _single_fit, config=config, epochs=epochs, lr=lr,
+            sin_impl=sin_impl, fm_mult=fm_mult,
         )
         return jax.vmap(fit)(keys, targets)
 
@@ -308,6 +331,7 @@ def fit_batch_dispatch(
     impl: str = "auto",
     sin_impl: str = "fast",
     mxu: str = "fp32",
+    fm_mult: float | None = None,
 ):
     """Enqueue one architecture group's batched training; don't block.
 
@@ -321,6 +345,16 @@ def fit_batch_dispatch(
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
+    if fm_mult is not None:
+        # The fused kernels have no per-unit-omega support; FM training is
+        # an XLA-path feature. An explicit pallas request must not silently
+        # train the wrong architecture.
+        if impl == "pallas":
+            raise ValueError(
+                "fm_mult requires the XLA implementation (the fused kernel "
+                "has a shared first-layer omega)"
+            )
+        impl = "xla"
     impl = resolve_impl(impl, multi_device=multi_device, config=config)
     if impl == "xla" and mxu != "fp32":
         # The XLA autodiff path has no MXU-precision knob; silently training
@@ -351,7 +385,7 @@ def fit_batch_dispatch(
     else:
         params, metrics = _fit_batch_compiled(
             keys, targets, config=config, epochs=epochs, lr=lr, impl=impl,
-            sin_impl=sin_impl, mxu=mxu,
+            sin_impl=sin_impl, mxu=mxu, fm_mult=fm_mult,
         )
     return n, params, metrics
 
@@ -400,6 +434,7 @@ def fit_batch(
     impl: str = "auto",
     sin_impl: str = "fast",
     mxu: str = "fp32",
+    fm_mult: float | None = None,
 ) -> BatchFitMetrics:
     """Fit one SIREN per (S, D) tensor in ``targets`` (N, S, D), all at once.
 
@@ -411,7 +446,7 @@ def fit_batch(
     start = time.perf_counter()
     handle = fit_batch_dispatch(
         targets, config, epochs=epochs, lr=lr, seed=seed, mesh=mesh, dtype=dtype,
-        impl=impl, sin_impl=sin_impl, mxu=mxu,
+        impl=impl, sin_impl=sin_impl, mxu=mxu, fm_mult=fm_mult,
     )
     np.asarray(handle[2]["final_mse"])  # block
     return fit_batch_collect(handle, time.perf_counter() - start)

@@ -240,3 +240,61 @@ def test_sweep_recovers_from_torn_meta_stamp(tiny_kv_dir, tmp_path):
     import json
 
     assert json.loads((tmp_path / "sweep_meta.json").read_text())["epochs"] == 10
+
+
+def test_fit_batch_fm_mult(rng):
+    """fm_mult trains through the XLA path, changes results vs shared
+    omega, and refuses the fused kernel."""
+    import pytest
+
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import SIRENConfig
+
+    config = SIRENConfig(16, 1, 30.0, "t")
+    targets = rng.standard_normal((2, 48, 8)).astype(np.float32)
+    base = fit_batch(targets, config, epochs=100, seed=0)
+    fm = fit_batch(targets, config, epochs=100, seed=0, fm_mult=4.0)
+    assert fm.cosine_mean.shape == (2,)
+    assert not np.allclose(fm.cosine_mean, base.cosine_mean, atol=1e-5)
+    with pytest.raises(ValueError, match="fm_mult"):
+        fit_batch(targets, config, epochs=2, seed=0, impl="pallas", fm_mult=4.0)
+
+
+def test_fit_kv_cache_fm_checkpoint_roundtrip(tmp_path, rng):
+    """--fm_mult sweeps record the spread in medium checkpoints, and the
+    evaluate reconstruction honors it (matches the recorded quality)."""
+    from nerf_attention_tpu.evaluate import _checkpoint_forward
+    from nerf_attention_tpu.fit import fit_kv_cache
+    from nerf_attention_tpu.io import checkpoint, kvstore
+    from nerf_attention_tpu.synthetic import generate_synthetic_kv
+
+    kv_dir = tmp_path / "kv"
+    generate_synthetic_kv(
+        seq_len=48, num_layers=2, num_kv_heads=1, head_dim=8,
+        output_dir=kv_dir, verbose=False,
+    )
+    fit_kv_cache(
+        kv_dir, tmp_path / "fits", epochs=150, quick=True, verbose=False,
+        fm_mult=4.0,
+    )
+    import json
+
+    meta = json.loads((tmp_path / "fits" / "sweep_meta.json").read_text())
+    assert meta["fm_mult"] == 4.0
+    assert set(meta["impl"].values()) == {"xla"}
+
+    ckpt_files = checkpoint.checkpoint_glob(tmp_path / "fits")
+    assert ckpt_files
+    ckpt = checkpoint.load_siren_checkpoint(ckpt_files[0])
+    assert ckpt["fm_mult"] == 4.0
+
+    metrics = ckpt["metrics"]
+    keys, values = kvstore.load_layer(kv_dir, metrics["layer"])
+    original = (keys if metrics["kv_type"] == "key" else values)[metrics["head"]]
+    pred = _checkpoint_forward(ckpt, original.shape[0])
+    num = (pred * original).sum(axis=1)
+    den = np.linalg.norm(pred, axis=1) * np.linalg.norm(original, axis=1)
+    cos = float((num / np.maximum(den, 1e-8)).mean())
+    import pytest
+
+    assert cos == pytest.approx(metrics["final_cosine_mean"], abs=1e-4)
