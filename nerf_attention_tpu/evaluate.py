@@ -25,11 +25,7 @@ import jax.numpy as jnp
 
 from nerf_attention_tpu import figdata
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.models.siren import (
-    count_parameters,
-    positions,
-    siren_forward,
-)
+from nerf_attention_tpu.models.siren import count_parameters, positions
 from nerf_attention_tpu.parallel.sweep import cosine_similarity
 
 # Color/marker contracts (reference evaluate.py:19-26) — figures key off names.
@@ -172,21 +168,13 @@ def _checkpoint_forward(ckpt: dict, seq_len: int) -> np.ndarray:
     Honors the FM-SIREN frequency spread when the checkpoint records one
     (``fit --fm_mult``): the forward must match the trained architecture.
     """
+    from nerf_attention_tpu.models.siren import siren_apply_maybe_fm
+
     pos = positions(seq_len)
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]]
-    fm_mult = ckpt.get("fm_mult")
-    if fm_mult is not None:
-        from nerf_attention_tpu.models.siren import (
-            fm_frequency_multipliers,
-            siren_apply_fm,
-        )
-
-        mult = fm_frequency_multipliers(
-            ckpt["config"].hidden_features, fm_mult
-        )
-        pred_norm = siren_apply_fm(params, ckpt["config"].omega_0, mult, pos)
-    else:
-        pred_norm = siren_forward(params, ckpt["config"].omega_0, pos)
+    pred_norm = siren_apply_maybe_fm(
+        params, ckpt["config"].omega_0, ckpt.get("fm_mult"), pos
+    )
     pred = pred_norm * jnp.asarray(ckpt["target_std"]) + jnp.asarray(ckpt["target_mean"])
     return np.asarray(pred.reshape(seq_len, -1))
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_attention_tpu.io import checkpoint, kvstore
-from nerf_attention_tpu.models.siren import positions, siren_forward
+from nerf_attention_tpu.models.siren import positions
 from nerf_attention_tpu.ops.quantize import SCHEMES, param_bytes, quantize_params
 from nerf_attention_tpu.parallel.sweep import cosine_similarity
 
@@ -42,20 +42,11 @@ SCHEME_STYLE = {
 def _reconstruct(
     params, omega: float, seq_len: int, mean, std, fm_mult: float | None = None
 ) -> np.ndarray:
+    from nerf_attention_tpu.models.siren import siren_apply_maybe_fm
+
     pos = positions(seq_len)
     jparams = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
-    if fm_mult is not None:
-        from nerf_attention_tpu.models.siren import (
-            fm_frequency_multipliers,
-            siren_apply_fm,
-        )
-
-        hidden = jparams[0][0].shape[-1]
-        pred = siren_apply_fm(
-            jparams, omega, fm_frequency_multipliers(hidden, fm_mult), pos
-        )
-    else:
-        pred = siren_forward(jparams, omega, pos)
+    pred = siren_apply_maybe_fm(jparams, omega, fm_mult, pos)
     return np.asarray(pred.reshape(seq_len, -1) * std + mean)
 
 

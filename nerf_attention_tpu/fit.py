@@ -153,6 +153,11 @@ def fit_kv_cache(
     there are 2000-epochs-or-nothing).
     """
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
+    # Validate statically-knowable option combinations BEFORE touching the
+    # output dir: the stale-results unlink below must never run for an
+    # invocation that is going to be rejected.
+    for c in (CONFIGS_QUICK if quick else CONFIGS_FULL):
+        resolve_impl(impl, config=c, fm_mult=fm_mult)
     output_dir.mkdir(parents=True, exist_ok=True)
     metadata = kvstore.load_metadata(kv_dir)
 
@@ -208,10 +213,8 @@ def fit_kv_cache(
         "sin_impl": sin_impl,
         "fm_mult": fm_mult,
         "impl": {
-            c.name: (
-                "xla"
-                if fm_mult is not None
-                else resolve_impl(impl, multi_device=multi_device, config=c)
+            c.name: resolve_impl(
+                impl, multi_device=multi_device, config=c, fm_mult=fm_mult
             )
             for c in configs
         },

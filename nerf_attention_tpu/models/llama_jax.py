@@ -104,6 +104,21 @@ class LlamaConfig:
         """
         n_layers = d["num_hidden_layers"]
         layer_types = d.get("layer_types")
+        if layer_types is None and d.get("model_type") in ("gemma2", "gemma3_text"):
+            # Hub configs serialized before transformers added layer_types
+            # (i.e. the actual published gemma-2/3 checkpoints) omit the
+            # field; derive it exactly as their HF configs do — sliding
+            # unless (i+1) is a multiple of the period (gemma2: 2;
+            # gemma3: sliding_window_pattern, default 6).
+            period = (
+                2
+                if d["model_type"] == "gemma2"
+                else d.get("sliding_window_pattern", 6)
+            )
+            layer_types = [
+                "sliding_attention" if (i + 1) % period else "full_attention"
+                for i in range(n_layers)
+            ]
         if layer_types:
             sw = d.get("sliding_window")
             windows = tuple(

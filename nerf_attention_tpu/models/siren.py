@@ -128,6 +128,27 @@ def siren_apply_fm(
     return h @ w + b
 
 
+def siren_apply_maybe_fm(
+    params: SirenParams,
+    omega_0: float,
+    fm_mult: float | None,
+    x: jax.Array,
+    sin=jnp.sin,
+) -> jax.Array:
+    """Forward for a possibly-FM network, deriving the multipliers.
+
+    The one dispatch point every reader of fm-aware checkpoints/configs
+    uses (sweep training, evaluate reconstruction, quantize experiment) —
+    a site that forgot the spread would silently evaluate a different
+    architecture.
+    """
+    if fm_mult is None:
+        return siren_apply(params, omega_0, x, sin=sin)
+    hidden = params[0][0].shape[-1]
+    mult = fm_frequency_multipliers(hidden, fm_mult, dtype=x.dtype)
+    return siren_apply_fm(params, omega_0, mult, x, sin=sin)
+
+
 def positions(seq_len: int, dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Input coordinates: linspace(0, 1, S) as a (S, 1) column (siren.py:82)."""
     return jnp.linspace(0.0, 1.0, seq_len, dtype=dtype)[:, None]

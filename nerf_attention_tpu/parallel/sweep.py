@@ -31,11 +31,10 @@ import numpy as np
 import optax
 
 from nerf_attention_tpu.models.siren import (
-    fm_frequency_multipliers,
     init_siren,
     positions,
     siren_apply,
-    siren_apply_fm,
+    siren_apply_maybe_fm,
 )
 from nerf_attention_tpu.parallel.mesh import (
     FIT_AXIS,
@@ -109,10 +108,7 @@ def _resolve_apply(config: SIRENConfig, fm_mult: float | None):
     FM variant with per-unit first-layer multipliers spread 1..fm_mult
     (equal parameter count; see models/siren.py and FINDINGS r3 — the
     measured quality lever on hard values)."""
-    if fm_mult is None:
-        return siren_apply
-    mult = fm_frequency_multipliers(config.hidden_features, fm_mult)
-    return partial(siren_apply_fm, mult=mult)
+    return partial(siren_apply_maybe_fm, fm_mult=fm_mult)
 
 
 def _single_fit(
@@ -287,7 +283,8 @@ def _fit_batch_compiled(
 
 
 def resolve_impl(
-    impl: str, *, multi_device: bool = False, config: SIRENConfig | None = None
+    impl: str, *, multi_device: bool = False, config: SIRENConfig | None = None,
+    fm_mult: float | None = None,
 ) -> str:
     """'auto' -> fused Pallas kernel on a single TPU chip, XLA otherwise.
 
@@ -310,6 +307,17 @@ def resolve_impl(
     _fit_batch_pallas_sharded — works and is tested on the CPU mesh, but has
     no multi-chip hardware measurement yet; opt in with impl='pallas').
     """
+    if fm_mult is not None:
+        # FM training is an XLA-path feature: the fused kernels have a
+        # shared first-layer omega. An explicit pallas request must not
+        # silently train the wrong architecture. Single owner of the rule —
+        # fit.py's resume stamp and fit_batch_dispatch both resolve here.
+        if impl == "pallas":
+            raise ValueError(
+                "fm_mult requires the XLA implementation (the fused kernel "
+                "has a shared first-layer omega)"
+            )
+        return "xla"
     if impl != "auto":
         return impl
     if multi_device or jax.default_backend() != "tpu":
@@ -345,17 +353,9 @@ def fit_batch_dispatch(
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
-    if fm_mult is not None:
-        # The fused kernels have no per-unit-omega support; FM training is
-        # an XLA-path feature. An explicit pallas request must not silently
-        # train the wrong architecture.
-        if impl == "pallas":
-            raise ValueError(
-                "fm_mult requires the XLA implementation (the fused kernel "
-                "has a shared first-layer omega)"
-            )
-        impl = "xla"
-    impl = resolve_impl(impl, multi_device=multi_device, config=config)
+    impl = resolve_impl(
+        impl, multi_device=multi_device, config=config, fm_mult=fm_mult
+    )
     if impl == "xla" and mxu != "fp32":
         # The XLA autodiff path has no MXU-precision knob; silently training
         # fp32 while the caller believes it measured bf16 MXU passes would

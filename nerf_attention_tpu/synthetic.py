@@ -64,17 +64,17 @@ def ensure_synthetic_cache(
     The single reuse policy for every synthetic-backend driver (scaling
     ladder, multi-prompt, layer profile, experiments CLI):
 
-      * a synthetic cache built under the SAME recipe is reused as-is;
-      * a synthetic cache built under the OTHER recipe is regenerated
-        (silently mixing recipes would corrupt a study);
+      * a synthetic cache built under the SAME recipe AND the requested
+        geometry is reused as-is;
+      * a synthetic cache under the other recipe or a different geometry
+        is regenerated (silently serving stale shapes or mixed recipes
+        would corrupt a study — the requested seq_len/layers must win);
       * a REAL-model cache is always reused, never clobbered — an
         extraction is expensive and a synthetic driver must not destroy it.
     """
     kv_dir = Path(kv_dir)
     if (kv_dir / "metadata.json").exists():
         prior = kvstore.load_metadata(kv_dir)
-        if prior.model_name == synthetic_model_name(values_mode):
-            return prior
         if not prior.model_name.startswith("synthetic"):
             if verbose:
                 print(
@@ -83,10 +83,25 @@ def ensure_synthetic_cache(
                     f"with synthetic data"
                 )
             return prior
+        same_geometry = (
+            prior.seq_len == seq_len
+            and prior.num_layers == num_layers
+            and prior.num_kv_heads == num_kv_heads
+            and prior.head_dim == head_dim
+        )
+        if prior.model_name == synthetic_model_name(values_mode) and same_geometry:
+            return prior
         if verbose:
+            why = (
+                f"values_mode={values_mode!r}"
+                if same_geometry
+                else f"geometry ({num_layers}L x {num_kv_heads}H x "
+                f"{seq_len} x {head_dim})"
+            )
             print(
-                f"  {kv_dir} cached as {prior.model_name!r}, regenerating "
-                f"for values_mode={values_mode!r}"
+                f"  {kv_dir} cached as {prior.model_name!r} "
+                f"({prior.num_layers}L x {prior.num_kv_heads}H x "
+                f"{prior.seq_len} x {prior.head_dim}), regenerating for {why}"
             )
     return generate_synthetic_kv(
         seq_len=seq_len,

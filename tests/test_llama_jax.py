@@ -18,6 +18,16 @@ from nerf_attention_tpu.models.llama_jax import (
 )
 
 
+def _hf_kv_layers(past):
+    """Per-layer (keys, values) across the three HF cache API generations."""
+    if hasattr(past, "layers"):  # transformers v5 layout
+        return [(l.keys, l.values) for l in past.layers]
+    if hasattr(past, "key_cache"):
+        return list(zip(past.key_cache, past.value_cache))
+    return [(k, v) for k, v in past]
+
+
+
 TINY_HF_KWARGS = dict(
     vocab_size=128,
     hidden_size=32,
@@ -61,13 +71,7 @@ def test_kv_parity_with_hf(tiny_hf_model):
     ids = np.array([3, 17, 42, 9, 9, 120, 64, 5], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):  # transformers v5 layout
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     assert keys.shape == (2, 2, 8, 8)  # (L, H_kv, S, D)
@@ -186,13 +190,7 @@ def test_kv_parity_with_hf_mistral(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -263,13 +261,7 @@ def test_kv_parity_with_hf_qwen2(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -312,13 +304,7 @@ def test_kv_parity_with_hf_qwen3(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -357,13 +343,7 @@ def test_kv_parity_with_hf_mistral_sliding_window(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     # The window must actually bite: layer-1 KV differs from the
@@ -407,13 +387,7 @@ def test_kv_parity_with_hf_gemma(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -471,13 +445,7 @@ def test_kv_parity_with_hf_gemma2(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     # HF's sliding layers may retain only the window tail in the cache;
@@ -530,13 +498,7 @@ def test_kv_parity_with_hf_gemma3(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -579,13 +541,7 @@ def test_kv_parity_with_hf_qwen2_mixed_windows(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76, 12, 1], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -619,13 +575,7 @@ def test_kv_parity_with_hf_phi3(tmp_path):
     ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
     with torch.no_grad():
         out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
-    past = out.past_key_values
-    if hasattr(past, "layers"):
-        hf_layers = [(l.keys, l.values) for l in past.layers]
-    elif hasattr(past, "key_cache"):
-        hf_layers = list(zip(past.key_cache, past.value_cache))
-    else:
-        hf_layers = [(k, v) for k, v in past]
+    hf_layers = _hf_kv_layers(out.past_key_values)
 
     keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
     for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
@@ -637,3 +587,33 @@ def test_kv_parity_with_hf_phi3(tmp_path):
             np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_gemma_hub_configs_without_layer_types():
+    """Published gemma-2/3 hub config.json files predate layer_types; the
+    per-layer window pattern must be derived from the family rule (gemma2:
+    alternate starting sliding; gemma3: sliding unless (i+1) %
+    sliding_window_pattern == 0) — a uniform fallback would silently build
+    the wrong architecture."""
+    gemma2 = LlamaConfig.from_hf_dict(
+        dict(
+            model_type="gemma2", vocab_size=64, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+            sliding_window=4096, query_pre_attn_scalar=16,
+        )
+    )
+    assert gemma2.layer_windows == (4096, None, 4096, None)
+
+    gemma3 = LlamaConfig.from_hf_dict(
+        dict(
+            model_type="gemma3_text", vocab_size=64, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=7,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+            sliding_window=1024, sliding_window_pattern=3,
+            query_pre_attn_scalar=16,
+        )
+    )
+    # pattern 3: full attention at layers 2 and 5.
+    assert gemma3.layer_windows == (1024, 1024, None, 1024, 1024, None, 1024)
+    assert gemma3.rope_local_theta == 10_000.0
