@@ -15,9 +15,12 @@ from nerf_attention_tpu.types import (
     SIRENConfig,
 )
 from nerf_attention_tpu.models.siren import (
+    fm_frequency_multipliers,
     init_siren,
     positions,
     siren_apply,
+    siren_apply_fm,
+    siren_apply_maybe_fm,
     siren_forward,
 )
 from nerf_attention_tpu.extract import (
@@ -42,6 +45,7 @@ from nerf_attention_tpu.evaluate import (
 
 # Beyond-reference TPU additions (fused kernels + fast transcendentals).
 from nerf_attention_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
+from nerf_attention_tpu.ops.quantize import param_bytes, quantize_params
 from nerf_attention_tpu.ops.siren_pallas import (
     siren_decode_batch,
     siren_decode_fused,
@@ -80,6 +84,11 @@ __all__ = [
     "fast_sincos",
     "siren_decode_fused",
     "siren_decode_batch",
+    "fm_frequency_multipliers",
+    "siren_apply_fm",
+    "siren_apply_maybe_fm",
+    "quantize_params",
+    "param_bytes",
 ]
 
 __version__ = "0.1.0"

@@ -15,3 +15,7 @@ from nerf_attention_tpu.experiments.aggregate_decode import (
     plot_aggregate_decode,
     run_aggregate_decode_experiment,
 )
+from nerf_attention_tpu.experiments.quantized_params import (
+    plot_quantized_pareto,
+    run_quantization_experiment,
+)
