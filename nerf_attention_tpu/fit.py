@@ -157,7 +157,7 @@ def fit_kv_cache(
     # output dir: the stale-results unlink below must never run for an
     # invocation that is going to be rejected.
     for c in (CONFIGS_QUICK if quick else CONFIGS_FULL):
-        resolve_impl(impl, config=c, fm_mult=fm_mult)
+        resolve_impl(impl, config=c)
     output_dir.mkdir(parents=True, exist_ok=True)
     metadata = kvstore.load_metadata(kv_dir)
 
@@ -213,9 +213,7 @@ def fit_kv_cache(
         "sin_impl": sin_impl,
         "fm_mult": fm_mult,
         "impl": {
-            c.name: resolve_impl(
-                impl, multi_device=multi_device, config=c, fm_mult=fm_mult
-            )
+            c.name: resolve_impl(impl, multi_device=multi_device, config=c)
             for c in configs
         },
     }
@@ -538,7 +536,7 @@ def main() -> None:
         "--fm_mult", type=float, default=None,
         help="FM-SIREN per-unit first-layer frequency spread 1..M (equal "
         "parameter count; measured r3: M=64 recovers most of the hard-mode "
-        "value gap). XLA path only",
+        "value gap). Runs on any impl incl. the fused Pallas kernel",
     )
     args = parser.parse_args()
     from nerf_attention_tpu.utils.platform import pin_platform

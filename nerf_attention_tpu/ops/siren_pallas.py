@@ -40,7 +40,7 @@ from nerf_attention_tpu.ops.fastmath import fast_sin
 
 
 def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype,
-                 sin_impl: str = "exact"):
+                 sin_impl: str = "exact", mult=None):
     """Shared network body for the fused kernels.
 
     ``compute_dtype=bfloat16`` runs the hidden/final matmuls with bf16
@@ -50,12 +50,15 @@ def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype,
     resolution would collapse adjacent rows for S beyond a few hundred.
     Sines are evaluated in fp32 either way; ``sin_impl='fast'`` swaps the
     exact sine for the polynomial ``fast_sin`` (the decode kernel is
-    sine-throughput-bound at large S).
+    sine-throughput-bound at large S). ``mult`` (FM-SIREN, (1, H) fp32)
+    gives each first-layer unit its own frequency omega*mult_i — a VPU
+    broadcast multiply, negligible next to the sine.
     """
     sin = jnp.sin if sin_impl == "exact" else fast_sin
     w0 = weight_refs[0][:].astype(jnp.float32)  # (1, H)
     b0 = weight_refs[1][:].astype(jnp.float32)  # (1, H)
-    h = sin(omega * (x * w0 + b0)).astype(compute_dtype)
+    scale0 = omega if mult is None else omega * mult
+    h = sin(scale0 * (x * w0 + b0)).astype(compute_dtype)
 
     # Hidden sine layers on the MXU.
     for layer in range(1, n_layers - 1):
@@ -72,11 +75,12 @@ def _layer_stack(weight_refs, x, omega: float, n_layers: int, compute_dtype,
 
 def _siren_kernel(
     *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype,
-    sin_impl: str,
+    sin_impl: str, fm: bool,
 ):
-    """One row-tile of the full network. refs = w0,b0,...,wn,bn,out."""
+    """One row-tile of the full network. refs = w0,b0,...,wn,bn,[mult],out."""
     out_ref = refs[-1]
-    weight_refs = refs[:-1]
+    weight_refs = refs[: 2 * n_layers]
+    mult = refs[2 * n_layers][:] if fm else None
 
     i = pl.program_id(0)
     # positions = linspace(0, 1, S): row r -> r / (S-1). TPU iota is
@@ -85,7 +89,7 @@ def _siren_kernel(
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
     out_ref[:] = _layer_stack(
-        weight_refs, x, omega, n_layers, compute_dtype, sin_impl
+        weight_refs, x, omega, n_layers, compute_dtype, sin_impl, mult=mult
     ).astype(out_ref.dtype)
 
 
@@ -108,7 +112,10 @@ def _flat_weights(params, compute_dtype, n: int | None = None) -> list[jax.Array
 
 @partial(
     jax.jit,
-    static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl"),
+    static_argnames=(
+        "omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl",
+        "fm_mult",
+    ),
 )
 def siren_decode_fused(
     params,
@@ -118,12 +125,15 @@ def siren_decode_fused(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     sin_impl: str = "exact",
+    fm_mult: float | None = None,
 ) -> jax.Array:
     """Evaluate a SIREN at linspace(0,1,seq_len) in one fused kernel.
 
     params: [(W, b), ...] with W laid out (in, out). Returns (seq_len, D)
     in ``compute_dtype`` (bf16 output is the serving-realistic shape: the
-    KV cache being replaced is bf16).
+    KV cache being replaced is bf16). ``fm_mult`` evaluates the FM-SIREN
+    variant: the exact linspace(1, fm_mult, H) multipliers the XLA forward
+    derives enter the kernel as one (1, H) fp32 operand.
     """
     n_layers = len(params)
     d_out = params[-1][0].shape[1]
@@ -133,6 +143,11 @@ def siren_decode_fused(
     grid = (padded_s // tile,)
 
     flat = _flat_weights(params, compute_dtype)
+    if fm_mult is not None:
+        from nerf_attention_tpu.models.siren import fm_frequency_multipliers
+
+        hidden0 = params[0][0].shape[1]
+        flat.append(fm_frequency_multipliers(hidden0, fm_mult).reshape(1, hidden0))
     kernel = partial(
         _siren_kernel,
         omega=float(omega),
@@ -141,6 +156,7 @@ def siren_decode_fused(
         n_layers=n_layers,
         compute_dtype=compute_dtype,
         sin_impl=sin_impl,
+        fm=fm_mult is not None,
     )
 
     hidden = params[0][0].shape[1]
@@ -166,12 +182,14 @@ def siren_decode_fused(
     return out[:seq_len]
 
 
-def siren_decode(params, omega: float, seq_len: int) -> jax.Array:
+def siren_decode(
+    params, omega: float, seq_len: int, fm_mult: float | None = None
+) -> jax.Array:
     """Fused decode with automatic fallback off-TPU (interpret on CPU)."""
     on_tpu = jax.default_backend() == "tpu"
     params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
     return siren_decode_fused(
-        params, float(omega), seq_len, interpret=not on_tpu
+        params, float(omega), seq_len, interpret=not on_tpu, fm_mult=fm_mult
     )
 
 
@@ -183,6 +201,7 @@ def siren_decode_batch_sharded(
     axis: str = "fit",
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    fm_mult: float | None = None,
 ) -> jax.Array:
     """Batched fused decode with the network axis sharded over a mesh.
 
@@ -207,7 +226,8 @@ def siren_decode_batch_sharded(
     # check_vma on jax.shard_map, check_rep on the experimental API).
     common = dict(mesh=mesh, in_specs=(in_specs,), out_specs=leaf_spec)
     body = lambda p: siren_decode_batch(
-        p, omega, seq_len, interpret=interpret, compute_dtype=compute_dtype
+        p, omega, seq_len, interpret=interpret, compute_dtype=compute_dtype,
+        fm_mult=fm_mult,
     )
     try:
         fn = jax.shard_map(body, check_vma=False, **common)
@@ -234,27 +254,32 @@ class _BatchHeadView:
 
 def _siren_batch_kernel(
     *refs, omega: float, seq_len: int, tile: int, n_layers: int, compute_dtype,
-    sin_impl: str,
+    sin_impl: str, fm: bool,
 ):
     """One (network, row-tile) cell of the batched decode.
 
-    refs = w_0, b_0, ..., w_{L-1}, b_{L-1} (each blocked per network), out.
+    refs = w_0, b_0, ..., w_{L-1}, b_{L-1} (each blocked per network),
+    [fm multipliers (shared (1, H))], out.
     """
     out_ref = refs[-1]
-    weight_refs = [_BatchHeadView(r) for r in refs[:-1]]
+    weight_refs = [_BatchHeadView(r) for r in refs[: 2 * n_layers]]
+    mult = refs[2 * n_layers][:] if fm else None
 
     t_idx = pl.program_id(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t_idx * tile
     x = row.astype(jnp.float32) / jnp.float32(max(seq_len - 1, 1))
 
     out_ref[0] = _layer_stack(
-        weight_refs, x, omega, n_layers, compute_dtype, sin_impl
+        weight_refs, x, omega, n_layers, compute_dtype, sin_impl, mult=mult
     ).astype(out_ref.dtype)
 
 
 @partial(
     jax.jit,
-    static_argnames=("omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl"),
+    static_argnames=(
+        "omega", "seq_len", "tile", "interpret", "compute_dtype", "sin_impl",
+        "fm_mult",
+    ),
 )
 def siren_decode_batch(
     params,
@@ -264,6 +289,7 @@ def siren_decode_batch(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     sin_impl: str = "exact",
+    fm_mult: float | None = None,
 ) -> jax.Array:
     """Decode N SIRENs at once: one fused kernel over a (network, tile) grid.
 
@@ -283,6 +309,23 @@ def siren_decode_batch(
     grid = (n, padded_s // tile)
 
     flat = _flat_weights(params, compute_dtype, n=n)
+    hidden = params[0][0].shape[-1]
+    in_specs = [
+        pl.BlockSpec(
+            (1, *f.shape[1:]), lambda ni, ti: (ni, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for f in flat
+    ]
+    if fm_mult is not None:
+        from nerf_attention_tpu.models.siren import fm_frequency_multipliers
+
+        flat.append(fm_frequency_multipliers(hidden, fm_mult).reshape(1, hidden))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hidden), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
     kernel = partial(
         _siren_batch_kernel,
         omega=float(omega),
@@ -291,20 +334,14 @@ def siren_decode_batch(
         n_layers=n_layers,
         compute_dtype=compute_dtype,
         sin_impl=sin_impl,
+        fm=fm_mult is not None,
     )
-    hidden = params[0][0].shape[-1]
     itemsize = jnp.dtype(compute_dtype).itemsize
-    flops_per_row = sum(2 * w.shape[1] * w.shape[2] for w in flat[::2])
+    flops_per_row = sum(2 * w.shape[1] * w.shape[2] for w in flat[: 2 * n_layers : 2])
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, *f.shape[1:]), lambda ni, ti: (ni, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            for f in flat
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tile, d_out), lambda ni, ti: (ni, ti, 0), memory_space=pltpu.VMEM
         ),

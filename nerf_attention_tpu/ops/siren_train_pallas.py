@@ -81,22 +81,29 @@ def _train_kernel(
     fast: bool,
     stash_sincos: bool,
     mxu_bf16: bool,
+    fm: bool,
 ):
     """One (fit, row-tile) cell: forward, loss contribution, grad accumulation.
 
     refs layout:
-      inputs:  w_0, b_0, ..., w_{L-1}, b_{L-1}, targets_tile
+      inputs:  w_0, b_0, ..., w_{L-1}, b_{L-1}, targets_tile[, fm multipliers]
       outputs: loss, dw_0, db_0, ..., dw_{L-1}, db_{L-1}
       scratch: a_0 ... a_{L-2}            (pre-sine activations; stash='act')
            or  h_0, c_0, ..., h_{L-2}, c_{L-2}  (post-sine + cos; stash='sincos')
+
+    ``fm``: FM-SIREN per-unit first-layer frequencies — the first sine layer
+    computes sin(omega * mult_i * (xW+b)_i), so the first-layer scale is the
+    (1, H) multiplier row instead of the scalar omega, in both the forward
+    and the da_0 term of the backward. Everything else is unchanged (the
+    hidden layers share omega as in the plain SIREN).
     """
-    n_in = 2 * n_layers + 1
+    n_in = 2 * n_layers + 1 + (1 if fm else 0)
     n_out = 2 * n_layers + 1
     in_refs = refs[:n_in]
     out_refs = refs[n_in : n_in + n_out]
     act_refs = refs[n_in + n_out :]
 
-    t_ref = in_refs[-1]
+    t_ref = in_refs[2 * n_layers]
     loss_ref = out_refs[0]  # (1, N) full-array block, revisited by every cell
     grad_refs = out_refs[1:]
 
@@ -144,13 +151,18 @@ def _train_kernel(
         def dot(lhs, rhs):
             return jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
 
+    # First-layer scale: scalar omega, or the (1, H) per-unit FM multiplier
+    # row (broadcasts over the tile axis on the VPU — negligible next to the
+    # sine). The same scale reappears in the backward's da_0.
+    scale0 = omega_f * in_refs[-1][:] if fm else omega_f
+
     # ---- Forward ----
     # stash='act': store pre-sine activations; backward re-derives sin/cos.
     # stash='sincos': compute sincos once here, store post-sine h AND cos —
     # backward then does ZERO trig (trade: 2x activation scratch per layer,
     # so a smaller row tile at the same VMEM budget).
     # First sine layer: (tile,1) @ (1,H) is a broadcast multiply (VPU).
-    a = omega_f * (x * w(0) + b(0))
+    a = scale0 * (x * w(0) + b(0))
     if stash_sincos:
         h, c = sincos_f(a)
         act_refs[0][:] = h
@@ -211,7 +223,7 @@ def _train_kernel(
             dw_ref(i)[0] += dot(h_prev.T, da)
             db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
             dh = dot(da, w(i).T)
-        da0 = dh * omega_f * act_refs[1][:]
+        da0 = dh * scale0 * act_refs[1][:]
     else:
         # Hidden sine layers, last to first. cos(a_{i-1}) computed alongside
         # sin(a_{i-1}) carries over to the next iteration's sine derivative.
@@ -224,7 +236,7 @@ def _train_kernel(
             db_ref(i)[0] += jnp.sum(da, axis=0, keepdims=True)
             dh = dot(da, w(i).T)
         c_0 = cos_carry if cos_carry is not None else cos_f(act_refs[0][:])
-        da0 = dh * omega_f * c_0
+        da0 = dh * scale0 * c_0
 
     # First sine layer: dW0 = x^T da0 computed as a column sum (VPU).
     dw_ref(0)[0] += jnp.sum(x * da0, axis=0, keepdims=True)
@@ -233,7 +245,9 @@ def _train_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("omega", "tile", "interpret", "sin_impl", "stash", "mxu"),
+    static_argnames=(
+        "omega", "tile", "interpret", "sin_impl", "stash", "mxu", "fm_mult"
+    ),
 )
 def siren_train_grads(
     params,
@@ -245,6 +259,7 @@ def siren_train_grads(
     sin_impl: str = "exact",
     stash: str = "auto",
     mxu: str = "fp32",
+    fm_mult: float | None = None,
 ):
     """Loss and gradients for a batch of SIRENs in one fused kernel.
 
@@ -260,6 +275,11 @@ def siren_train_grads(
     (benchmarks/r2/train_impl_stash.json): sincos wins ~3% on
     large/deep (wide or deep nets, trig-heavy), act elsewhere (medium's
     tile halves 1024->512 under 2x scratch, cancelling the trig saving).
+    ``fm_mult`` trains the FM-SIREN variant: per-unit first-layer frequency
+    multipliers linspace(1, fm_mult, hidden) — the exact array the XLA path
+    derives (models/siren.py:fm_frequency_multipliers) enters the kernel as
+    one (1, hidden) input, so fused-vs-XLA FM parity is bit-level on the
+    multipliers themselves. Same parameter shapes/count as the plain SIREN.
     ``mxu='bf16'`` rounds the MXU pass operands to bf16 (fp32 accumulate);
     params, activations, trig, and reductions stay fp32 — this is NOT full
     bf16 training (measured -0.014 CosSim, rejected), it only targets the
@@ -316,6 +336,18 @@ def siren_train_grads(
             (1, tile, d_out), lambda n_, t_: (n_, t_, 0), memory_space=pltpu.VMEM
         )
     )
+    extra_inputs: list[jax.Array] = []
+    if fm_mult is not None:
+        from nerf_attention_tpu.models.siren import fm_frequency_multipliers
+
+        extra_inputs.append(
+            fm_frequency_multipliers(hidden, fm_mult).reshape(1, hidden)
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hidden), lambda n_, t_: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
 
     loss_spec = pl.BlockSpec((1, n), lambda n_, t_: (0, 0), memory_space=pltpu.VMEM)
     out_specs = [loss_spec] + [fit_block(f.shape) for f in flat]
@@ -333,6 +365,7 @@ def siren_train_grads(
         fast=sin_impl == "fast",
         stash_sincos=stash_sincos,
         mxu_bf16=mxu == "bf16",
+        fm=fm_mult is not None,
     )
     outs = pl.pallas_call(
         kernel,
@@ -353,7 +386,7 @@ def siren_train_grads(
             transcendentals=2 * n * padded_s * hidden * (n_layers - 1),
         ),
         interpret=interpret,
-    )(*flat, targets_norm)
+    )(*flat, targets_norm, *extra_inputs)
 
     loss = outs[0][0]
     grads = [

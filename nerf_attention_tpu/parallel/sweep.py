@@ -103,7 +103,7 @@ def _resolve_sin(sin_impl: str):
     return fast_sin
 
 
-def _resolve_apply(config: SIRENConfig, fm_mult: float | None):
+def _resolve_apply(fm_mult: float | None):
     """The forward used by training/eval: shared-omega SIREN, or the
     FM variant with per-unit first-layer multipliers spread 1..fm_mult
     (equal parameter count; see models/siren.py and FINDINGS r3 — the
@@ -127,7 +127,7 @@ def _single_fit(
     tx = _make_optimizer(lr, epochs)
     omega = config.omega_0
     sin = _resolve_sin(sin_impl)
-    apply = _resolve_apply(config, fm_mult)
+    apply = _resolve_apply(fm_mult)
 
     targets_norm, mean, std = normalize_targets(target)
     params = init_siren(key, config, d_head, dtype=target.dtype)
@@ -171,7 +171,7 @@ def _final_eval(params, omega: float, pos, target, mean, std, apply=siren_apply)
 
 def _pallas_group_train(
     keys, targets, *, config: SIRENConfig, epochs: int, lr: float,
-    sin_impl: str = "fast", mxu: str = "fp32",
+    sin_impl: str = "fast", mxu: str = "fp32", fm_mult: float | None = None,
 ):
     """One group's training with the fused kernel: whole forward+backward is
     one fused TPU kernel per step (ops/siren_train_pallas.py); init, the
@@ -197,7 +197,7 @@ def _pallas_group_train(
         p, s = carry
         loss, grads = siren_train_grads(
             p, targets_norm, omega=omega, interpret=interpret,
-            sin_impl=sin_impl, mxu=mxu,
+            sin_impl=sin_impl, mxu=mxu, fm_mult=fm_mult,
         )
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
@@ -205,7 +205,8 @@ def _pallas_group_train(
 
     (params, _), losses = jax.lax.scan(step, (params, opt_state), length=epochs)
 
-    eval_fn = lambda p, t, m, sd: _final_eval(p, omega, pos, t, m, sd)
+    apply = _resolve_apply(fm_mult)
+    eval_fn = lambda p, t, m, sd: _final_eval(p, omega, pos, t, m, sd, apply=apply)
     metrics = jax.vmap(eval_fn)(params, targets, mean, std)
     metrics["losses"] = losses.T  # (N, epochs)
     metrics["target_mean"] = mean
@@ -213,19 +214,23 @@ def _pallas_group_train(
     return params, metrics
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
-                           sin_impl: str, mxu: str = "fp32"):
-    """Build (once per (mesh, config, epochs, lr, sin_impl)) the jitted
-    shard_map wrapper for the fused kernel. Caching here is what lets the
-    jit trace cache hit across calls — a fresh jax.jit(closure) per
+                           sin_impl: str, mxu: str = "fp32",
+                           fm_mult: float | None = None):
+    """Build (once per (mesh, config, epochs, lr, sin_impl, mxu, fm_mult))
+    the jitted shard_map wrapper for the fused kernel. Caching here is what
+    lets the jit trace cache hit across calls — a fresh jax.jit(closure) per
     invocation would re-trace (and, without the persistent compile cache,
-    recompile) every multi-device pallas dispatch."""
+    recompile) every multi-device pallas dispatch. Bounded maxsize: the
+    cache pins each Mesh object and its closure for its lifetime, so an
+    unbounded cache would leak meshes in long-lived processes that create
+    them repeatedly."""
     from jax.sharding import PartitionSpec as P
 
     body = partial(
         _pallas_group_train, config=config, epochs=epochs, lr=lr,
-        sin_impl=sin_impl, mxu=mxu,
+        sin_impl=sin_impl, mxu=mxu, fm_mult=fm_mult,
     )
     spec = P(FIT_AXIS)
     # Every output leaf leads with the fit axis, so one spec serves as the
@@ -243,7 +248,7 @@ def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
 
 def _fit_batch_pallas_sharded(
     keys, targets, mesh, *, config: SIRENConfig, epochs: int, lr: float,
-    sin_impl: str = "fast", mxu: str = "fp32",
+    sin_impl: str = "fast", mxu: str = "fp32", fm_mult: float | None = None,
 ):
     """Fused-kernel training with the fit axis sharded over a mesh.
 
@@ -253,7 +258,7 @@ def _fit_batch_pallas_sharded(
     same layout as the XLA path's GSPMD partitioning. Inputs must already
     be sharded/padded to the mesh (fit_batch_dispatch does both).
     """
-    fn = _pallas_sharded_jitted(mesh, config, epochs, lr, sin_impl, mxu)
+    fn = _pallas_sharded_jitted(mesh, config, epochs, lr, sin_impl, mxu, fm_mult)
     return fn(keys, targets)
 
 
@@ -277,14 +282,13 @@ def _fit_batch_compiled(
 
     params, metrics = _pallas_group_train(
         keys, targets, config=config, epochs=epochs, lr=lr, sin_impl=sin_impl,
-        mxu=mxu,
+        mxu=mxu, fm_mult=fm_mult,
     )
     return params, metrics
 
 
 def resolve_impl(
     impl: str, *, multi_device: bool = False, config: SIRENConfig | None = None,
-    fm_mult: float | None = None,
 ) -> str:
     """'auto' -> fused Pallas kernel on a single TPU chip, XLA otherwise.
 
@@ -307,17 +311,10 @@ def resolve_impl(
     _fit_batch_pallas_sharded — works and is tested on the CPU mesh, but has
     no multi-chip hardware measurement yet; opt in with impl='pallas').
     """
-    if fm_mult is not None:
-        # FM training is an XLA-path feature: the fused kernels have a
-        # shared first-layer omega. An explicit pallas request must not
-        # silently train the wrong architecture. Single owner of the rule —
-        # fit.py's resume stamp and fit_batch_dispatch both resolve here.
-        if impl == "pallas":
-            raise ValueError(
-                "fm_mult requires the XLA implementation (the fused kernel "
-                "has a shared first-layer omega)"
-            )
-        return "xla"
+    # fm_mult no longer constrains impl: since r4 the fused train AND decode
+    # kernels take per-unit first-layer frequencies (one (1, H) multiplier
+    # operand), so FM resolves exactly like the plain SIREN — the framework's
+    # quality flagship runs on its perf flagship path.
     if impl != "auto":
         return impl
     if multi_device or jax.default_backend() != "tpu":
@@ -353,9 +350,7 @@ def fit_batch_dispatch(
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
     multi_device = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
-    impl = resolve_impl(
-        impl, multi_device=multi_device, config=config, fm_mult=fm_mult
-    )
+    impl = resolve_impl(impl, multi_device=multi_device, config=config)
     if impl == "xla" and mxu != "fp32":
         # The XLA autodiff path has no MXU-precision knob; silently training
         # fp32 while the caller believes it measured bf16 MXU passes would
@@ -380,7 +375,7 @@ def fit_batch_dispatch(
     if impl == "pallas" and multi_device:
         params, metrics = _fit_batch_pallas_sharded(
             keys, targets, mesh, config=config, epochs=epochs, lr=lr,
-            sin_impl=sin_impl, mxu=mxu,
+            sin_impl=sin_impl, mxu=mxu, fm_mult=fm_mult,
         )
     else:
         params, metrics = _fit_batch_compiled(

@@ -243,10 +243,8 @@ def test_sweep_recovers_from_torn_meta_stamp(tiny_kv_dir, tmp_path):
 
 
 def test_fit_batch_fm_mult(rng):
-    """fm_mult trains through the XLA path, changes results vs shared
-    omega, and refuses the fused kernel."""
-    import pytest
-
+    """fm_mult changes results vs shared omega and (since r4) trains on the
+    fused kernel too, landing at the same optimum as the XLA path."""
     from nerf_attention_tpu.parallel.sweep import fit_batch
     from nerf_attention_tpu.types import SIRENConfig
 
@@ -256,8 +254,10 @@ def test_fit_batch_fm_mult(rng):
     fm = fit_batch(targets, config, epochs=100, seed=0, fm_mult=4.0)
     assert fm.cosine_mean.shape == (2,)
     assert not np.allclose(fm.cosine_mean, base.cosine_mean, atol=1e-5)
-    with pytest.raises(ValueError, match="fm_mult"):
-        fit_batch(targets, config, epochs=2, seed=0, impl="pallas", fm_mult=4.0)
+    fm_pal = fit_batch(
+        targets, config, epochs=100, seed=0, impl="pallas", fm_mult=4.0
+    )
+    np.testing.assert_allclose(fm_pal.cosine_mean, fm.cosine_mean, atol=2e-3)
 
 
 def test_fit_kv_cache_fm_checkpoint_roundtrip(tmp_path, rng):

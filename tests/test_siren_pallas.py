@@ -34,6 +34,42 @@ def test_fused_decode_long_seq_tiled():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("config", [CONFIGS_FULL[0], CONFIGS_FULL[2]],
+                         ids=lambda c: c.name)
+def test_fused_fm_decode_matches_xla(config):
+    """FM decode in-kernel (VERDICT r3 #2): per-unit first-layer frequencies
+    against the XLA FM forward — an FM checkpoint can use the fused decode."""
+    from nerf_attention_tpu.models.siren import siren_apply_maybe_fm
+
+    params = init_siren(jax.random.PRNGKey(5), config, out_features=64)
+    want = np.asarray(
+        siren_apply_maybe_fm(params, config.omega_0, 64.0, positions(777))
+    )
+    got = np.asarray(siren_decode(params, config.omega_0, 777, fm_mult=64.0))
+    assert got.shape == want.shape == (777, 64)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    plain = np.asarray(siren_decode(params, config.omega_0, 777))
+    assert not np.allclose(got, plain, atol=1e-4)  # mult not silently dropped
+
+
+def test_fm_batched_decode_matches_vmapped_xla():
+    from nerf_attention_tpu.models.siren import siren_apply_maybe_fm
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+
+    config = SIRENConfig(64, 2, 30.0, "t64")
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    params = jax.vmap(lambda k: init_siren(k, config, 24))(keys)
+    got = np.asarray(
+        siren_decode_batch(params, 30.0, 300, interpret=True, fm_mult=32.0)
+    )
+    pos = positions(300)
+    want = np.asarray(
+        jax.vmap(lambda p: siren_apply_maybe_fm(p, 30.0, 32.0, pos))(params)
+    )
+    assert got.shape == want.shape == (6, 300, 24)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
 def test_batched_decode_matches_vmapped_xla():
     """siren_decode_batch == vmap(siren_apply) for every network (interpret)."""
     import jax
