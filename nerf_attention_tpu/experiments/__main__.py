@@ -80,6 +80,18 @@ def main() -> None:
         help="root directory for experiment outputs (lets a hard-mode study "
         "run side-by-side with the default one)",
     )
+    parser.add_argument(
+        "--seq_len", type=int, default=2048,
+        help="sequence length for multi_prompt and the synthetic caches "
+        "backing svd/layer_profile/quantize (scaling uses --seq_lengths); "
+        "must match the cache the fit sweep trained on",
+    )
+    parser.add_argument(
+        "--fm_mult", type=float, default=None,
+        help="run scaling + layer_profile on FM-SIRENs (per-unit first-layer "
+        "frequency multipliers up to this value, equal parameter count); "
+        "quantize/aggregate_decode pick FM up from checkpoints automatically",
+    )
     args = parser.parse_args()
 
     root = Path(args.results_root)
@@ -98,6 +110,7 @@ def main() -> None:
             backend=args.backend,
             synth_layers=args.synth_layers,
             values_mode=args.values_mode,
+            fm_mult=args.fm_mult,
         )
         plot_scaling_crossover(scaling, figures_dir)
         plot_scaling_quality(scaling, figures_dir)
@@ -110,6 +123,7 @@ def main() -> None:
             model_name=args.model,
             base_dir=root / "multi_prompt",
             epochs=args.epochs,
+            seq_len=args.seq_len,
             backend=args.backend,
             synth_layers=args.synth_layers,
             values_mode=args.values_mode,
@@ -128,6 +142,7 @@ def main() -> None:
         ensure_synthetic_cache(
             Path(args.kv_dir),
             values_mode=args.values_mode,
+            seq_len=args.seq_len,
             num_layers=args.synth_layers,
         )
 
@@ -174,6 +189,8 @@ def main() -> None:
             backend=args.backend,
             values_mode=args.values_mode,
             synth_layers=args.synth_layers,
+            synth_seq_len=args.seq_len,
+            fm_mult=args.fm_mult,
         )
         plot_full_layer_profile(layer_results, figures_dir)
 

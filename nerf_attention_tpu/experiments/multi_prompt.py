@@ -2,10 +2,17 @@
 
 Tests whether the K/V compressibility asymmetry holds across content types
 (`/root/reference/nerf_attention/experiments/multi_prompt.py`). Extraction is
-backend-pluggable; the synthetic backend gives each prompt a distinct seeded
-cache (statistically identical structure), so the experiment harness runs
-hermetically — with real weights the hf/jax backends reproduce the
+backend-pluggable; with real weights the hf/jax backends reproduce the
 content-invariance finding (FINDINGS.md:118-123).
+
+The synthetic backend is CONTENT-DEPENDENT in hard mode (r4): each prompt's
+measured text statistics (token repetition, character entropy) drive the hard
+value recipe's carrier/noise variance shares via
+``synthetic.prompt_signal_profile``, so a degenerate prompt measurably shifts
+fit quality and the content-independence result is a measurement, not a
+tautology. In reference values_mode the backend maps prompts to seed offsets
+only (bit-parity contract forbids scaling that recipe) — there the row
+measures seed variance, not content.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.experiments.prompts import get_prompts
 from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.parallel.sweep import fit_batch
-from nerf_attention_tpu.synthetic import ensure_synthetic_cache
+from nerf_attention_tpu.synthetic import ensure_synthetic_cache, prompt_signal_profile
 from nerf_attention_tpu.types import CONFIGS_BY_NAME, KVMetadata
 
 MEDIUM = CONFIGS_BY_NAME["medium"]
@@ -45,7 +52,14 @@ def _extract_prompt_cache(
 ) -> KVMetadata:
     if backend == "synthetic":
         # Same-recipe synthetic and real-model caches reuse; other-recipe
-        # synthetic regenerates (ensure_synthetic_cache policy).
+        # synthetic regenerates (ensure_synthetic_cache policy). Hard mode
+        # additionally derives the value-signal mix from the prompt's own
+        # statistics (content-dependence; module docstring).
+        carrier_scale, noise_scale = (
+            prompt_signal_profile(prompt_text)
+            if values_mode == "hard"
+            else (1.0, 1.0)
+        )
         return ensure_synthetic_cache(
             kv_dir,
             values_mode=values_mode,
@@ -54,6 +68,8 @@ def _extract_prompt_cache(
             num_kv_heads=synth_heads,
             head_dim=synth_dim,
             seed_offset=100_000 * (prompt_idx + 1),
+            carrier_scale=carrier_scale,
+            noise_scale=noise_scale,
             verbose=False,
         )
     if (kv_dir / "metadata.json").exists():
@@ -145,6 +161,16 @@ def run_multi_prompt_experiment(
 
         prompt_results[prompt_name] = {
             "actual_tokens": metadata.actual_tokens,
+            **(
+                dict(
+                    zip(
+                        ("carrier_scale", "noise_scale"),
+                        prompt_signal_profile(prompt_text),
+                    )
+                )
+                if backend == "synthetic" and values_mode == "hard"
+                else {}
+            ),
             "autocorr_keys": analysis.avg_autocorr_keys,
             "autocorr_values": analysis.avg_autocorr_values,
             "spectral_keys": analysis.avg_spectral_keys,

@@ -114,6 +114,7 @@ def run_scaling_experiment(
     backend: str = "synthetic",
     synth_layers: int = 32,
     values_mode: str = "reference",
+    fm_mult: float | None = None,
     verbose: bool = True,
 ) -> dict[int, dict]:
     """Extract + analyze + fit medium SIRENs at multiple sequence lengths.
@@ -121,6 +122,11 @@ def run_scaling_experiment(
     Per length (reference scaling.py:124-222): structure analysis, 6 medium
     fits on layers {0, L/2, L-1} head 0 key+value (here: one batched
     program), checkpoints for latency profiling, and the latency record.
+
+    ``fm_mult`` runs the whole ladder on FM-SIRENs (per-unit first-layer
+    frequencies, equal parameter count) — the reference has no analogue;
+    it answers whether frequency diversity holds off the V-collapse at
+    long sequence lengths.
     """
     base_dir = Path(base_dir)
     base_dir.mkdir(parents=True, exist_ok=True)
@@ -164,7 +170,7 @@ def run_scaling_experiment(
                 f"no sampled layer files under {kv_dir} (layers {layers_to_fit})"
             )
 
-        batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs)
+        batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs, fm_mult=fm_mult)
         fit_results = []
         for i, (layer_idx, kv_type) in enumerate(grid):
             result = _batch_to_fit_result(
@@ -188,6 +194,7 @@ def run_scaling_experiment(
                 result.target_mean,
                 result.target_std,
                 result_to_record(name, layer_idx, 0, kv_type, result),
+                fm_mult=fm_mult,
             )
             if verbose:
                 print(
@@ -219,6 +226,7 @@ def run_scaling_experiment(
             "hbm_h100_ms": raw_bytes / HBM_BW["h100"] * 1000,
             "hbm_v5e_ms": raw_bytes / HBM_BW["tpu_v5e"] * 1000,
             "num_experiments": len(fit_results),
+            "fm_mult": fm_mult,
         }
 
         if verbose:
@@ -253,7 +261,10 @@ def _profile_siren_latency(fits_dir: Path, seq_len: int, max_models: int = 4) ->
     for mf in model_files[:max_models]:
         ckpt = checkpoint.load_siren_checkpoint(mf)
         times.append(
-            time_siren_forward_ms(ckpt["params"], ckpt["config"].omega_0, seq_len)
+            time_siren_forward_ms(
+                ckpt["params"], ckpt["config"].omega_0, seq_len,
+                fm_mult=ckpt.get("fm_mult"),
+            )
         )
     return float(np.mean(times)) if times else 0.0
 
@@ -455,12 +466,14 @@ def run_full_layer_profile(
     values_mode: str = "reference",
     synth_layers: int = 32,
     synth_seq_len: int = 2048,
+    fm_mult: float | None = None,
     verbose: bool = True,
 ) -> list[dict]:
     """Medium SIREN on ALL layers, head 0, keys + values — one batched program.
 
     The reference trains these 64 fits sequentially (scaling.py:387-422);
     here they are a single fit_batch, shardable over the mesh.
+    ``fm_mult`` profiles FM-SIRENs instead (recorded per result row).
 
     ``backend="synthetic"`` makes the profile hermetic: if ``kv_dir`` has no
     cache (or one generated under a different ``values_mode``), a synthetic
@@ -499,7 +512,9 @@ def run_full_layer_profile(
         )
     if verbose:
         print(f"Layer profile: {len(grid)} fits x {epochs} epochs (one batch)")
-    batch = fit_batch(np.stack(tensors), MEDIUM, epochs=epochs, mesh=mesh)
+    batch = fit_batch(
+        np.stack(tensors), MEDIUM, epochs=epochs, mesh=mesh, fm_mult=fm_mult
+    )
     if verbose:
         print(f"  done in {batch.train_time_seconds:.1f}s "
               f"({batch.seconds_per_fit:.3f} s/fit)")
@@ -513,6 +528,7 @@ def run_full_layer_profile(
                 metadata.seq_len * metadata.head_dim * 2
                 / (MEDIUM.num_parameters(metadata.head_dim) * 4)
             ),
+            **({"fm_mult": fm_mult} if fm_mult is not None else {}),
         }
         for i, (layer_idx, kv_type) in enumerate(grid)
     ]

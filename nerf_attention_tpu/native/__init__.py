@@ -73,12 +73,13 @@ def load_synthkv():
     try:
         lib.synth_hard_values.argtypes = [
             ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
         ]
         lib.synth_hard_values.restype = None
         lib.synth_hard_values_layer.argtypes = [
             ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
         ]
         lib.synth_hard_values_layer.restype = None
     except AttributeError:

@@ -224,10 +224,13 @@ void synth_layer(uint32_t base_seed, int num_heads, int seq_len, int head_dim,
 
 // Fill one head's (seq_len, head_dim) HARD-mode value matrix, draw-for-draw
 // identical to synthetic.py:_hard_values with RandomState(seed): per dim a
-// weak smooth carrier (freq U(1,8), phase U(0,2pi)), a spike train at
-// doubled sharpness, and dominant per-sample Gaussian noise.
+// weak smooth carrier (freq U(1,8), phase U(0,2pi); amplitude depth-graded
+// and content-scaled by the caller via carrier_amp — deterministic, no RNG
+// draws), a spike train at doubled sharpness, and dominant per-sample
+// Gaussian noise at noise_amp (0.30 * the caller's content noise scale).
 void synth_hard_values(uint32_t seed, int seq_len, int head_dim,
-                       double layer_sharpness, float* v_out) {
+                       double layer_sharpness, double carrier_amp,
+                       double noise_amp, float* v_out) {
     LegacyRandomState rng(seed);
     double* spikes = new double[seq_len];
     const double dt = seq_len > 1 ? 1.0 / (seq_len - 1) : 0.0;
@@ -240,7 +243,8 @@ void synth_hard_values(uint32_t seed, int seq_len, int head_dim,
             double carrier = (seq_len > 1 && s == seq_len - 1)
                                  ? std::sin(kTwoPi * freq + phase)
                                  : oc.next();
-            double v = 0.45 * carrier + 0.8 * spikes[s] + rng.gauss() * 0.30;
+            double v =
+                carrier_amp * carrier + 0.8 * spikes[s] + rng.gauss() * noise_amp;
             v_out[(size_t)s * head_dim + d] = static_cast<float>(v);
         }
     }
@@ -251,13 +255,15 @@ void synth_hard_values(uint32_t seed, int seq_len, int head_dim,
 // base_seed + head, matching synthetic.py's hard-values offset scheme).
 void synth_hard_values_layer(uint32_t base_seed, int num_heads, int seq_len,
                              int head_dim, double layer_sharpness,
+                             double carrier_amp, double noise_amp,
                              float* v_out) {
     std::vector<std::thread> workers;
     const size_t head_elems = (size_t)seq_len * head_dim;
     for (int h = 0; h < num_heads; ++h) {
         workers.emplace_back([=]() {
             synth_hard_values(base_seed + h, seq_len, head_dim,
-                              layer_sharpness, v_out + h * head_elems);
+                              layer_sharpness, carrier_amp, noise_amp,
+                              v_out + h * head_elems);
         });
     }
     for (auto& w : workers) w.join();

@@ -25,9 +25,15 @@ SCHEMES = ("fp32", "bf16", "fp16", "int8")
 
 def _to_bf16(x: np.ndarray) -> np.ndarray:
     """Round-to-nearest-even fp32 -> bf16, returned as the rounded fp32."""
-    u = x.astype(np.float32).view(np.uint32)
-    rounded = (u + 0x7FFF + ((u >> 16) & 1)) & 0xFFFF0000
-    return rounded.astype(np.uint32).view(np.float32)
+    x = np.asarray(x, dtype=np.float32)
+    u = x.view(np.uint32)
+    with np.errstate(over="ignore"):
+        rounded = (u + 0x7FFF + ((u >> 16) & 1)) & 0xFFFF0000
+    out = rounded.astype(np.uint32).view(np.float32)
+    # The integer rounding carries into the exponent for max-exponent inputs
+    # (NaN/Inf bit patterns wrap to a wrong finite value) — propagate the
+    # non-finite input unchanged instead.
+    return np.where(np.isfinite(x), out, x)
 
 
 def quantize_array(x: np.ndarray, scheme: str, axis: int | None = None):

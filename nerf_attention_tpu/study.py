@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> None:
         "--mesh", action="store_true",
         help="shard the fit sweep over all local devices",
     )
+    parser.add_argument(
+        "--fm_mult", type=float, default=None,
+        help="run the whole study on FM-SIRENs (per-unit first-layer "
+        "frequencies, equal parameter count): the fit sweep trains FM nets, "
+        "evaluate/quantize pick FM up from the checkpoints, and the scaling "
+        "ladder + layer profile re-fit with the same fm_mult",
+    )
     args = parser.parse_args(argv)
 
     root = Path(args.root)
@@ -111,7 +118,7 @@ def main(argv: list[str] | None = None) -> None:
             mesh = fit_mesh()
         fit_kv_cache(
             kv_dir, fits_dir, epochs=args.epochs, resume=True, mesh=mesh,
-            torch_checkpoints=True,
+            torch_checkpoints=True, fm_mult=args.fm_mult,
         )
 
     if "evaluate" not in args.skip:
@@ -147,6 +154,12 @@ def main(argv: list[str] | None = None) -> None:
             "--siren_dir", str(fits_dir),
             "--epochs", str(args.epochs),
             "--synth_layers", str(args.synth_layers),
+            "--seq_len", str(args.seq_len),
+            *(
+                ["--fm_mult", str(args.fm_mult)]
+                if args.fm_mult is not None
+                else []
+            ),
         ]
         try:
             experiments_main()

@@ -22,11 +22,13 @@ much harder to fit than keys (CosSim 0.67 vs 0.91, lag-1 autocorrelation
 single-smooth-sine values are the EASIEST signal in the cache — the K>>V
 gap, the study's central structural finding, is invisible on synthetic
 runs. ``values_mode="hard"`` (opt-in) replaces the value recipe with a
-content-like signal — weak smooth carrier + sharp attention spikes whose
-density scales with layer depth + dominant white noise — tuned so hermetic
-runs show the real study's shape (K CosSim exceeds V by >=0.1, V lag-1
-autocorrelation low). Keys keep the reference recipe bit-for-bit: hard
-values draw from an independent RNG stream.
+content-like signal — weak smooth carrier (amplitude depth-graded so the
+32-layer V profile has the reference study's shape: hardest at L0, broad
+mid-network peak, late dip) + sharp attention spikes whose density scales
+with layer depth + dominant white noise — tuned so hermetic runs show the
+real study's shape (K CosSim exceeds V by >=0.1, V lag-1 autocorrelation
+low). Keys keep the reference recipe bit-for-bit: hard values draw from an
+independent RNG stream.
 """
 
 from __future__ import annotations
@@ -39,13 +41,61 @@ from nerf_attention_tpu.io import kvstore
 from nerf_attention_tpu.types import KVMetadata
 
 
-def synthetic_model_name(values_mode: str) -> str:
+def synthetic_model_name(
+    values_mode: str, carrier_scale: float = 1.0, noise_scale: float = 1.0
+) -> str:
     """The metadata.model_name a synthetic cache records for a value recipe.
 
     Extraction-resume checks key on this to avoid silently reusing a cache
-    generated under the other recipe.
+    generated under the other recipe. The hard name carries a recipe
+    version ("v2" = the r4 depth-graded carrier), so caches written under
+    an older hard recipe regenerate instead of being served stale.
+    Content scales (multi-prompt mode) are stamped too — a cache generated
+    for one prompt's statistics must not be served for another's.
     """
-    return "synthetic" if values_mode == "reference" else "synthetic_hard"
+    base = "synthetic" if values_mode == "reference" else "synthetic_hard_v2"
+    if carrier_scale != 1.0 or noise_scale != 1.0:
+        base += f"_c{carrier_scale:.4f}_n{noise_scale:.4f}"
+    return base
+
+
+def prompt_signal_profile(text: str) -> tuple[float, float]:
+    """Map a prompt's measurable statistics to (carrier_scale, noise_scale).
+
+    Makes the synthetic multi-prompt experiment CONTENT-DEPENDENT (the
+    reference extracts from four genuinely different texts,
+    multi_prompt.py:21-117; r3's synthetic backend mapped prompts to seed
+    offsets only, so 'content-independence reproduces' was structural —
+    the experiment could not fail). Two statistics with a mechanistic
+    reading drive the signal mix:
+
+      * token repetition rate (1 - unique/total words): repetitive text
+        re-attends to the same keys, giving the cache more periodic,
+        SIREN-recoverable structure -> scales the smooth carrier share;
+      * character entropy (bits/char, ~4.2 for natural English): more
+        surprisal per token means more content-specific variation the
+        carrier cannot capture -> scales the white-noise share.
+
+    Constants are anchored so ordinary English/code prose lands at ~1.0
+    on both axes (the four reference prompts then reproduce the
+    content-independence finding as a MEASUREMENT — their statistics are
+    genuinely similar), while a degenerate prompt ("aaa aaa ...":
+    repetition ~1, entropy ~1.5 bits) measurably shifts both scales and
+    with them the fit quality.
+    """
+    import math
+    from collections import Counter
+
+    words = text.split()
+    if not words or not text:
+        return 1.0, 1.0
+    repetition = 1.0 - len(set(words)) / len(words)
+    counts = Counter(text)
+    total = len(text)
+    entropy = -sum(c / total * math.log2(c / total) for c in counts.values())
+    carrier_scale = 0.85 + 0.45 * repetition  # English prose rep ~0.35 -> ~1.0
+    noise_scale = 0.35 + 0.15 * entropy       # English entropy ~4.3 -> ~1.0
+    return round(carrier_scale, 4), round(noise_scale, 4)
 
 
 def ensure_synthetic_cache(
@@ -57,6 +107,8 @@ def ensure_synthetic_cache(
     num_kv_heads: int = 8,
     head_dim: int = 128,
     seed_offset: int = 0,
+    carrier_scale: float = 1.0,
+    noise_scale: float = 1.0,
     verbose: bool = True,
 ) -> KVMetadata:
     """Reuse-or-(re)generate a synthetic cache under the given value recipe.
@@ -89,7 +141,8 @@ def ensure_synthetic_cache(
             and prior.num_kv_heads == num_kv_heads
             and prior.head_dim == head_dim
         )
-        if prior.model_name == synthetic_model_name(values_mode) and same_geometry:
+        wanted_name = synthetic_model_name(values_mode, carrier_scale, noise_scale)
+        if prior.model_name == wanted_name and same_geometry:
             return prior
         if verbose:
             why = (
@@ -111,6 +164,8 @@ def ensure_synthetic_cache(
         output_dir=kv_dir,
         values_mode=values_mode,
         seed_offset=seed_offset,
+        carrier_scale=carrier_scale,
+        noise_scale=noise_scale,
         verbose=verbose,
     )
 
@@ -169,27 +224,54 @@ def _head_signals(
     return k, v
 
 
+def hard_carrier_amp(layer_idx: int, num_layers: int) -> float:
+    """Depth-graded carrier amplitude for the hard value recipe (v2).
+
+    r3's flat 0.45 carrier produced a noise-pinned flat V layer profile
+    (CosSim 0.745-0.752 across all 32 layers) — the reference study's
+    value profile has real shape: hardest at L0 (0.483), a broad
+    mid-network peak (0.758 at L17), a late dip
+    (reference results/layer_profile/full_layer_profile.json). Grading
+    the carrier (the only SIREN-recoverable variance share) with depth
+    renders that shape hermetically: recoverable signal rises to a
+    mid-network maximum and falls off toward both ends, while
+    spikes+noise keep their depth trends. Amplitude is a deterministic
+    function of depth — no RNG draws, so the per-head streams are
+    unchanged from v1.
+    """
+    depth = layer_idx / max(num_layers - 1, 1)
+    # Coefficients calibrated on-chip (medium config, 2048 tokens, 2000
+    # epochs, benchmarks/r4/hard_study/layer_profile): V profile 0.531 (L0)
+    # -> 0.791 peak at L17 -> 0.600 (L31), range 0.26 — the reference
+    # profile's 0.483 -> 0.758 (peak also L17) -> 0.705, range 0.27.
+    return 0.17 + 0.32 * float(np.sin(np.pi * depth)) + 0.07 * depth
+
+
 def _hard_values(
     rng: np.random.RandomState,
     t: np.ndarray,
     head_dim: int,
     layer_sharpness: float,
+    carrier_amp: float,
+    noise_amp: float = 0.30,
 ) -> np.ndarray:
     """(S, D) attention-sharpened value matrix (the opt-in hard recipe).
 
-    Per dimension: a weak smooth carrier (the only SIREN-recoverable part),
-    sharp sparse spikes (density grows with depth), and dominant white
-    noise. Variance shares are tuned so a medium SIREN lands near the real
-    study's values quality (~0.65-0.75 CosSim) with lag-1 autocorrelation
-    well below the keys'.
+    Per dimension: a weak smooth carrier (the only SIREN-recoverable part,
+    amplitude depth-graded via ``hard_carrier_amp``), sharp sparse spikes
+    (density grows with depth), and dominant white noise — tuned so a
+    medium SIREN lands in the real study's values band (~0.45-0.75 CosSim
+    depending on layer) with lag-1 autocorrelation well below the keys'.
     """
     seq_len = len(t)
     two_pi = 2 * np.pi
     v = np.empty((seq_len, head_dim), dtype=np.float32)
     for d in range(head_dim):
-        carrier = 0.45 * np.sin(two_pi * rng.uniform(1, 8) * t + rng.uniform(0, two_pi))
+        carrier = carrier_amp * np.sin(
+            two_pi * rng.uniform(1, 8) * t + rng.uniform(0, two_pi)
+        )
         spikes = _spike_train(rng, seq_len, 2.0 * layer_sharpness)
-        noise = rng.randn(seq_len) * 0.30
+        noise = rng.randn(seq_len) * noise_amp
         v[:, d] = (carrier + 0.8 * spikes + noise).astype(np.float32)
     return v
 
@@ -220,6 +302,8 @@ def generate_synthetic_kv(
     seed_offset: int = 0,
     layer_indices: list[int] | None = None,
     values_mode: str = "reference",
+    carrier_scale: float = 1.0,
+    noise_scale: float = 1.0,
 ) -> KVMetadata:
     """Generate and persist a synthetic KV cache in the standard layout.
 
@@ -235,9 +319,20 @@ def generate_synthetic_kv(
     ``values_mode="hard"`` swaps the value recipe for the attention-
     sharpened hard signal (module docstring); keys stay bit-identical to
     the reference recipe (hard values use an independent RNG stream).
+
+    ``carrier_scale`` / ``noise_scale`` (hard mode only) scale the hard
+    recipe's carrier amplitude and white-noise share — the content hook
+    the synthetic multi-prompt experiment drives from measured prompt
+    statistics (``prompt_signal_profile``). Reference mode rejects
+    non-unit scales: its value recipe is a bit-parity contract.
     """
     if values_mode not in ("reference", "hard"):
         raise ValueError(f"values_mode must be 'reference' or 'hard', got {values_mode!r}")
+    if values_mode == "reference" and (carrier_scale != 1.0 or noise_scale != 1.0):
+        raise ValueError(
+            "carrier_scale/noise_scale are hard-mode content hooks; the "
+            "reference value recipe is bit-parity-exact and cannot be scaled"
+        )
     if verbose:
         print("Generating synthetic KV cache...")
         print(
@@ -281,23 +376,27 @@ def generate_synthetic_kv(
             # a reference-mode run could use), so keys above stay parity-
             # exact and hard values are themselves deterministic.
             hard_seed = 1_000_003 + seed_offset + layer_idx * num_kv_heads
+            carrier_amp = hard_carrier_amp(layer_idx, num_layers) * carrier_scale
+            noise_amp = 0.30 * noise_scale
             if lib is not None and hasattr(lib, "synth_hard_values_layer"):
                 import ctypes
 
                 lib.synth_hard_values_layer(
                     hard_seed, num_kv_heads, seq_len, head_dim, layer_sharpness,
+                    carrier_amp, noise_amp,
                     values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 )
             else:
                 for head_idx in range(num_kv_heads):
                     hard_rng = np.random.RandomState(hard_seed + head_idx)
                     values[head_idx] = _hard_values(
-                        hard_rng, t, head_dim, layer_sharpness
+                        hard_rng, t, head_dim, layer_sharpness, carrier_amp,
+                        noise_amp,
                     )
         kvstore.save_layer(output_dir, layer_idx, keys, values)
 
     metadata = KVMetadata(
-        model_name=synthetic_model_name(values_mode),
+        model_name=synthetic_model_name(values_mode, carrier_scale, noise_scale),
         num_layers=num_layers,
         num_kv_heads=num_kv_heads,
         seq_len=seq_len,

@@ -112,14 +112,16 @@ def time_perturbed_forward_ms(
 def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None = None,
                           fused: bool = True, compute_dtype=None,
                           samples: int = 3, stats: bool = False,
-                          sin_impl: str = "exact"):
+                          sin_impl: str = "exact", fm_mult: float | None = None):
     """Amortized per-evaluation time of a full SIREN decode (ms).
 
     ``compute_dtype=jnp.bfloat16`` times the bf16 fused-decode variant and
     ``sin_impl='fast'`` the polynomial-sine variant (fused path only).
-    ``stats=True`` returns median/q25/q75/iqr.
+    ``fm_mult`` times the FM-SIREN decode (per-unit first-layer
+    frequencies — in-kernel since r4). ``stats=True`` returns
+    median/q25/q75/iqr.
     """
-    from nerf_attention_tpu.models.siren import positions, siren_apply
+    from nerf_attention_tpu.models.siren import positions, siren_apply_maybe_fm
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_fused
     from nerf_attention_tpu.parallel.sweep import _resolve_sin
 
@@ -137,12 +139,13 @@ def time_siren_forward_ms(params, omega: float, seq_len: int, reps: int | None =
     def forward(p):
         if use_fused:
             return siren_decode_fused(
-                p, float(omega), seq_len, compute_dtype=dtype, sin_impl=sin_impl
+                p, float(omega), seq_len, compute_dtype=dtype,
+                sin_impl=sin_impl, fm_mult=fm_mult,
             )
         # Non-fused path: honor the variant options too, so non-TPU runs
         # don't mislabel exact-fp32 re-measurements as fast-sin/bf16 columns.
         pc = [(w.astype(dtype), b.astype(dtype)) for w, b in p]
-        y = siren_apply(pc, float(omega), pos.astype(dtype), sin=sin)
+        y = siren_apply_maybe_fm(pc, float(omega), fm_mult, pos.astype(dtype), sin=sin)
         return y.astype(jnp.float32)
 
     return time_perturbed_forward_ms(

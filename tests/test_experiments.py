@@ -158,7 +158,7 @@ def test_scaling_hard_mode(tmp_path):
     )
     for seq_len in (64, 128):
         meta = kvstore.load_metadata(tmp_path / f"seq_{seq_len}" / "kv_cache")
-        assert meta.model_name == "synthetic_hard"
+        assert meta.model_name == "synthetic_hard_v2"
         rec = results[seq_len]
         assert rec["avg_cossim_keys"] > rec["avg_cossim_values"]
 
@@ -174,7 +174,7 @@ def test_layer_profile_hard_synthetic_backend(tmp_path):
         backend="synthetic", values_mode="hard", synth_layers=3,
         synth_seq_len=64,
     )
-    assert kvstore.load_metadata(tmp_path / "kv").model_name == "synthetic_hard"
+    assert kvstore.load_metadata(tmp_path / "kv").model_name == "synthetic_hard_v2"
     assert len(results) == 6  # 3 layers x {K,V}
     by_type = {
         kv: [r["final_cosine_mean"] for r in results if r["kv_type"] == kv]
@@ -196,8 +196,12 @@ def test_multi_prompt_hard_mode(tmp_path):
     assert set(results) == {"fiction", "code", "conversational", "technical"}
     for name, rec in results.items():
         assert rec["avg_cossim_keys"] > rec["avg_cossim_values"], name
+        # Content hook: per-prompt measured statistics reach the cache
+        # (model_name carries the scales) and the results record.
         meta = kvstore.load_metadata(tmp_path / name / "kv_cache")
-        assert meta.model_name == "synthetic_hard"
+        assert meta.model_name.startswith("synthetic_hard_v2")
+        assert 0.8 <= rec["carrier_scale"] <= 1.3, name
+        assert 0.8 <= rec["noise_scale"] <= 1.2, name
 
 
 def test_experiments_cli_threads_values_mode(tmp_path, monkeypatch):
@@ -225,27 +229,59 @@ def test_experiments_cli_threads_values_mode(tmp_path, monkeypatch):
             "experiments", "scaling", "--values_mode", "hard",
             "--results_root", str(tmp_path / "root"),
             "--kv_dir", str(tmp_path / "kv"),
+            "--fm_mult", "64",
         ],
     )
     cli.main()
     assert calls["scaling"]["values_mode"] == "hard"
     assert calls["scaling"]["base_dir"] == tmp_path / "root" / "scaling"
+    assert calls["scaling"]["fm_mult"] == 64.0
     # scaling never reads --kv_dir: the shared-cache generation must not run.
     assert "generate" not in calls
 
-    # svd DOES need the shared cache; generation gets the recipe (the
-    # stubbed generator writes no metadata, so the svd run itself is
-    # warn-skipped downstream).
+    # svd DOES need the shared cache; generation gets the recipe AND the
+    # requested seq_len (a study at --seq_len != 2048 must not regenerate
+    # its cache at 2048 mid-run — that destroys what the fit sweep trained
+    # on). The stubbed generator writes no metadata, so the svd run itself
+    # is warn-skipped downstream.
     monkeypatch.setattr(
         sys, "argv",
         [
             "experiments", "svd", "--values_mode", "hard",
             "--results_root", str(tmp_path / "root"),
             "--kv_dir", str(tmp_path / "kv"),
+            "--seq_len", "1024",
         ],
     )
     cli.main()
     assert calls["generate"]["values_mode"] == "hard"
+    assert calls["generate"]["seq_len"] == 1024
+
+    # layer_profile threads fm_mult + seq_len into the profile runner.
+    monkeypatch.setattr(
+        cli, "run_full_layer_profile",
+        lambda **kw: calls.setdefault("profile", kw) or [],
+    )
+    monkeypatch.setattr(cli, "plot_full_layer_profile", lambda *a, **k: None)
+    (tmp_path / "kv").mkdir(exist_ok=True)
+    (tmp_path / "kv" / "metadata.json").write_text(
+        json.dumps(
+            dict(model_name="synthetic", num_layers=32, num_kv_heads=8,
+                 seq_len=1024, head_dim=128, actual_tokens=1024)
+        )
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "layer_profile",
+            "--results_root", str(tmp_path / "root"),
+            "--kv_dir", str(tmp_path / "kv"),
+            "--seq_len", "1024", "--fm_mult", "64",
+        ],
+    )
+    cli.main()
+    assert calls["profile"]["synth_seq_len"] == 1024
+    assert calls["profile"]["fm_mult"] == 64.0
 
 
 def test_aggregate_decode_experiment(tmp_path, figqa):

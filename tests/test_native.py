@@ -91,13 +91,17 @@ def test_hard_values_parity(seed, sharp):
     from nerf_attention_tpu.synthetic import _hard_values
 
     seq_len, head_dim = 193, 16
+    # Any depth-graded / content-scaled values; parity must hold for all.
+    carrier_amp, noise_amp = 0.37, 0.27
     v_c = np.empty((seq_len, head_dim), dtype=np.float32)
     lib.synth_hard_values(
-        seed, seq_len, head_dim, sharp,
+        seed, seq_len, head_dim, sharp, carrier_amp, noise_amp,
         v_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     t = np.linspace(0, 1, seq_len)
-    v_py = _hard_values(np.random.RandomState(seed), t, head_dim, sharp)
+    v_py = _hard_values(
+        np.random.RandomState(seed), t, head_dim, sharp, carrier_amp, noise_amp
+    )
     np.testing.assert_allclose(v_c, v_py, rtol=0, atol=2e-6)
 
 

@@ -46,6 +46,19 @@ def test_bf16_matches_jax_bfloat16_rounding():
     np.testing.assert_array_equal(dq, want)
 
 
+def test_bf16_propagates_nonfinite():
+    """Max-exponent inputs must not wrap in the integer rounding: NaN/Inf
+    pass through, and near-max finite values overflow to inf exactly as a
+    real bf16 cast does."""
+    import jax.numpy as jnp
+
+    x = np.array([np.nan, np.inf, -np.inf, 3.4e38, -3.4e38], np.float32)
+    _, dq = quantize_array(x, "bf16")
+    assert np.isnan(dq[0])
+    want = np.asarray(jnp.asarray(x[1:]).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(dq[1:], want)
+
+
 def test_int8_roundtrip_error_bounded():
     """Per-channel int8: error bounded by scale/2 per element."""
     rng = np.random.default_rng(1)

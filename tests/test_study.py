@@ -28,23 +28,34 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
         fit_mod, "fit_kv_cache",
         lambda *a, **kw: calls.append(("fit", kw)) or [],
     )
+    import sys
+
     monkeypatch.setattr(
-        exp_cli, "main", lambda: calls.append(("experiments", {})),
+        exp_cli, "main",
+        lambda: calls.append(("experiments", {"argv": list(sys.argv)})),
     )
 
     study.main(
         [
             "--root", str(tmp_path), "--values_mode", "hard",
-            "--epochs", "7", "--skip", "evaluate",
+            "--epochs", "7", "--seq_len", "1024", "--fm_mult", "64",
+            "--skip", "evaluate",
         ]
     )
     stages = [name for name, _ in calls]
     assert stages == ["extract", "analyze", "fit", "experiments"]
     extract_kw = dict(calls[0][1])
     assert extract_kw["values_mode"] == "hard"
+    assert extract_kw["seq_len"] == 1024
     fit_kw = dict(calls[2][1])
     assert fit_kw["epochs"] == 7
+    assert fit_kw["fm_mult"] == 64.0
     assert fit_kw["torch_checkpoints"] and fit_kw["resume"]
+    # The experiments stage sees the study's seq_len and fm_mult (a study
+    # at seq_len != 2048 must not regenerate its cache at 2048 mid-run).
+    exp_argv = calls[3][1]["argv"]
+    assert exp_argv[exp_argv.index("--seq_len") + 1] == "1024"
+    assert exp_argv[exp_argv.index("--fm_mult") + 1] == "64.0"
 
 
 def test_study_end_to_end_tiny(tmp_path, figqa):

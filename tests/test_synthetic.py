@@ -108,7 +108,7 @@ def test_hard_values_keep_keys_bit_identical(tmp_path):
         k_hard, v_hard = kvstore.load_layer(hard_dir, layer_idx)
         np.testing.assert_array_equal(k_ref, k_hard)
         assert not np.array_equal(v_ref, v_hard)
-    assert kvstore.load_metadata(hard_dir).model_name == "synthetic_hard"
+    assert kvstore.load_metadata(hard_dir).model_name == "synthetic_hard_v2"
 
 
 def test_hard_values_deterministic(tmp_path):
@@ -184,7 +184,7 @@ def test_ensure_synthetic_cache_policy(tmp_path):
 
     # Other recipe: regenerated (values change, keys stay parity-exact).
     meta = ensure_synthetic_cache(kv_dir, values_mode="hard", **kw)
-    assert meta.model_name == "synthetic_hard"
+    assert meta.model_name == "synthetic_hard_v2"
     keys_after, _ = kvstore.load_layer(kv_dir, 0)
     np.testing.assert_array_equal(keys_before, keys_after)
 
@@ -213,3 +213,69 @@ def test_mxu_bf16_requires_pallas_impl():
     with pytest.raises(ValueError, match="pallas"):
         fit_batch(targets, SIRENConfig(16, 1, 30.0, "t"), epochs=2,
                   impl="xla", mxu="bf16")
+
+
+def test_prompt_signal_profile_anchors():
+    """Ordinary prose lands near unit scales; a degenerate prompt shifts
+    both axes (more repetition -> more carrier, less entropy -> less
+    noise). Empty text is the neutral profile."""
+    from nerf_attention_tpu.synthetic import prompt_signal_profile
+
+    prose = (
+        "The lighthouse keeper watched the storm roll in from the west, "
+        "counting the seconds between flashes while the gulls wheeled "
+        "overhead and the radio crackled with warnings for small craft."
+    )
+    pc, pn = prompt_signal_profile(prose)
+    assert 0.85 <= pc <= 1.15, pc
+    assert 0.85 <= pn <= 1.15, pn
+
+    dc, dn = prompt_signal_profile("aaa " * 400)
+    assert dc > pc + 0.1, (dc, pc)
+    assert dn < pn - 0.3, (dn, pn)
+
+    assert prompt_signal_profile("") == (1.0, 1.0)
+
+
+def test_content_scales_shift_fit_quality(tmp_path):
+    """The experiment can FAIL now: a degenerate prompt's scales (strong
+    carrier, weak noise) produce a measurably easier value signal than
+    ordinary prose's — fit CosSim moves with content, keys stay
+    bit-identical."""
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.synthetic import prompt_signal_profile
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+    dc, dn = prompt_signal_profile("aaa " * 400)  # degenerate: ~ (1.3, 0.57)
+    kw = dict(seq_len=512, num_layers=1, num_kv_heads=1, head_dim=16,
+              verbose=False, values_mode="hard")
+    generate_synthetic_kv(output_dir=tmp_path / "prose", **kw)
+    generate_synthetic_kv(
+        output_dir=tmp_path / "degen", carrier_scale=dc, noise_scale=dn, **kw
+    )
+
+    k_p, v_p = kvstore.load_layer(tmp_path / "prose", 0)
+    k_d, v_d = kvstore.load_layer(tmp_path / "degen", 0)
+    np.testing.assert_array_equal(k_p, k_d)  # keys: content-independent
+    assert not np.array_equal(v_p, v_d)
+
+    meta = kvstore.load_metadata(tmp_path / "degen")
+    assert meta.model_name == f"synthetic_hard_v2_c{dc:.4f}_n{dn:.4f}"
+
+    batch = fit_batch(
+        np.stack([v_p[0], v_d[0]]),
+        CONFIGS_BY_NAME["medium"], epochs=500, seed=0,
+    )
+    prose_cos, degen_cos = np.asarray(batch.cosine_mean)
+    assert degen_cos > prose_cos + 0.05, (prose_cos, degen_cos)
+
+
+def test_content_scales_rejected_in_reference_mode(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="bit-parity"):
+        generate_synthetic_kv(
+            seq_len=16, num_layers=1, num_kv_heads=1, head_dim=2,
+            output_dir=tmp_path / "x", verbose=False,
+            values_mode="reference", noise_scale=0.5,
+        )
