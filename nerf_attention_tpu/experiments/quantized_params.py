@@ -9,6 +9,13 @@ reconstruction delta directly: for each saved medium checkpoint, the
 original tensor is reconstructed from the de-quantized parameters and the
 per-position CosSim recomputed against the cache on disk.
 
+Round 4 pushes the frontier: ``int4`` (group-wise fp16 scales, packed
+nibbles) and ``int4_qat`` — the same int4 payload after a short
+quantization-aware fine-tune (`ops/qat.py`: straight-through estimator
+against the exact stored grid, every checkpoint fine-tuned in ONE batched
+program). The int4 accounting ceiling at the medium geometry is ~5.5x
+(nibbles dominate; scales+fp16 biases are the rest).
+
 Outputs ``quantization_results.json`` (one record per checkpoint x scheme)
 and ``quantized_pareto.png`` (quality vs effective compression, one series
 per scheme), both under the experiment output dir.
@@ -36,7 +43,13 @@ SCHEME_STYLE = {
     "bf16": dict(color="#3498db", marker="s"),
     "fp16": dict(color="#9b59b6", marker="^"),
     "int8": dict(color="#e74c3c", marker="D"),
+    "int4": dict(color="#e67e22", marker="v"),
+    "int4_qat": dict(color="#c0392b", marker="*"),
 }
+
+# The experiment's default scheme set: every storage scheme plus the
+# QAT-repaired int4 point (same payload, fine-tuned master weights).
+EXPERIMENT_SCHEMES = SCHEMES + ("int4_qat",)
 
 
 def _reconstruct(
@@ -54,11 +67,18 @@ def run_quantization_experiment(
     siren_dir: Path,
     kv_dir: Path,
     output_dir: Path,
-    schemes: tuple[str, ...] = SCHEMES,
+    schemes: tuple[str, ...] = EXPERIMENT_SCHEMES,
     max_models: int | None = None,
+    qat_epochs: int = 300,
     verbose: bool = True,
 ) -> list[dict]:
-    """Re-price every saved medium checkpoint under each storage scheme."""
+    """Re-price every saved medium checkpoint under each storage scheme.
+
+    ``int4_qat`` is computed in a second pass: all checkpoints stack into
+    one batched straight-through fine-tune (``qat_epochs`` steps against
+    the sweep's own normalized targets), then the tuned weights are int4-
+    quantized and re-priced exactly like the plain schemes.
+    """
     siren_dir, kv_dir, output_dir = Path(siren_dir), Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -68,7 +88,9 @@ def run_quantization_experiment(
     if not model_files:
         raise FileNotFoundError(f"no checkpoints under {siren_dir}")
 
+    plain_schemes = tuple(s for s in schemes if s != "int4_qat")
     results: list[dict] = []
+    loaded: list[dict] = []  # per-checkpoint context for the QAT pass
     for model_file in model_files:
         ckpt = checkpoint.load_siren_checkpoint(model_file)
         metrics = ckpt["metrics"]
@@ -79,8 +101,11 @@ def run_quantization_experiment(
         )
         seq_len, d_head = original.shape
         raw_bytes = seq_len * d_head * 2  # fp16 KV-cache accounting (reference)
+        loaded.append(
+            {"ckpt": ckpt, "original": original, "raw_bytes": raw_bytes}
+        )
 
-        for scheme in schemes:
+        for scheme in plain_schemes:
             _, dq_params = quantize_params(ckpt["params"], scheme)
             pred = _reconstruct(
                 dq_params, ckpt["config"].omega_0, seq_len,
@@ -122,9 +147,14 @@ def run_quantization_experiment(
             row = " | ".join(
                 f"{s}={by_scheme[s]['final_cosine_mean']:.4f}"
                 f"@{by_scheme[s]['compression_ratio']:.2f}x"
-                for s in schemes
+                for s in plain_schemes
             )
             print(f"  {metrics['name']}: {row}")
+
+    if "int4_qat" in schemes:
+        results.extend(
+            _int4_qat_rows(loaded, qat_epochs=qat_epochs, verbose=verbose)
+        )
 
     with open(output_dir / "quantization_results.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -134,7 +164,85 @@ def run_quantization_experiment(
     return results
 
 
-def print_quantization_summary(results: list[dict], schemes=SCHEMES) -> None:
+def _int4_qat_rows(
+    loaded: list[dict], qat_epochs: int, verbose: bool
+) -> list[dict]:
+    """One batched straight-through fine-tune over every checkpoint, then
+    re-price the tuned weights as plain int4 payloads."""
+    from nerf_attention_tpu.ops.qat import qat_finetune_batch
+
+    if not loaded:
+        return []
+    first = loaded[0]["ckpt"]
+    omega = first["config"].omega_0
+    fm_mult = first.get("fm_mult")
+    # All checkpoints are medium-config fits on the same cache geometry, so
+    # their leaves stack; a mixed directory would be a caller error.
+    n_layers = len(first["params"])
+    params = [
+        (
+            np.stack([c["ckpt"]["params"][i][0] for c in loaded]),
+            np.stack([c["ckpt"]["params"][i][1] for c in loaded]),
+        )
+        for i in range(n_layers)
+    ]
+    targets_norm = np.stack(
+        [
+            (c["original"] - np.asarray(c["ckpt"]["target_mean"]))
+            / np.asarray(c["ckpt"]["target_std"])
+            for c in loaded
+        ]
+    ).astype(np.float32)
+
+    if verbose:
+        print(
+            f"  int4 QAT: fine-tuning {len(loaded)} checkpoints x "
+            f"{qat_epochs} epochs (one batched program)"
+        )
+    tuned, _ = qat_finetune_batch(
+        params, targets_norm, omega=omega, fm_mult=fm_mult, epochs=qat_epochs
+    )
+    tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
+
+    rows = []
+    for idx, c in enumerate(loaded):
+        ckpt, metrics = c["ckpt"], c["ckpt"]["metrics"]
+        seq_len, d_head = c["original"].shape
+        per_net = [(w[idx], b[idx]) for w, b in tuned]
+        _, dq_params = quantize_params(per_net, "int4")
+        pred = _reconstruct(
+            dq_params, omega, seq_len,
+            ckpt["target_mean"], ckpt["target_std"], fm_mult=fm_mult,
+        )
+        cos = np.asarray(
+            cosine_similarity(jnp.asarray(pred), jnp.asarray(c["original"]))
+        )
+        stored = param_bytes(ckpt["params"], "int4")
+        rows.append(
+            {
+                "name": metrics["name"],
+                "layer": metrics["layer"],
+                "head": metrics["head"],
+                "kv_type": metrics["kv_type"],
+                "scheme": "int4_qat",
+                "qat_epochs": qat_epochs,
+                "stored_bytes": stored,
+                "compression_ratio": float(c["raw_bytes"] / stored),
+                "final_cosine_mean": float(cos.mean()),
+                "final_cosine_min": float(cos.min()),
+                "seq_len": seq_len,
+                "d_head": d_head,
+            }
+        )
+        if verbose:
+            print(
+                f"    {metrics['name']}: int4_qat={rows[-1]['final_cosine_mean']:.4f}"
+                f"@{rows[-1]['compression_ratio']:.2f}x"
+            )
+    return rows
+
+
+def print_quantization_summary(results: list[dict], schemes=EXPERIMENT_SCHEMES) -> None:
     print("\nQuantized-storage summary (mean over checkpoints):")
     fp32_cos = None
     for scheme in schemes:

@@ -1,0 +1,105 @@
+"""Quantization-aware fine-tuning for stored SIREN parameters.
+
+Beyond-reference extension (round 4, extending the r3 storage study): plain
+post-training int4 rounds a trained network onto a coarse grid and eats the
+quality the sweep earned. A short quantization-aware fine-tune repairs most
+of that: the forward pass sees the EXACT fp16-scaled int4 grid the
+serializer would store (`ops/quantize.py:_int4_groupwise`), gradients flow
+through the rounding with the straight-through estimator, and the batched
+trainer shape (jit + vmap over checkpoints, `lax.scan` over epochs —
+`parallel/sweep.py`) makes a few hundred epochs over every saved medium
+checkpoint one cheap compiled program.
+
+Storage-only contract, same as the quantization experiment: QAT moves the
+fp32 master weights so that their int4 projection reconstructs well; what
+is persisted (and re-priced) is still the plain int4 payload of the
+fine-tuned weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_attention_tpu.models.siren import positions, siren_apply_maybe_fm
+from nerf_attention_tpu.ops.quantize import INT4_GROUP
+
+
+def fake_quant_int4(w: jax.Array, group: int = INT4_GROUP) -> jax.Array:
+    """Project weights onto the stored int4 grid (jax twin of
+    ``_int4_groupwise``): symmetric -7..7, one fp16-rounded scale per
+    ``group`` rows of the input axis, per output channel. Works on (in,
+    out) and batched (..., in, out) leaves.
+    """
+    *batch, rows, channels = w.shape
+    n_groups = -(-rows // group)
+    pad = n_groups * group - rows
+    grouped = jnp.pad(
+        w, [(0, 0)] * len(batch) + [(0, pad), (0, 0)]
+    ).reshape(*batch, n_groups, group, channels)
+    amax = jnp.abs(grouped).max(axis=-2, keepdims=True)
+    scale = (jnp.maximum(amax, 1e-12) / 7.0).astype(jnp.float16).astype(jnp.float32)
+    q = jnp.clip(jnp.round(grouped / scale), -7, 7)
+    dq = (q * scale).reshape(*batch, n_groups * group, channels)
+    return dq[..., :rows, :]
+
+
+def _ste(w: jax.Array, group: int) -> jax.Array:
+    """Straight-through estimator: forward = fake-quantized, grad = identity."""
+    return w + jax.lax.stop_gradient(fake_quant_int4(w, group) - w)
+
+
+def qat_finetune_batch(
+    params,
+    targets_norm: jax.Array,
+    *,
+    omega: float,
+    fm_mult: float | None = None,
+    epochs: int = 300,
+    lr: float = 3e-5,
+    group: int = INT4_GROUP,
+    sin_impl: str = "fast",
+):
+    """Fine-tune a batch of trained SIRENs against their int4 projection.
+
+    params: batched leaves ``[(W (N, in, out), b (N, out)), ...]`` — every
+    network the same architecture (the sweep only checkpoints medium, so
+    stacking all saved checkpoints is always legal). targets_norm:
+    (N, S, D) z-normalized targets, the same tensors the sweep trained on.
+    Biases stay full-precision in the forward (they are stored fp16 —
+    `ops/quantize.py:quantize_params`). Returns fine-tuned fp32 params in
+    the same batched layout; quality is measured by int4-quantizing THOSE
+    (`experiments/quantized_params.py`).
+    """
+    from nerf_attention_tpu.parallel.sweep import _make_optimizer, _resolve_sin
+
+    params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    targets_norm = jnp.asarray(targets_norm)
+    seq_len = targets_norm.shape[1]
+    pos = positions(seq_len)
+    sin = _resolve_sin(sin_impl)
+    tx = _make_optimizer(lr, epochs)
+
+    @jax.jit
+    def run(params):
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            fq = [(_ste(w, group), b) for w, b in p]
+            pred = jax.vmap(
+                lambda q: siren_apply_maybe_fm(q, omega, fm_mult, pos, sin=sin)
+            )(fq)
+            return jnp.mean((pred - targets_norm) ** 2)
+
+        def step(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (p, _), losses = jax.lax.scan(step, (params, opt_state), None, length=epochs)
+        return p, losses
+
+    tuned, losses = run(params)
+    return [(w, b) for w, b in tuned], losses

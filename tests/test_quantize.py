@@ -78,8 +78,104 @@ def test_param_bytes_accounting():
     assert param_bytes(params, "fp16") == n * 2
     scales = sum(w.shape[-1] * 4 + 4 for w, _ in params)
     assert param_bytes(params, "int8") == n + scales
+    from nerf_attention_tpu.ops.quantize import INT4_GROUP, int4_scale_count
+
+    int4 = sum(
+        -(-w.size // 2)
+        + int4_scale_count(w.shape, w.ndim - 1, INT4_GROUP) * 2
+        + b.size * 2
+        for w, b in params
+    )
+    assert param_bytes(params, "int4") == int4
     with pytest.raises(ValueError, match="scheme"):
-        param_bytes(params, "int4")
+        param_bytes(params, "int3")
+
+
+def test_int4_roundtrip_error_bounded():
+    """Group-wise int4: error bounded by half a group scale; padding rows
+    (in-dim not a multiple of the group) must not corrupt the dequant."""
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((50, 16)).astype(np.float32)  # 50 = 32 + pad 14
+    payload, dq = quantize_array(w, "int4", axis=1)
+    assert payload["data"].dtype == np.int8
+    assert np.abs(payload["data"]).max() <= 7
+    assert payload["scale"].dtype == np.float16
+    assert payload["scale"].shape == (2, 16)  # ceil(50/32) groups x channels
+    scale = payload["scale"].astype(np.float32)
+    per_elem = np.repeat(scale, 32, axis=0)[:50]
+    assert (np.abs(dq - w) <= per_elem * 0.5 + 1e-9).all()
+
+
+def test_int4_fake_quant_matches_numpy_grid():
+    """The jax QAT projection and the numpy storage path must share one
+    grid — otherwise QAT optimizes against a grid that is never stored."""
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.qat import fake_quant_int4
+    from nerf_attention_tpu.ops.quantize import quantize_array
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 8), (50, 16), (64, 32)):
+        w = rng.standard_normal(shape).astype(np.float32)
+        _, dq_np = quantize_array(w, "int4", axis=w.ndim - 1)
+        dq_jax = np.asarray(fake_quant_int4(jnp.asarray(w)))
+        np.testing.assert_allclose(dq_jax, dq_np, atol=1e-7)
+    # Batched leaves quantize per-network identically.
+    wb = rng.standard_normal((3, 50, 16)).astype(np.float32)
+    batched = np.asarray(fake_quant_int4(jnp.asarray(wb)))
+    for i in range(3):
+        _, dq_np = quantize_array(wb[i], "int4", axis=1)
+        np.testing.assert_allclose(batched[i], dq_np, atol=1e-7)
+
+
+def test_qat_repairs_int4_quality():
+    """A short straight-through fine-tune must recover reconstruction lost
+    to plain post-training int4 rounding."""
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.qat import qat_finetune_batch
+    from nerf_attention_tpu.parallel.sweep import (
+        cosine_similarity,
+        fit_batch,
+        normalize_targets,
+    )
+
+    rng = np.random.default_rng(4)
+    t = np.linspace(0, 1, 128, dtype=np.float32)[:, None]
+    targets = np.stack(
+        [
+            (np.sin(2 * np.pi * (3 + i) * t) * np.ones((1, 8))
+             + 0.1 * rng.standard_normal((128, 8))).astype(np.float32)
+            for i in range(2)
+        ]
+    )
+    batch = fit_batch(targets, CONFIG, epochs=400, seed=0)
+
+    tn = np.stack([
+        np.asarray(normalize_targets(jnp.asarray(x))[0]) for x in targets
+    ])
+
+    def int4_cos(params_batched):
+        from nerf_attention_tpu.models.siren import positions, siren_apply
+
+        cos = []
+        for i in range(2):
+            per_net = [(np.asarray(w)[i], np.asarray(b)[i]) for w, b in params_batched]
+            _, dq = quantize_params(per_net, "int4")
+            jp = [(jnp.asarray(w), jnp.asarray(b)) for w, b in dq]
+            pred = siren_apply(jp, CONFIG.omega_0, positions(128))
+            cos.append(float(np.mean(np.asarray(
+                cosine_similarity(pred, jnp.asarray(tn[i]))
+            ))))
+        return np.mean(cos)
+
+    before = int4_cos(batch.params)
+    tuned, losses = qat_finetune_batch(
+        batch.params, tn, omega=CONFIG.omega_0, epochs=150
+    )
+    after = int4_cos(tuned)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert after > before + 0.002, (before, after)
 
 
 def test_quantization_experiment(tmp_path, figqa):
@@ -126,6 +222,16 @@ def test_quantization_experiment(tmp_path, figqa):
                 abs(peers[scheme]["final_cosine_mean"] - fp32_rec["final_cosine_mean"])
                 < 0.05
             )
+        # int4 is the frontier point: best compression of any scheme, and
+        # the QAT pass (same payload size) must not be WORSE than plain
+        # post-training rounding.
+        assert peers["int4"]["stored_bytes"] < peers["int8"]["stored_bytes"]
+        assert peers["int4_qat"]["stored_bytes"] == peers["int4"]["stored_bytes"]
+        assert (
+            peers["int4_qat"]["final_cosine_mean"]
+            >= peers["int4"]["final_cosine_mean"] - 0.005
+        )
+        assert peers["int4_qat"]["qat_epochs"] == 300
 
     data = json.loads((tmp_path / "out" / "quantization_results.json").read_text())
     assert len(data) == len(results)
