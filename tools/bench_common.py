@@ -20,6 +20,7 @@ def make_group_runner(
     sin_impl: str = "fast",
     stash: str = "auto",
     mxu: str = "fp32",
+    fm_mult: float | None = None,
     lr: float = 1e-4,
     schedule_epochs: int = 2000,
 ):
@@ -34,7 +35,11 @@ def make_group_runner(
     import jax.numpy as jnp
     import optax
 
-    from nerf_attention_tpu.models.siren import init_siren, positions, siren_apply
+    from nerf_attention_tpu.models.siren import (
+        init_siren,
+        positions,
+        siren_apply_maybe_fm,
+    )
     from nerf_attention_tpu.ops.siren_train_pallas import siren_train_grads
     from nerf_attention_tpu.parallel.sweep import (
         _make_optimizer,
@@ -56,7 +61,9 @@ def make_group_runner(
 
         if impl == "xla":
             def loss_fn(p):
-                pred = jax.vmap(lambda q: siren_apply(q, omega, pos, sin=sin))(p)
+                pred = jax.vmap(
+                    lambda q: siren_apply_maybe_fm(q, omega, fm_mult, pos, sin=sin)
+                )(p)
                 return jnp.mean((pred - tn) ** 2)
 
             def body(_, carry):
@@ -69,7 +76,7 @@ def make_group_runner(
                 p, s = carry
                 _, grads = siren_train_grads(
                     p, tn, omega=omega, interpret=interpret,
-                    sin_impl=sin_impl, stash=stash, mxu=mxu,
+                    sin_impl=sin_impl, stash=stash, mxu=mxu, fm_mult=fm_mult,
                 )
                 updates, s = tx.update(grads, s, p)
                 return (optax.apply_updates(p, updates), s)

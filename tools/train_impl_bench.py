@@ -45,10 +45,11 @@ def main() -> None:
     )
     parser.add_argument(
         "--variants", type=str, default="xla:fast,pallas:fast",
-        help="comma-separated impl:sin_impl[:stash[:mxu]] entries (stash: "
-        "act|sincos|auto, omitted = auto, the production default; mxu: "
-        "fp32|bf16, omitted = fp32 — bf16 rounds only the kernel's MXU "
-        "pass operands, fp32 accumulate)",
+        help="comma-separated impl:sin_impl[:stash[:mxu[:fmN]]] entries "
+        "(stash: act|sincos|auto, omitted = auto, the production default; "
+        "mxu: fp32|bf16, omitted = fp32 — bf16 rounds only the kernel's MXU "
+        "pass operands, fp32 accumulate; fmN e.g. fm64 trains FM-SIRENs "
+        "with per-unit first-layer multipliers up to N)",
     )
     args = parser.parse_args()
 
@@ -78,20 +79,26 @@ def main() -> None:
 
     def make_runner(
         config, impl: str, sin_impl: str, stash: str = "auto",
-        mxu: str = "fp32",
+        mxu: str = "fp32", fm_mult: float | None = None,
     ):
         return make_group_runner(
             config, args.head_dim, args.seq_len, impl=impl,
-            sin_impl=sin_impl, stash=stash, mxu=mxu,
+            sin_impl=sin_impl, stash=stash, mxu=mxu, fm_mult=fm_mult,
         )
 
     names = [c.strip() for c in args.configs.split(",") if c.strip()]
     configs = [c for c in CONFIGS_FULL if not names or c.name in names]
     def parse_variant(v: str):
         parts = v.split(":")
+        # fmN is positionless (both impls support FM); pull it out first.
+        fm_mult = None
+        for p in list(parts[2:]):
+            if p.startswith("fm"):
+                fm_mult = float(p[2:])
+                parts.remove(p)
         if not 2 <= len(parts) <= 4:
             raise SystemExit(
-                f"bad variant {v!r}: expected impl:sin_impl[:stash[:mxu]]"
+                f"bad variant {v!r}: expected impl:sin_impl[:stash[:mxu[:fmN]]]"
             )
         if len(parts) > 2 and parts[0] == "xla":
             raise SystemExit(
@@ -101,15 +108,15 @@ def main() -> None:
         impl, sin_impl = parts[0], parts[1]
         stash = parts[2] if len(parts) > 2 else "auto"
         mxu = parts[3] if len(parts) > 3 else "fp32"
-        return impl, sin_impl, stash, mxu
+        return impl, sin_impl, stash, mxu, fm_mult
 
     variants = [parse_variant(v) for v in args.variants.split(",")]
 
     results = []
     for config in configs:
         row = {"config": config.name}
-        for impl, sin_impl, stash, mxu in variants:
-            run = make_runner(config, impl, sin_impl, stash, mxu)
+        for impl, sin_impl, stash, mxu, fm_mult in variants:
+            run = make_runner(config, impl, sin_impl, stash, mxu, fm_mult)
             t0 = time.perf_counter()
             deltas = _per_iter_samples(
                 run, keys, targets, reps=args.n1, samples=args.samples
@@ -117,10 +124,12 @@ def main() -> None:
             stats = replicate_stats([d * 1e3 for d in deltas])
             key = f"{impl}_{sin_impl}" + (
                 "" if stash == "auto" else f"_{stash}"
-            ) + ("" if mxu == "fp32" else f"_{mxu}mxu")
+            ) + ("" if mxu == "fp32" else f"_{mxu}mxu") + (
+                "" if fm_mult is None else f"_fm{fm_mult:g}"
+            )
             row[f"{key}_ms_per_epoch"] = stats
             log(
-                f"  {config.name} {impl}:{sin_impl}:{stash}:{mxu}: "
+                f"  {config.name} {impl}:{sin_impl}:{stash}:{mxu}:fm={fm_mult}: "
                 f"{stats['median']:.3f} ms/epoch "
                 f"[{stats['q25']:.3f},{stats['q75']:.3f}] "
                 f"(took {time.perf_counter() - t0:.0f}s)"
