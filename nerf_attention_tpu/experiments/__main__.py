@@ -34,6 +34,53 @@ from nerf_attention_tpu.experiments.summary import generate_final_summary
 from nerf_attention_tpu.experiments.svd import plot_siren_vs_svd, run_svd_experiment
 
 
+def _synth_cache_geometry(kv_dir: Path) -> dict | None:
+    """Geometry of an existing SYNTHETIC cache under kv_dir, else None.
+
+    Used to default the kv_dir-backed stages (svd/layer_profile/quantize)
+    to the cache that is already there: ensure_synthetic_cache regenerates
+    on ANY geometry mismatch, so a 32-layer default run against a
+    quickstart-scale (4-layer) cache would silently destroy the tensors
+    the saved fits were trained on.
+    """
+    try:
+        meta = json.loads((kv_dir / "metadata.json").read_text())
+        if not str(meta.get("model_name", "")).startswith("synthetic"):
+            return None
+        return {
+            "seq_len": int(meta["seq_len"]),
+            "num_layers": int(meta["num_layers"]),
+            "num_kv_heads": int(meta["num_kv_heads"]),
+        }
+    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def _sweep_seq_len(siren_dir: Path, fallback: int = 2048) -> int:
+    """Resolve the default --seq_len from the fit sweep's recorded geometry.
+
+    Synthetic svd/layer_profile/quantize inputs must match the cache the
+    checkpoints under --siren_dir were trained on: ensure_synthetic_cache
+    REGENERATES an other-geometry cache, which would silently invalidate
+    every saved fit. sweep_meta.json (then fit_results.json records) carry
+    the trained seq_len; only a sweep-less run falls back to 2048.
+    """
+    try:
+        meta = json.loads((siren_dir / "sweep_meta.json").read_text())
+        inferred = int(meta["seq_len"])
+        print(f"  --seq_len defaulted to {inferred} (from {siren_dir}/sweep_meta.json)")
+        return inferred
+    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+        pass
+    try:
+        records = json.loads((siren_dir / "fit_results.json").read_text())
+        inferred = int(records[0]["seq_len"])
+        print(f"  --seq_len defaulted to {inferred} (from {siren_dir}/fit_results.json)")
+        return inferred
+    except (OSError, KeyError, ValueError, IndexError, json.JSONDecodeError):
+        return fallback
+
+
 def main() -> None:
     from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
     _enable_cache()
@@ -61,8 +108,10 @@ def main() -> None:
         "batched program) so the timed stack is fully trained",
     )
     parser.add_argument(
-        "--synth_layers", type=int, default=32,
-        help="synthetic backend: layer count for generated caches",
+        "--synth_layers", type=int, default=None,
+        help="synthetic backend: layer count for generated caches "
+        "(default: match a synthetic cache already under --kv_dir for the "
+        "cache-backed stages, else 32)",
     )
     parser.add_argument(
         "--svd_accounting", type=str, default="fp16", choices=["fp16", "fp32", "both"],
@@ -81,10 +130,13 @@ def main() -> None:
         "run side-by-side with the default one)",
     )
     parser.add_argument(
-        "--seq_len", type=int, default=2048,
+        "--seq_len", type=int, default=None,
         help="sequence length for multi_prompt and the synthetic caches "
         "backing svd/layer_profile/quantize (scaling uses --seq_lengths); "
-        "must match the cache the fit sweep trained on",
+        "must match the cache the fit sweep trained on. Default: the "
+        "geometry recorded by the fit sweep under --siren_dir (so a "
+        "quickstart-scale study never regenerates its cache at the wrong "
+        "length), else 2048",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -93,6 +145,22 @@ def main() -> None:
         "quantize/aggregate_decode pick FM up from checkpoints automatically",
     )
     args = parser.parse_args()
+
+    # Resolve defaults against what is already on disk: the fit sweep's
+    # recorded seq_len beats the existing cache's, which beats 2048 — the
+    # cache-backed stages must line up with the trained checkpoints.
+    geom = _synth_cache_geometry(Path(args.kv_dir))
+    if args.seq_len is None:
+        args.seq_len = _sweep_seq_len(
+            Path(args.siren_dir),
+            fallback=geom["seq_len"] if geom else 2048,
+        )
+    if args.synth_layers is None:
+        cache_layers = geom["num_layers"] if geom else 32
+        cache_heads = geom["num_kv_heads"] if geom else 8
+        args.synth_layers = 32
+    else:
+        cache_layers, cache_heads = args.synth_layers, 8
 
     root = Path(args.results_root)
     figures_dir = root / "figures"
@@ -143,7 +211,8 @@ def main() -> None:
             Path(args.kv_dir),
             values_mode=args.values_mode,
             seq_len=args.seq_len,
-            num_layers=args.synth_layers,
+            num_layers=cache_layers,
+            num_kv_heads=cache_heads,
         )
 
     kv_dir_ok = (Path(args.kv_dir) / "metadata.json").exists()
@@ -188,8 +257,9 @@ def main() -> None:
             epochs=args.epochs,
             backend=args.backend,
             values_mode=args.values_mode,
-            synth_layers=args.synth_layers,
+            synth_layers=cache_layers,
             synth_seq_len=args.seq_len,
+            synth_heads=cache_heads,
             fm_mult=args.fm_mult,
         )
         plot_full_layer_profile(layer_results, figures_dir)

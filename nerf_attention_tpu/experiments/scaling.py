@@ -466,6 +466,7 @@ def run_full_layer_profile(
     values_mode: str = "reference",
     synth_layers: int = 32,
     synth_seq_len: int = 2048,
+    synth_heads: int = 8,
     fm_mult: float | None = None,
     verbose: bool = True,
 ) -> list[dict]:
@@ -489,6 +490,7 @@ def run_full_layer_profile(
             values_mode=values_mode,
             seq_len=synth_seq_len,
             num_layers=synth_layers,
+            num_kv_heads=synth_heads,
             verbose=verbose,
         )
     metadata = kvstore.load_metadata(kv_dir)
