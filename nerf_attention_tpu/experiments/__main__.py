@@ -139,6 +139,17 @@ def main() -> None:
         "length), else 2048",
     )
     parser.add_argument(
+        "--schemes", type=str, default=None,
+        help="quantize: comma-separated storage schemes (named schemes, "
+        "parameterized int<B>_g<N>, and any group-wise integer scheme's "
+        "_qat variant, e.g. fp16,int4_g64_qat,int3_g64_qat); default: "
+        "fp32,bf16,fp16,int8,int4,int4_qat",
+    )
+    parser.add_argument(
+        "--qat_epochs", type=int, default=300,
+        help="quantize: straight-through fine-tune length for _qat schemes",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run scaling + layer_profile on FM-SIRENs (per-unit first-layer "
         "frequency multipliers up to this value, equal parameter count); "
@@ -294,12 +305,19 @@ def main() -> None:
             )
         else:
             from nerf_attention_tpu.experiments.quantized_params import (
+                EXPERIMENT_SCHEMES,
                 plot_quantized_pareto,
                 run_quantization_experiment,
             )
 
+            schemes = (
+                tuple(s.strip() for s in args.schemes.split(",") if s.strip())
+                if args.schemes
+                else EXPERIMENT_SCHEMES
+            )
             quant = run_quantization_experiment(
-                siren_dir, Path(args.kv_dir), root / "quantized_params"
+                siren_dir, Path(args.kv_dir), root / "quantized_params",
+                schemes=schemes, qat_epochs=args.qat_epochs,
             )
             plot_quantized_pareto(quant, figures_dir)
 

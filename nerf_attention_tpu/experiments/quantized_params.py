@@ -14,7 +14,12 @@ nibbles) and ``int4_qat`` — the same int4 payload after a short
 quantization-aware fine-tune (`ops/qat.py`: straight-through estimator
 against the exact stored grid, every checkpoint fine-tuned in ONE batched
 program). The int4 accounting ceiling at the medium geometry is ~5.5x
-(nibbles dominate; scales+fp16 biases are the rest).
+(nibbles dominate; scales+fp16 biases are the rest). Any parameterized
+``int<B>_g<N>`` scheme (`ops/quantize.py:parse_scheme`) can be swept via
+``schemes=...``, each with its own ``_qat`` variant — ``int3_g64_qat``
+fine-tunes against the 3-bit/64-group grid, etc. — which is how the
+compression-frontier study (``experiments quantize --schemes ...``)
+probes past 6x.
 
 Outputs ``quantization_results.json`` (one record per checkpoint x scheme)
 and ``quantized_pareto.png`` (quality vs effective compression, one series
@@ -79,6 +84,19 @@ def run_quantization_experiment(
     the sweep's own normalized targets), then the tuned weights are int4-
     quantized and re-priced exactly like the plain schemes.
     """
+    from nerf_attention_tpu.ops.quantize import parse_scheme
+
+    # Validate every scheme name up front — a typo must fail before the
+    # per-checkpoint loop burns device time, and a _qat scheme must have a
+    # group-wise integer base grid to fine-tune against.
+    for s in schemes:
+        base = s[: -len("_qat")] if s.endswith("_qat") else s
+        kind, _, group = parse_scheme(base)
+        if s.endswith("_qat") and (kind != "int" or group is None):
+            raise ValueError(
+                f"QAT needs a group-wise integer base scheme, got {s!r}"
+            )
+
     siren_dir, kv_dir, output_dir = Path(siren_dir), Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -88,7 +106,8 @@ def run_quantization_experiment(
     if not model_files:
         raise FileNotFoundError(f"no checkpoints under {siren_dir}")
 
-    plain_schemes = tuple(s for s in schemes if s != "int4_qat")
+    plain_schemes = tuple(s for s in schemes if not s.endswith("_qat"))
+    qat_schemes = tuple(s for s in schemes if s.endswith("_qat"))
     results: list[dict] = []
     loaded: list[dict] = []  # per-checkpoint context for the QAT pass
     for model_file in model_files:
@@ -151,9 +170,12 @@ def run_quantization_experiment(
             )
             print(f"  {metrics['name']}: {row}")
 
-    if "int4_qat" in schemes:
+    for qat_scheme in qat_schemes:
         results.extend(
-            _int4_qat_rows(loaded, qat_epochs=qat_epochs, verbose=verbose)
+            _qat_rows(
+                loaded, base_scheme=qat_scheme[: -len("_qat")],
+                qat_epochs=qat_epochs, verbose=verbose,
+            )
         )
 
     with open(output_dir / "quantization_results.json", "w") as f:
@@ -164,13 +186,20 @@ def run_quantization_experiment(
     return results
 
 
-def _int4_qat_rows(
-    loaded: list[dict], qat_epochs: int, verbose: bool
+def _qat_rows(
+    loaded: list[dict], base_scheme: str, qat_epochs: int, verbose: bool
 ) -> list[dict]:
-    """One batched straight-through fine-tune over every checkpoint, then
-    re-price the tuned weights as plain int4 payloads."""
+    """One batched straight-through fine-tune over every checkpoint against
+    ``base_scheme``'s stored grid, then re-price the tuned weights as plain
+    ``base_scheme`` payloads."""
     from nerf_attention_tpu.ops.qat import qat_finetune_batch
+    from nerf_attention_tpu.ops.quantize import parse_scheme
 
+    kind, bits, group = parse_scheme(base_scheme)
+    if kind != "int" or group is None:
+        raise ValueError(
+            f"QAT needs a group-wise integer base scheme, got {base_scheme!r}"
+        )
     if not loaded:
         return []
     first = loaded[0]["ckpt"]
@@ -196,11 +225,12 @@ def _int4_qat_rows(
 
     if verbose:
         print(
-            f"  int4 QAT: fine-tuning {len(loaded)} checkpoints x "
+            f"  {base_scheme} QAT: fine-tuning {len(loaded)} checkpoints x "
             f"{qat_epochs} epochs (one batched program)"
         )
     tuned, _ = qat_finetune_batch(
-        params, targets_norm, omega=omega, fm_mult=fm_mult, epochs=qat_epochs
+        params, targets_norm, omega=omega, fm_mult=fm_mult, epochs=qat_epochs,
+        group=group, bits=bits,
     )
     tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
 
@@ -209,7 +239,7 @@ def _int4_qat_rows(
         ckpt, metrics = c["ckpt"], c["ckpt"]["metrics"]
         seq_len, d_head = c["original"].shape
         per_net = [(w[idx], b[idx]) for w, b in tuned]
-        _, dq_params = quantize_params(per_net, "int4")
+        _, dq_params = quantize_params(per_net, base_scheme)
         pred = _reconstruct(
             dq_params, omega, seq_len,
             ckpt["target_mean"], ckpt["target_std"], fm_mult=fm_mult,
@@ -217,14 +247,14 @@ def _int4_qat_rows(
         cos = np.asarray(
             cosine_similarity(jnp.asarray(pred), jnp.asarray(c["original"]))
         )
-        stored = param_bytes(ckpt["params"], "int4")
+        stored = param_bytes(ckpt["params"], base_scheme)
         rows.append(
             {
                 "name": metrics["name"],
                 "layer": metrics["layer"],
                 "head": metrics["head"],
                 "kv_type": metrics["kv_type"],
-                "scheme": "int4_qat",
+                "scheme": f"{base_scheme}_qat",
                 "qat_epochs": qat_epochs,
                 "stored_bytes": stored,
                 "compression_ratio": float(c["raw_bytes"] / stored),
@@ -236,13 +266,17 @@ def _int4_qat_rows(
         )
         if verbose:
             print(
-                f"    {metrics['name']}: int4_qat={rows[-1]['final_cosine_mean']:.4f}"
+                f"    {metrics['name']}: "
+                f"{rows[-1]['scheme']}={rows[-1]['final_cosine_mean']:.4f}"
                 f"@{rows[-1]['compression_ratio']:.2f}x"
             )
     return rows
 
 
-def print_quantization_summary(results: list[dict], schemes=EXPERIMENT_SCHEMES) -> None:
+def print_quantization_summary(results: list[dict], schemes=None) -> None:
+    if schemes is None:
+        # First-appearance order of whatever was actually measured.
+        schemes = tuple(dict.fromkeys(r["scheme"] for r in results))
     print("\nQuantized-storage summary (mean over checkpoints):")
     fp32_cos = None
     for scheme in schemes:
@@ -263,10 +297,18 @@ def plot_quantized_pareto(results: list[dict], output_dir: Path) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
     fig, ax = plt.subplots(figsize=(10, 7))
 
-    for scheme, style in SCHEME_STYLE.items():
+    extra_markers = iter("PXohsd^v*" * 4)
+    present = dict.fromkeys(r["scheme"] for r in results)
+    for scheme in present:
+        style = SCHEME_STYLE.get(scheme)
+        if style is None:
+            # Parameterized frontier schemes (int3_g64, int4_g128_qat, ...)
+            # get a deterministic fallback so any sweep plots cleanly.
+            style = dict(
+                color=f"C{list(present).index(scheme) % 10}",
+                marker=next(extra_markers),
+            )
         rows = [r for r in results if r["scheme"] == scheme]
-        if not rows:
-            continue
         ax.scatter(
             [r["compression_ratio"] for r in rows],
             [r["final_cosine_mean"] for r in rows],

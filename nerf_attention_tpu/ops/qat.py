@@ -26,12 +26,15 @@ from nerf_attention_tpu.models.siren import positions, siren_apply_maybe_fm
 from nerf_attention_tpu.ops.quantize import INT4_GROUP
 
 
-def fake_quant_int4(w: jax.Array, group: int = INT4_GROUP) -> jax.Array:
-    """Project weights onto the stored int4 grid (jax twin of
-    ``_int4_groupwise``): symmetric -7..7, one fp16-rounded scale per
-    ``group`` rows of the input axis, per output channel. Works on (in,
-    out) and batched (..., in, out) leaves.
+def fake_quant_groupwise(
+    w: jax.Array, group: int = INT4_GROUP, bits: int = 4
+) -> jax.Array:
+    """Project weights onto the stored int<bits> grid (jax twin of
+    ``quantize._int_groupwise``): symmetric -qmax..qmax, one fp16-rounded
+    scale per ``group`` rows of the input axis, per output channel. Works
+    on (in, out) and batched (..., in, out) leaves.
     """
+    qmax = float((1 << (bits - 1)) - 1)
     *batch, rows, channels = w.shape
     n_groups = -(-rows // group)
     pad = n_groups * group - rows
@@ -39,15 +42,20 @@ def fake_quant_int4(w: jax.Array, group: int = INT4_GROUP) -> jax.Array:
         w, [(0, 0)] * len(batch) + [(0, pad), (0, 0)]
     ).reshape(*batch, n_groups, group, channels)
     amax = jnp.abs(grouped).max(axis=-2, keepdims=True)
-    scale = (jnp.maximum(amax, 1e-12) / 7.0).astype(jnp.float16).astype(jnp.float32)
-    q = jnp.clip(jnp.round(grouped / scale), -7, 7)
+    scale = (jnp.maximum(amax, 1e-12) / qmax).astype(jnp.float16).astype(jnp.float32)
+    q = jnp.clip(jnp.round(grouped / scale), -qmax, qmax)
     dq = (q * scale).reshape(*batch, n_groups * group, channels)
     return dq[..., :rows, :]
 
 
-def _ste(w: jax.Array, group: int) -> jax.Array:
+def fake_quant_int4(w: jax.Array, group: int = INT4_GROUP) -> jax.Array:
+    """int4 view of ``fake_quant_groupwise`` (the r4 frontier default)."""
+    return fake_quant_groupwise(w, group, bits=4)
+
+
+def _ste(w: jax.Array, group: int, bits: int) -> jax.Array:
     """Straight-through estimator: forward = fake-quantized, grad = identity."""
-    return w + jax.lax.stop_gradient(fake_quant_int4(w, group) - w)
+    return w + jax.lax.stop_gradient(fake_quant_groupwise(w, group, bits) - w)
 
 
 def qat_finetune_batch(
@@ -59,9 +67,12 @@ def qat_finetune_batch(
     epochs: int = 300,
     lr: float = 3e-5,
     group: int = INT4_GROUP,
+    bits: int = 4,
     sin_impl: str = "fast",
 ):
-    """Fine-tune a batch of trained SIRENs against their int4 projection.
+    """Fine-tune a batch of trained SIRENs against their stored-grid
+    projection (``bits``-bit, ``group``-element fp16 scales — int4 by
+    default, any ``int<B>_g<N>`` grid via the matching bits/group).
 
     params: batched leaves ``[(W (N, in, out), b (N, out)), ...]`` — every
     network the same architecture (the sweep only checkpoints medium, so
@@ -86,7 +97,7 @@ def qat_finetune_batch(
         opt_state = tx.init(params)
 
         def loss_fn(p):
-            fq = [(_ste(w, group), b) for w, b in p]
+            fq = [(_ste(w, group, bits), b) for w, b in p]
             pred = jax.vmap(
                 lambda q: siren_apply_maybe_fm(q, omega, fm_mult, pos, sin=sin)
             )(fq)

@@ -18,11 +18,39 @@ compute precision is studied separately — benchmarks/r2/decode_ladder.json).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 SCHEMES = ("fp32", "bf16", "fp16", "int8", "int4")
 
 INT4_GROUP = 32  # reduction-axis elements sharing one fp16 scale
+
+
+def parse_scheme(scheme: str) -> tuple[str, int | None, int | None]:
+    """Parse a scheme name -> (kind, bits, group).
+
+    Beyond the named SCHEMES, group-wise integer schemes are parameterized
+    as ``int<B>_g<N>`` (B in 2..8 bits, one fp16 scale per N reduction-axis
+    elements per channel): ``int3_g64``, ``int8_g32``, … Plain ``int4`` is
+    ``int4_g32`` (INT4_GROUP); plain ``int8`` is the r3 per-channel scheme
+    (group=None). Returns bits/group None for the float schemes.
+    """
+    if scheme in ("fp32", "bf16", "fp16"):
+        return scheme, None, None
+    if scheme == "int8":
+        return "int", 8, None
+    if scheme == "int4":
+        return "int", 4, INT4_GROUP
+    m = re.fullmatch(r"int([2-8])_g(\d+)", scheme)
+    if m:
+        bits, group = int(m.group(1)), int(m.group(2))
+        if group < 1:
+            raise ValueError(f"group must be >= 1 in {scheme!r}")
+        return "int", bits, group
+    raise ValueError(
+        f"scheme must be one of {SCHEMES} or int<B>_g<N>, got {scheme!r}"
+    )
 
 
 def _to_bf16(x: np.ndarray) -> np.ndarray:
@@ -38,15 +66,17 @@ def _to_bf16(x: np.ndarray) -> np.ndarray:
     return np.where(np.isfinite(x), out, x)
 
 
-def _int4_groupwise(x: np.ndarray, axis: int | None, group: int):
-    """Symmetric 4-bit (-7..7) with one fp16 scale per ``group`` elements
-    of the reduction axis, per channel along ``axis`` (per-tensor groups
-    when None). Returns (payload, dequantized fp32).
+def _int_groupwise(x: np.ndarray, axis: int | None, group: int, bits: int):
+    """Symmetric ``bits``-bit (-qmax..qmax, qmax = 2^(bits-1)-1) with one
+    fp16 scale per ``group`` elements of the reduction axis, per channel
+    along ``axis`` (per-tensor groups when None). Returns (payload,
+    dequantized fp32).
 
     The scale grid is the STORED grid: scales round to fp16 before the
     dequant multiply, so this function is the exact decode a serializer
     would perform (and the exact grid ``ops/qat.py`` fine-tunes against).
     """
+    qmax = (1 << (bits - 1)) - 1
     if axis is None:
         cols = x.reshape(-1, 1)
     else:
@@ -56,20 +86,22 @@ def _int4_groupwise(x: np.ndarray, axis: int | None, group: int):
     pad = n_groups * group - rows
     grouped = np.pad(cols, ((0, pad), (0, 0))).reshape(n_groups, group, channels)
     amax = np.abs(grouped).max(axis=1)  # (n_groups, channels)
-    scale = (np.maximum(amax, 1e-12) / 7.0).astype(np.float16)
+    scale = (np.maximum(amax, 1e-12) / qmax).astype(np.float16)
     scale_f32 = scale.astype(np.float32)[:, None, :]
-    q = np.clip(np.rint(grouped / scale_f32), -7, 7).astype(np.int8)
+    q = np.clip(np.rint(grouped / scale_f32), -qmax, qmax).astype(np.int8)
     dq = (q.astype(np.float32) * scale_f32).reshape(-1, channels)[:rows]
     if axis is None:
         dq = dq.reshape(x.shape)
     else:
         moved_shape = np.moveaxis(x, axis, -1).shape
         dq = np.moveaxis(dq.reshape(moved_shape), -1, axis)
-    return {"data": q, "scale": scale, "group": group}, dq
+    return {"data": q, "scale": scale, "group": group, "bits": bits}, dq
 
 
-def int4_scale_count(shape: tuple[int, ...], axis: int | None, group: int) -> int:
-    """Number of group-wise scales an int4 payload stores for this shape."""
+def groupwise_scale_count(
+    shape: tuple[int, ...], axis: int | None, group: int
+) -> int:
+    """Number of group-wise scales an int<B>_g<N> payload stores."""
     size = int(np.prod(shape))
     if axis is None:
         return -(-size // group)
@@ -77,83 +109,83 @@ def int4_scale_count(shape: tuple[int, ...], axis: int | None, group: int) -> in
     return -(-(size // channels) // group) * channels
 
 
-def quantize_array(
-    x: np.ndarray, scheme: str, axis: int | None = None, group: int = INT4_GROUP
-):
+def quantize_array(x: np.ndarray, scheme: str, axis: int | None = None):
     """Quantize one array -> (stored payload dict, dequantized fp32 view).
 
-    ``axis`` selects the scale axis for int8 (per-output-channel for weight
-    matrices, per-tensor when None); for int4 it is the channel axis whose
-    reduction dim is cut into ``group``-element scale groups. The payload
-    dict is what a serializer would persist; ``param_bytes`` accounts its
-    size.
+    ``axis`` selects the scale axis for per-channel int8 (per-output-channel
+    for weight matrices, per-tensor when None); for the group-wise integer
+    schemes (``int4``, ``int<B>_g<N>``) it is the channel axis whose
+    reduction dim is cut into group-element scale groups. The payload dict
+    is what a serializer would persist; ``param_bytes`` accounts its size.
     """
+    kind, bits, group = parse_scheme(scheme)
     x = np.asarray(x, dtype=np.float32)
-    if scheme == "fp32":
+    if kind == "fp32":
         return {"data": x}, x
-    if scheme == "bf16":
+    if kind == "bf16":
         dq = _to_bf16(x)
         return {"data": dq}, dq  # stored as 2 bytes/elem
-    if scheme == "fp16":
+    if kind == "fp16":
         data = x.astype(np.float16)
         return {"data": data}, data.astype(np.float32)
-    if scheme == "int8":
-        if axis is None:
-            amax = np.max(np.abs(x))
-            scale = np.float32(max(amax, 1e-12) / 127.0)
-            q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
-            return {"data": q, "scale": scale}, q.astype(np.float32) * scale
-        amax = np.max(np.abs(x), axis=tuple(a for a in range(x.ndim) if a != axis))
-        scale = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
-        shape = [1] * x.ndim
-        shape[axis] = -1
-        scale_b = scale.reshape(shape)
-        q = np.clip(np.rint(x / scale_b), -127, 127).astype(np.int8)
-        return {"data": q, "scale": scale}, q.astype(np.float32) * scale_b
-    if scheme == "int4":
-        return _int4_groupwise(x, axis, group)
-    raise ValueError(f"scheme must be one of {SCHEMES}, got {scheme!r}")
+    if group is not None:
+        return _int_groupwise(x, axis, group, bits)
+    # per-channel (or per-tensor) int8 — the r3 scheme
+    if axis is None:
+        amax = np.max(np.abs(x))
+        scale = np.float32(max(amax, 1e-12) / 127.0)
+        q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+        return {"data": q, "scale": scale}, q.astype(np.float32) * scale
+    amax = np.max(np.abs(x), axis=tuple(a for a in range(x.ndim) if a != axis))
+    scale = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    scale_b = scale.reshape(shape)
+    q = np.clip(np.rint(x / scale_b), -127, 127).astype(np.int8)
+    return {"data": q, "scale": scale}, q.astype(np.float32) * scale_b
 
 
-def quantize_params(params, scheme: str, group: int = INT4_GROUP):
+def quantize_params(params, scheme: str):
     """Quantize a SIREN parameter list -> (payloads, dequantized params).
 
     Weights get per-output-channel int8 scales (last axis) or group-wise
-    int4 scales (``group`` input rows per fp16 scale, per output channel);
-    biases are per-tensor int8, and fp16 under int4 (a bias is one row —
-    4-bit rounding there costs quality for ~0.1% of the bytes). The
-    dequantized list is fp32 and drops into ``siren_apply`` unchanged.
+    fp16 scales (``int4`` / ``int<B>_g<N>``: group input rows per scale,
+    per output channel); biases are per-tensor int8 under plain int8, and
+    fp16 under every group-wise scheme (a bias is one row — coarse rounding
+    there costs quality for ~0.1% of the bytes). The dequantized list is
+    fp32 and drops into ``siren_apply`` unchanged.
     """
+    _, _, group = parse_scheme(scheme)
     payloads, dq_params = [], []
     for w, b in params:
-        w_payload, w_dq = quantize_array(w, scheme, axis=np.ndim(w) - 1, group=group)
+        w_payload, w_dq = quantize_array(w, scheme, axis=np.ndim(w) - 1)
         b_payload, b_dq = quantize_array(
-            b, "fp16" if scheme == "int4" else scheme, axis=None
+            b, "fp16" if group is not None else scheme, axis=None
         )
         payloads.append((w_payload, b_payload))
         dq_params.append((w_dq, b_dq))
     return payloads, dq_params
 
 
-_ELEM_BYTES = {"fp32": 4, "bf16": 2, "fp16": 2, "int8": 1}
+_ELEM_BYTES = {"fp32": 4, "bf16": 2, "fp16": 2}
 
 
-def param_bytes(params, scheme: str, group: int = INT4_GROUP) -> int:
-    """Stored size of a quantized SIREN (int8 includes its fp32 scales;
-    int4 packs two 4-bit weights per byte plus fp16 group scales and fp16
-    biases — the exact layout ``quantize_params`` produces)."""
-    if scheme not in SCHEMES:
-        raise ValueError(f"scheme must be one of {SCHEMES}, got {scheme!r}")
+def param_bytes(params, scheme: str) -> int:
+    """Stored size of a quantized SIREN — the exact layout
+    ``quantize_params`` produces: per-channel int8 includes its fp32
+    scales; a group-wise int<B> scheme packs B-bit weights densely
+    (ceil(size*B/8) bytes) plus fp16 group scales and fp16 biases."""
+    kind, bits, group = parse_scheme(scheme)
     total = 0
     for w, b in params:
         w, b = np.asarray(w), np.asarray(b)
-        if scheme == "int4":
-            total += -(-w.size // 2)  # two nibbles per byte
-            total += int4_scale_count(w.shape, np.ndim(w) - 1, group) * 2
+        if group is not None:
+            total += -(-(w.size * bits) // 8)  # dense bit-packing
+            total += groupwise_scale_count(w.shape, np.ndim(w) - 1, group) * 2
             total += b.size * 2  # fp16 biases
             continue
-        elem = _ELEM_BYTES[scheme]
+        elem = 1 if kind == "int" else _ELEM_BYTES[kind]
         total += w.size * elem + b.size * elem
-        if scheme == "int8":
+        if kind == "int":
             total += w.shape[-1] * 4 + 4  # per-channel scales + bias scale
     return total

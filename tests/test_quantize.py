@@ -78,17 +78,32 @@ def test_param_bytes_accounting():
     assert param_bytes(params, "fp16") == n * 2
     scales = sum(w.shape[-1] * 4 + 4 for w, _ in params)
     assert param_bytes(params, "int8") == n + scales
-    from nerf_attention_tpu.ops.quantize import INT4_GROUP, int4_scale_count
+    from nerf_attention_tpu.ops.quantize import INT4_GROUP, groupwise_scale_count
 
     int4 = sum(
         -(-w.size // 2)
-        + int4_scale_count(w.shape, w.ndim - 1, INT4_GROUP) * 2
+        + groupwise_scale_count(w.shape, w.ndim - 1, INT4_GROUP) * 2
         + b.size * 2
         for w, b in params
     )
     assert param_bytes(params, "int4") == int4
+    assert param_bytes(params, "int4_g32") == int4  # alias of plain int4
+    # Larger groups store fewer scales; fewer bits pack denser (a 128-row
+    # weight so the group sizes actually differ in scale count).
+    tall = [(np.zeros((128, 16), np.float32), np.zeros(16, np.float32))]
+    assert param_bytes(tall, "int4_g64") < param_bytes(tall, "int4_g32")
+    assert param_bytes(tall, "int3_g32") < param_bytes(tall, "int4_g32")
+    int3 = sum(
+        -(-(w.size * 3) // 8)
+        + groupwise_scale_count(w.shape, w.ndim - 1, 64) * 2
+        + b.size * 2
+        for w, b in tall
+    )
+    assert param_bytes(tall, "int3_g64") == int3
     with pytest.raises(ValueError, match="scheme"):
         param_bytes(params, "int3")
+    with pytest.raises(ValueError, match="scheme"):
+        param_bytes(params, "int9_g32")
 
 
 def test_int4_roundtrip_error_bounded():
@@ -104,6 +119,42 @@ def test_int4_roundtrip_error_bounded():
     scale = payload["scale"].astype(np.float32)
     per_elem = np.repeat(scale, 32, axis=0)[:50]
     assert (np.abs(dq - w) <= per_elem * 0.5 + 1e-9).all()
+
+
+def test_parameterized_groupwise_schemes():
+    """int<B>_g<N>: qmax honors the bit width, scales honor the group size,
+    and the round-trip error stays within half a scale step."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((130, 16)).astype(np.float32)
+    for scheme, qmax, group in (
+        ("int3_g64", 3, 64), ("int8_g32", 127, 32), ("int4_g128", 7, 128)
+    ):
+        payload, dq = quantize_array(w, scheme, axis=1)
+        assert payload["data"].dtype == np.int8
+        assert np.abs(payload["data"]).max() <= qmax
+        assert payload["scale"].shape == (-(-130 // group), 16)
+        scale = payload["scale"].astype(np.float32)
+        per_elem = np.repeat(scale, group, axis=0)[:130]
+        assert (np.abs(dq - w) <= per_elem * 0.5 + 1e-9).all()
+    # int4_g32 is literally the named int4 scheme.
+    _, dq_named = quantize_array(w, "int4", axis=1)
+    _, dq_param = quantize_array(w, "int4_g32", axis=1)
+    np.testing.assert_array_equal(dq_named, dq_param)
+
+
+def test_parameterized_fake_quant_matches_numpy_grid():
+    """The jax QAT projection must share the numpy storage grid for every
+    (bits, group), not just the int4 default."""
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.qat import fake_quant_groupwise
+
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal((70, 16)).astype(np.float32)
+    for scheme, bits, group in (("int3_g64", 3, 64), ("int8_g32", 8, 32)):
+        _, dq_np = quantize_array(w, scheme, axis=1)
+        dq_jax = np.asarray(fake_quant_groupwise(jnp.asarray(w), group, bits))
+        np.testing.assert_allclose(dq_jax, dq_np, atol=1e-7)
 
 
 def test_int4_fake_quant_matches_numpy_grid():
@@ -235,6 +286,33 @@ def test_quantization_experiment(tmp_path, figqa):
 
     data = json.loads((tmp_path / "out" / "quantization_results.json").read_text())
     assert len(data) == len(results)
+
+    # Parameterized frontier schemes run through the same driver: a custom
+    # scheme list with a non-default QAT grid prices denser than int4 and
+    # fine-tunes against its own grid.
+    frontier = run_quantization_experiment(
+        fits, kv_dir, tmp_path / "out2",
+        schemes=("fp32", "int4", "int3_g64", "int3_g64_qat"),
+        qat_epochs=50, verbose=False,
+    )
+    by = {s: [r for r in frontier if r["scheme"] == s] for s in
+          ("fp32", "int4", "int3_g64", "int3_g64_qat")}
+    assert all(len(v) == n_ckpts for v in by.values())
+    assert by["int3_g64"][0]["stored_bytes"] < by["int4"][0]["stored_bytes"]
+    assert (
+        by["int3_g64_qat"][0]["stored_bytes"] == by["int3_g64"][0]["stored_bytes"]
+    )
+    import numpy as _np
+    assert _np.mean(
+        [r["final_cosine_mean"] for r in by["int3_g64_qat"]]
+    ) >= _np.mean([r["final_cosine_mean"] for r in by["int3_g64"]]) - 0.005
+
+    with pytest.raises(ValueError, match="QAT"):
+        run_quantization_experiment(
+            fits, kv_dir, tmp_path / "out3", schemes=("fp16_qat",), verbose=False
+        )
+    plot_quantized_pareto(frontier, tmp_path / "figs2")
+    figqa(tmp_path / "figs2" / "quantized_pareto.png")
 
     plot_quantized_pareto(results, tmp_path / "figs")
     figqa(tmp_path / "figs" / "quantized_pareto.png")
