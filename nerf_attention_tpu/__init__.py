@@ -45,7 +45,12 @@ from nerf_attention_tpu.evaluate import (
 
 # Beyond-reference TPU additions (fused kernels + fast transcendentals).
 from nerf_attention_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
-from nerf_attention_tpu.ops.quantize import param_bytes, quantize_params
+from nerf_attention_tpu.ops.qat import qat_finetune_batch
+from nerf_attention_tpu.ops.quantize import (
+    param_bytes,
+    parse_scheme,
+    quantize_params,
+)
 from nerf_attention_tpu.ops.siren_pallas import (
     siren_decode_batch,
     siren_decode_fused,
@@ -89,6 +94,8 @@ __all__ = [
     "siren_apply_maybe_fm",
     "quantize_params",
     "param_bytes",
+    "parse_scheme",
+    "qat_finetune_batch",
 ]
 
 __version__ = "0.1.0"
