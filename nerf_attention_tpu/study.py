@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> None:
         help="shard the fit sweep over all local devices",
     )
     parser.add_argument(
+        "--schemes", type=str, default=None,
+        help="quantize stage: comma-separated storage schemes "
+        "(named, int<B>_g<N>, and _qat variants); default experiment set",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run the whole study on FM-SIRENs (per-unit first-layer "
         "frequencies, equal parameter count): the fit sweep trains FM nets, "
@@ -158,6 +163,11 @@ def main(argv: list[str] | None = None) -> None:
             *(
                 ["--fm_mult", str(args.fm_mult)]
                 if args.fm_mult is not None
+                else []
+            ),
+            *(
+                ["--schemes", args.schemes]
+                if args.schemes is not None
                 else []
             ),
         ]
