@@ -284,6 +284,72 @@ def test_experiments_cli_threads_values_mode(tmp_path, monkeypatch):
     assert calls["profile"]["fm_mult"] == 64.0
 
 
+def test_experiments_cli_infers_geometry_from_disk(tmp_path, monkeypatch):
+    """With no explicit --seq_len/--synth_layers the CLI must adopt the fit
+    sweep's recorded seq_len and the existing synthetic cache's layer/head
+    geometry — a bare run against a quickstart-scale study must not
+    regenerate the cache at 32x8x2048 and orphan the checkpoints."""
+    import sys
+
+    import nerf_attention_tpu.experiments.__main__ as cli
+    import nerf_attention_tpu.synthetic as synthetic
+
+    fits = tmp_path / "fits"
+    fits.mkdir()
+    (fits / "sweep_meta.json").write_text(json.dumps({"seq_len": 512}))
+    kv = tmp_path / "kv"
+    kv.mkdir()
+    (kv / "metadata.json").write_text(
+        json.dumps(
+            dict(model_name="synthetic", num_layers=4, num_kv_heads=4,
+                 seq_len=512, head_dim=128, actual_tokens=512)
+        )
+    )
+
+    calls = {}
+    monkeypatch.setattr(
+        cli, "run_full_layer_profile",
+        lambda **kw: calls.setdefault("profile", kw) or [],
+    )
+    monkeypatch.setattr(cli, "plot_full_layer_profile", lambda *a, **k: None)
+    monkeypatch.setattr(
+        synthetic, "ensure_synthetic_cache",
+        lambda kv_dir, **kw: calls.setdefault("ensure", kw),
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "layer_profile",
+            "--results_root", str(tmp_path / "root"),
+            "--kv_dir", str(kv), "--siren_dir", str(fits),
+        ],
+    )
+    cli.main()
+    assert calls["ensure"]["seq_len"] == 512       # from sweep_meta.json
+    assert calls["ensure"]["num_layers"] == 4      # from cache metadata
+    assert calls["ensure"]["num_kv_heads"] == 4
+    assert calls["profile"]["synth_seq_len"] == 512
+    assert calls["profile"]["synth_layers"] == 4
+    assert calls["profile"]["synth_heads"] == 4
+
+    # Explicit flags still win over what is on disk.
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "layer_profile",
+            "--results_root", str(tmp_path / "root"),
+            "--kv_dir", str(kv), "--siren_dir", str(fits),
+            "--seq_len", "2048", "--synth_layers", "32",
+        ],
+    )
+    calls.clear()
+    cli.main()
+    assert calls["ensure"]["seq_len"] == 2048
+    assert calls["ensure"]["num_layers"] == 32
+    assert calls["ensure"]["num_kv_heads"] == 8
+    assert calls["profile"]["synth_layers"] == 32
+
+
 def test_aggregate_decode_experiment(tmp_path, figqa):
     from nerf_attention_tpu.experiments.aggregate_decode import (
         run_aggregate_decode_experiment,
