@@ -46,6 +46,7 @@ from nerf_attention_tpu.evaluate import (
 # Beyond-reference TPU additions (fused kernels + fast transcendentals).
 from nerf_attention_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
 from nerf_attention_tpu.ops.qat import qat_finetune_batch
+from nerf_attention_tpu.io.quantized import save_quantized_siren_checkpoint
 from nerf_attention_tpu.ops.quantize import (
     param_bytes,
     parse_scheme,
@@ -93,6 +94,7 @@ __all__ = [
     "siren_apply_fm",
     "siren_apply_maybe_fm",
     "quantize_params",
+    "save_quantized_siren_checkpoint",
     "param_bytes",
     "parse_scheme",
     "qat_finetune_batch",

@@ -161,6 +161,7 @@ def _load_torch_siren_checkpoint(path: Path) -> dict:
         ),
         "metrics": payload.get("metrics", {}),
         "fm_mult": None,  # reference checkpoints are always shared-omega
+        "scheme": None,  # torch pickles are always fp32 (fit.py:121-137)
     }
 
 
@@ -173,9 +174,17 @@ def load_siren_checkpoint(path: Path) -> dict:
         return _load_torch_siren_checkpoint(path)
     with np.load(Path(path)) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
-        params = [
-            (data[f"w_{i}"], data[f"b_{i}"]) for i in range(meta["num_layers"])
-        ]
+        if "scheme" in meta:
+            # Bit-packed quantized checkpoint (io/quantized.py) — params
+            # come back dequantized fp32, so every consumer of this dict
+            # (evaluate, aggregate-decode, fused decode) works unchanged.
+            from nerf_attention_tpu.io.quantized import dequantize_arrays
+
+            params = dequantize_arrays(data, meta)
+        else:
+            params = [
+                (data[f"w_{i}"], data[f"b_{i}"]) for i in range(meta["num_layers"])
+            ]
         target_mean = data["target_mean"]
         target_std = data["target_std"]
     cfg = meta["config"]
@@ -193,6 +202,9 @@ def load_siren_checkpoint(path: Path) -> dict:
         "target_std": target_std,
         "metrics": meta["metrics"],
         "fm_mult": cfg.get("fm_mult"),
+        # Storage scheme for quantized checkpoints (io/quantized.py);
+        # None for plain fp32 payloads.
+        "scheme": meta.get("scheme"),
     }
 
 
