@@ -22,6 +22,9 @@ Stages (each skippable via --skip, resumable where the stage supports it):
   4. experiments — scaling ladder, multi-prompt, SVD, layer profile,
                  aggregate decode, quantized storage, final summary
                  (delegates to experiments/__main__ with --results_root)
+  5. compress  — opt-in (--compress SCHEME): ship the sweep as bit-packed
+                 quantized checkpoints under <root>/fits_<scheme>, QAT
+                 repair included for _qat schemes (compress.py)
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ import argparse
 import sys
 from pathlib import Path
 
-STAGES = ("extract", "fit", "evaluate", "experiments")
+STAGES = ("extract", "fit", "evaluate", "experiments", "compress")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -70,6 +73,13 @@ def main(argv: list[str] | None = None) -> None:
         "--schemes", type=str, default=None,
         help="quantize stage: comma-separated storage schemes "
         "(named, int<B>_g<N>, and _qat variants); default experiment set",
+    )
+    parser.add_argument(
+        "--compress", type=str, default=None, metavar="SCHEME",
+        help="after the experiments, ship the sweep as bit-packed quantized "
+        "checkpoints under <root>/fits_<scheme> (io/quantized.py); a _qat "
+        "suffix (e.g. int4_g128_qat, the measured 6x frontier point) runs "
+        "the straight-through repair first",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -175,6 +185,25 @@ def main(argv: list[str] | None = None) -> None:
             experiments_main()
         finally:
             sys.argv = saved_argv
+
+    if args.compress is not None and "compress" not in args.skip:
+        scheme = args.compress
+        qat = scheme.endswith("_qat")
+        if qat:
+            scheme = scheme[: -len("_qat")]
+        out_dir = root / f"fits_{args.compress}"
+        banner("compress", f"{args.compress} storage -> {out_dir}")
+        from nerf_attention_tpu.compress import main as compress_main
+
+        compress_main(
+            [
+                "--siren_dir", str(fits_dir),
+                "--out_dir", str(out_dir),
+                "--scheme", scheme,
+                "--kv_dir", str(kv_dir),
+                *(["--qat"] if qat else []),
+            ]
+        )
 
     print(f"\nStudy complete. Everything under {root}/")
 

@@ -30,20 +30,35 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
     )
     import sys
 
+    import nerf_attention_tpu.compress as compress_mod
+
     monkeypatch.setattr(
         exp_cli, "main",
         lambda: calls.append(("experiments", {"argv": list(sys.argv)})),
+    )
+    monkeypatch.setattr(
+        compress_mod, "main",
+        lambda argv: calls.append(("compress", {"argv": list(argv)})),
     )
 
     study.main(
         [
             "--root", str(tmp_path), "--values_mode", "hard",
             "--epochs", "7", "--seq_len", "1024", "--fm_mult", "64",
+            "--compress", "int4_g128_qat",
             "--skip", "evaluate",
         ]
     )
     stages = [name for name, _ in calls]
-    assert stages == ["extract", "analyze", "fit", "experiments"]
+    assert stages == ["extract", "analyze", "fit", "experiments", "compress"]
+    # A _qat compress scheme splits into the base grid + the --qat flag,
+    # and the stage targets the study's own fits/kv dirs.
+    comp_argv = calls[4][1]["argv"]
+    assert comp_argv[comp_argv.index("--scheme") + 1] == "int4_g128"
+    assert "--qat" in comp_argv
+    assert comp_argv[comp_argv.index("--out_dir") + 1].endswith(
+        "fits_int4_g128_qat"
+    )
     extract_kw = dict(calls[0][1])
     assert extract_kw["values_mode"] == "hard"
     assert extract_kw["seq_len"] == 1024
