@@ -134,18 +134,10 @@ def main(argv: list[str] | None = None) -> None:
             }
         )
 
-    # The quantized dir is a drop-in replacement for the fits dir, and
-    # evaluate/experiments read the sweep's sidecar records from siren_dir —
-    # carry them over (fit_results.json is evaluate's input contract).
-    import shutil
-
-    for sidecar in ("fit_results.json", "sweep_meta.json"):
-        src = siren_dir / sidecar
-        if src.exists():
-            shutil.copy2(src, out_dir / sidecar)
-
     if kv_dir is not None:
         _verify(loaded, out_dir, manifest)
+
+    _write_sidecars(siren_dir, out_dir, args, manifest)
 
     manifest["total_fp32_param_bytes"] = total_in
     manifest["total_stored_param_bytes"] = total_out
@@ -158,6 +150,62 @@ def main(argv: list[str] | None = None) -> None:
         f"{total_in / 1e6:.2f} MB -> {total_out / 1e6:.2f} MB "
         f"({total_in / total_out:.2f}x), manifest at "
         f"{out_dir / 'compress_manifest.json'}"
+    )
+
+
+def _write_sidecars(
+    siren_dir: Path, out_dir: Path, args, manifest: dict
+) -> None:
+    """Make the quantized dir an HONEST drop-in for the fits dir.
+
+    evaluate/experiments read ``fit_results.json`` from siren_dir, so it is
+    carried over — but filtered to the checkpoints that actually exist here,
+    with storage-dependent fields rewritten: ``siren_size_bytes`` and
+    ``compression_ratio`` price the quantized payload, and (when the cache
+    was available to verify against) the cosine/mse fields are the measured
+    RELOADED-checkpoint quality, not the fp32 sweep's. Schema is a superset
+    of the reference record (additive ``storage_scheme``/``qat`` keys)."""
+    import shutil
+
+    meta_src = siren_dir / "sweep_meta.json"
+    if meta_src.exists():
+        shutil.copy2(meta_src, out_dir / "sweep_meta.json")
+    results_src = siren_dir / "fit_results.json"
+    if not results_src.exists():
+        return
+    by_name = {rec["name"]: rec for rec in manifest["checkpoints"]}
+    records = []
+    for rec in json.loads(results_src.read_text()):
+        stem = rec["name"] + "_model"
+        stored = by_name.get(stem)
+        if stored is None:
+            continue  # only medium nets are checkpointed/stored
+        rec = dict(rec)
+        rec["storage_scheme"] = args.scheme
+        rec["qat"] = args.qat
+        rec["siren_size_bytes"] = stored["stored_param_bytes"]
+        rec["compression_ratio"] = rec["raw_size_bytes"] / stored[
+            "stored_param_bytes"
+        ]
+        for src_key, dst_key in (
+            ("verified_cosine_mean", "final_cosine_mean"),
+            ("verified_cosine_min", "final_cosine_min"),
+            ("verified_cosine_std", "final_cosine_std"),
+            ("verified_mse", "final_mse"),
+        ):
+            if src_key in stored:
+                rec[dst_key] = stored[src_key]
+        records.append(rec)
+    with open(out_dir / "fit_results.json", "w") as f:
+        json.dump(records, f, indent=2)
+    print(
+        f"Wrote {len(records)} fit_results.json records re-priced at "
+        f"{args.scheme} storage"
+        + (
+            " with verified reloaded quality"
+            if "verified_cosine_mean" in manifest
+            else " (quality fields are the fp32 sweep's — no --kv_dir to verify)"
+        )
     )
 
 
@@ -224,14 +272,14 @@ def _verify(loaded: list[dict], out_dir: Path, manifest: dict) -> None:
             ckpt["target_std"],
             fm_mult=ckpt.get("fm_mult"),
         )
-        cos = float(
-            np.mean(
-                np.asarray(
-                    cosine_similarity(jnp.asarray(pred), jnp.asarray(original))
-                )
-            )
+        per_pos = np.asarray(
+            cosine_similarity(jnp.asarray(pred), jnp.asarray(original))
         )
+        cos = float(per_pos.mean())
         rec["verified_cosine_mean"] = cos
+        rec["verified_cosine_min"] = float(per_pos.min())
+        rec["verified_cosine_std"] = float(per_pos.std(ddof=1))
+        rec["verified_mse"] = float(np.mean((pred - original) ** 2))
         cos_all.append(cos)
     manifest["verified_cosine_mean"] = float(np.mean(cos_all))
     print(

@@ -150,6 +150,19 @@ def test_compress_cli_end_to_end(tmp_path):
              "kv_type": "key"},
         )
 
+    # Sweep sidecar: two stored records + one non-checkpointed config the
+    # quantized dir must NOT claim to contain.
+    sweep_records = [
+        {"name": f"L0_H{h}_key_t48", "layer": 0, "head": h, "kv_type": "key",
+         "config_name": "t48", "final_cosine_mean": 0.99, "final_mse": 0.01,
+         "final_cosine_min": 0.9, "final_cosine_std": 0.01,
+         "raw_size_bytes": seq_len * d_head * 2, "siren_size_bytes": 99999,
+         "compression_ratio": 0.01, "seq_len": seq_len, "d_head": d_head}
+        for h in range(heads)
+    ] + [{"name": "L0_H0_key_tiny", "config_name": "tiny",
+          "raw_size_bytes": 1, "siren_size_bytes": 1}]
+    (fits / "fit_results.json").write_text(json.dumps(sweep_records))
+
     out = tmp_path / "fits_q"
     compress_main([
         "--siren_dir", str(fits), "--out_dir", str(out),
@@ -167,6 +180,24 @@ def test_compress_cli_end_to_end(tmp_path):
     ckpt = load_siren_checkpoint(files[0])
     assert ckpt["scheme"] == "int4_g32"
     assert ckpt["params"][0][0].dtype == np.float32
+    # The carried-over fit_results.json is filtered to stored checkpoints
+    # and re-priced: sizes/ratios reflect the quantized payload, quality
+    # fields the verified reloaded reconstruction (not the fp32 sweep's).
+    sidecar = json.loads((out / "fit_results.json").read_text())
+    assert {r["name"] for r in sidecar} == {
+        f"L0_H{h}_key_t48" for h in range(heads)
+    }
+    for rec, man in zip(
+        sorted(sidecar, key=lambda r: r["name"]),
+        sorted(manifest["checkpoints"], key=lambda r: r["name"]),
+    ):
+        assert rec["storage_scheme"] == "int4_g32" and rec["qat"] is True
+        assert rec["siren_size_bytes"] == man["stored_param_bytes"]
+        assert rec["final_cosine_mean"] == man["verified_cosine_mean"]
+        assert rec["final_mse"] == man["verified_mse"]
+        assert rec["compression_ratio"] == pytest.approx(
+            rec["raw_size_bytes"] / man["stored_param_bytes"]
+        )
 
 
 def test_qat_requires_groupwise_int_scheme(tmp_path):
