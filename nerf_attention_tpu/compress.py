@@ -211,44 +211,20 @@ def _write_sidecars(
 
 def _qat_repair(loaded: list[dict], scheme: str, epochs: int) -> None:
     """Batched straight-through fine-tune of every checkpoint's master
-    weights against the stored grid (the `experiments/quantized_params.py`
-    QAT pass, applied in place so the saved payload is the tuned one)."""
-    from nerf_attention_tpu.ops.qat import qat_finetune_batch
-    from nerf_attention_tpu.ops.quantize import parse_scheme
+    weights against the stored grid (shared with the quantization
+    experiment: `ops/qat.py:qat_finetune_checkpoints`, which also
+    validates the batch is forward-homogeneous), applied in place so the
+    saved payload is the tuned one."""
+    from nerf_attention_tpu.ops.qat import qat_finetune_checkpoints
 
-    _, bits, group = parse_scheme(scheme)
-    first = loaded[0]["ckpt"]
-    n_layers = len(first["params"])
-    params = [
-        (
-            np.stack([e["ckpt"]["params"][i][0] for e in loaded]),
-            np.stack([e["ckpt"]["params"][i][1] for e in loaded]),
-        )
-        for i in range(n_layers)
-    ]
-    targets_norm = np.stack(
-        [
-            (e["original"] - np.asarray(e["ckpt"]["target_mean"]))
-            / np.asarray(e["ckpt"]["target_std"])
-            for e in loaded
-        ]
-    ).astype(np.float32)
     print(
         f"QAT: fine-tuning {len(loaded)} checkpoints x {epochs} epochs "
-        f"against the int{bits}_g{group} grid (one batched program)"
+        f"against the {scheme} grid (one batched program)"
     )
-    tuned, _ = qat_finetune_batch(
-        params,
-        targets_norm,
-        omega=first["config"].omega_0,
-        fm_mult=first.get("fm_mult"),
-        epochs=epochs,
-        group=group,
-        bits=bits,
-    )
-    tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
-    for idx, entry in enumerate(loaded):
-        entry["ckpt"]["params"] = [(w[idx], b[idx]) for w, b in tuned]
+    for entry, per_net in zip(
+        loaded, qat_finetune_checkpoints(loaded, scheme, epochs)
+    ):
+        entry["ckpt"]["params"] = per_net
 
 
 def _verify(loaded: list[dict], out_dir: Path, manifest: dict) -> None:

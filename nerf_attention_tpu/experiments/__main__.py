@@ -51,6 +51,7 @@ def _synth_cache_geometry(kv_dir: Path) -> dict | None:
             "seq_len": int(meta["seq_len"]),
             "num_layers": int(meta["num_layers"]),
             "num_kv_heads": int(meta["num_kv_heads"]),
+            "head_dim": int(meta["head_dim"]),
         }
     except (OSError, KeyError, ValueError, json.JSONDecodeError):
         return None
@@ -172,6 +173,9 @@ def main() -> None:
         args.synth_layers = 32
     else:
         cache_layers, cache_heads = args.synth_layers, 8
+    # head_dim is part of the same_geometry check too: an API-generated
+    # non-128 cache must not be regenerated at the default width.
+    cache_head_dim = geom["head_dim"] if geom else 128
 
     root = Path(args.results_root)
     figures_dir = root / "figures"
@@ -224,6 +228,7 @@ def main() -> None:
             seq_len=args.seq_len,
             num_layers=cache_layers,
             num_kv_heads=cache_heads,
+            head_dim=cache_head_dim,
         )
 
     kv_dir_ok = (Path(args.kv_dir) / "metadata.json").exists()

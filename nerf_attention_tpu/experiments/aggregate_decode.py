@@ -58,9 +58,15 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
 
     Only checkpoints whose architecture matches the requested geometry are
     used — a sweep fit on a different head_dim would otherwise make the
-    stack ragged.
+    stack ragged. Returns ``(stacked, source, fm_mult)``: an FM sweep's
+    checkpoints must be DECODED as FM networks (the kernels take the
+    per-unit multipliers), so the stack is built from one forward family —
+    the first loaded checkpoint's fm_mult — and mismatched files are
+    skipped with a note in the source label.
     """
     loaded = []
+    fm_mult = None
+    skipped_fm = 0
     if siren_dir is not None:
         for f in checkpoint.checkpoint_glob(Path(siren_dir), "*medium_model"):
             ckpt = checkpoint.load_siren_checkpoint(f)
@@ -69,6 +75,11 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
                 or ckpt["config"].hidden_features != MEDIUM.hidden_features
                 or ckpt["config"].hidden_layers != MEDIUM.hidden_layers
             ):
+                continue
+            if not loaded:
+                fm_mult = ckpt.get("fm_mult")
+            elif ckpt.get("fm_mult") != fm_mult:
+                skipped_fm += 1
                 continue
             loaded.append([(jnp.asarray(w), jnp.asarray(b)) for w, b in ckpt["params"]])
     nets = list(loaded)
@@ -88,12 +99,16 @@ def _gather_networks(siren_dir: Path | None, n_networks: int, head_dim: int):
             f"{n_trained} trained checkpoints + "
             f"{n_networks - n_trained} random-init"
         )
-    return _stack_params(nets[:n_networks]), source
+    if fm_mult is not None:
+        source += f", FM-SIREN fm_mult={fm_mult:g}"
+    if skipped_fm:
+        source += f" ({skipped_fm} skipped: different fm_mult)"
+    return _stack_params(nets[:n_networks]), source, fm_mult
 
 
 def _time_batched_decode_ms(
     stacked, seq_len: int, reps: int | None = None, compute_dtype=jnp.float32,
-    sin_impl: str = "exact",
+    sin_impl: str = "exact", fm_mult: float | None = None,
 ) -> float:
     """Dependent-loop timing of the batched fused decode (ms per full pass)."""
     from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
@@ -110,14 +125,17 @@ def _time_batched_decode_ms(
     def forward(p):
         if use_fused:
             return siren_decode_batch(
-                p, omega, seq_len, compute_dtype=compute_dtype, sin_impl=sin_impl
+                p, omega, seq_len, compute_dtype=compute_dtype,
+                sin_impl=sin_impl, fm_mult=fm_mult,
             )
         # Non-fused fallback honors the variant options too (mislabeled
         # exact-fp32 re-measurements otherwise land in the bf16/fast columns).
+        from nerf_attention_tpu.models.siren import siren_apply_maybe_fm
+
         def one(q):
             qc = [(w.astype(compute_dtype), b.astype(compute_dtype)) for w, b in q]
-            return siren_apply(
-                qc, omega, pos.astype(compute_dtype), sin=sin
+            return siren_apply_maybe_fm(
+                qc, omega, fm_mult, pos.astype(compute_dtype), sin=sin
             ).astype(jnp.float32)
 
         return jax.vmap(one)(p)
@@ -213,13 +231,16 @@ def run_aggregate_decode_experiment(
 
     n_networks = num_layers * num_kv_heads * 2  # K and V per (layer, head)
     quality = None
+    fm_mult = None
     if train:
         stacked, source, quality = _train_full_stack(
             kv_dir, seq_len, head_dim, num_layers, num_kv_heads, epochs,
             verbose,
         )
     else:
-        stacked, source = _gather_networks(siren_dir, n_networks, head_dim)
+        stacked, source, fm_mult = _gather_networks(
+            siren_dir, n_networks, head_dim
+        )
     num_params = sum(int(w.size) + int(b.size) for w, b in stacked)
 
     if verbose:
@@ -229,11 +250,13 @@ def run_aggregate_decode_experiment(
         )
 
     t0 = time.perf_counter()
-    siren_ms = _time_batched_decode_ms(stacked, seq_len)
+    siren_ms = _time_batched_decode_ms(stacked, seq_len, fm_mult=fm_mult)
     siren_bf16_ms = _time_batched_decode_ms(
-        stacked, seq_len, compute_dtype=jnp.bfloat16
+        stacked, seq_len, compute_dtype=jnp.bfloat16, fm_mult=fm_mult
     )
-    siren_fastsin_ms = _time_batched_decode_ms(stacked, seq_len, sin_impl="fast")
+    siren_fastsin_ms = _time_batched_decode_ms(
+        stacked, seq_len, sin_impl="fast", fm_mult=fm_mult
+    )
     if verbose:
         print(f"  batched fused decode: fp32 {siren_ms:.3f} ms / "
               f"bf16 {siren_bf16_ms:.3f} ms / "
@@ -254,6 +277,7 @@ def run_aggregate_decode_experiment(
         "seq_len": seq_len,
         "head_dim": head_dim,
         "weights_source": source,
+        "fm_mult": fm_mult,
         "total_siren_params": num_params,
         "cache_bytes_bf16": cache_bytes,
         "siren_aggregate_ms": siren_ms,

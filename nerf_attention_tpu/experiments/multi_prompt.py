@@ -49,16 +49,17 @@ def _extract_prompt_cache(
     synth_heads: int = 8,
     synth_dim: int = 128,
     values_mode: str = "reference",
+    signal_scales: tuple[float, float] | None = None,
 ) -> KVMetadata:
     if backend == "synthetic":
         # Same-recipe synthetic and real-model caches reuse; other-recipe
         # synthetic regenerates (ensure_synthetic_cache policy). Hard mode
-        # additionally derives the value-signal mix from the prompt's own
-        # statistics (content-dependence; module docstring).
+        # derives the value-signal mix from the prompt's own statistics
+        # (content-dependence; module docstring) — computed ONCE by the
+        # caller so the cache recipe and the results record can never
+        # desynchronize.
         carrier_scale, noise_scale = (
-            prompt_signal_profile(prompt_text)
-            if values_mode == "hard"
-            else (1.0, 1.0)
+            signal_scales if signal_scales is not None else (1.0, 1.0)
         )
         return ensure_synthetic_cache(
             kv_dir,
@@ -120,10 +121,15 @@ def run_multi_prompt_experiment(
 
         prompt_dir = base_dir / prompt_name
         kv_dir = prompt_dir / "kv_cache"
+        signal_scales = (
+            prompt_signal_profile(prompt_text)
+            if backend == "synthetic" and values_mode == "hard"
+            else None
+        )
         metadata = _extract_prompt_cache(
             prompt_idx, prompt_name, prompt_text, kv_dir, model_name,
             backend, seq_len, hf_state, synth_layers=synth_layers,
-            values_mode=values_mode,
+            values_mode=values_mode, signal_scales=signal_scales,
         )
 
         analysis = analyze_kv_cache(kv_dir, prompt_dir / "analysis", verbose=verbose)
@@ -162,13 +168,8 @@ def run_multi_prompt_experiment(
         prompt_results[prompt_name] = {
             "actual_tokens": metadata.actual_tokens,
             **(
-                dict(
-                    zip(
-                        ("carrier_scale", "noise_scale"),
-                        prompt_signal_profile(prompt_text),
-                    )
-                )
-                if backend == "synthetic" and values_mode == "hard"
+                dict(zip(("carrier_scale", "noise_scale"), signal_scales))
+                if signal_scales is not None
                 else {}
             ),
             "autocorr_keys": analysis.avg_autocorr_keys,

@@ -192,57 +192,26 @@ def _qat_rows(
     """One batched straight-through fine-tune over every checkpoint against
     ``base_scheme``'s stored grid, then re-price the tuned weights as plain
     ``base_scheme`` payloads."""
-    from nerf_attention_tpu.ops.qat import qat_finetune_batch
-    from nerf_attention_tpu.ops.quantize import parse_scheme
+    from nerf_attention_tpu.ops.qat import qat_finetune_checkpoints
 
-    kind, bits, group = parse_scheme(base_scheme)
-    if kind != "int" or group is None:
-        raise ValueError(
-            f"QAT needs a group-wise integer base scheme, got {base_scheme!r}"
-        )
     if not loaded:
         return []
-    first = loaded[0]["ckpt"]
-    omega = first["config"].omega_0
-    fm_mult = first.get("fm_mult")
-    # All checkpoints are medium-config fits on the same cache geometry, so
-    # their leaves stack; a mixed directory would be a caller error.
-    n_layers = len(first["params"])
-    params = [
-        (
-            np.stack([c["ckpt"]["params"][i][0] for c in loaded]),
-            np.stack([c["ckpt"]["params"][i][1] for c in loaded]),
-        )
-        for i in range(n_layers)
-    ]
-    targets_norm = np.stack(
-        [
-            (c["original"] - np.asarray(c["ckpt"]["target_mean"]))
-            / np.asarray(c["ckpt"]["target_std"])
-            for c in loaded
-        ]
-    ).astype(np.float32)
-
     if verbose:
         print(
             f"  {base_scheme} QAT: fine-tuning {len(loaded)} checkpoints x "
             f"{qat_epochs} epochs (one batched program)"
         )
-    tuned, _ = qat_finetune_batch(
-        params, targets_norm, omega=omega, fm_mult=fm_mult, epochs=qat_epochs,
-        group=group, bits=bits,
-    )
-    tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
+    per_checkpoint = qat_finetune_checkpoints(loaded, base_scheme, qat_epochs)
 
     rows = []
-    for idx, c in enumerate(loaded):
+    for c, per_net in zip(loaded, per_checkpoint):
         ckpt, metrics = c["ckpt"], c["ckpt"]["metrics"]
         seq_len, d_head = c["original"].shape
-        per_net = [(w[idx], b[idx]) for w, b in tuned]
         _, dq_params = quantize_params(per_net, base_scheme)
         pred = _reconstruct(
-            dq_params, omega, seq_len,
-            ckpt["target_mean"], ckpt["target_std"], fm_mult=fm_mult,
+            dq_params, ckpt["config"].omega_0, seq_len,
+            ckpt["target_mean"], ckpt["target_std"],
+            fm_mult=ckpt.get("fm_mult"),
         )
         cos = np.asarray(
             cosine_similarity(jnp.asarray(pred), jnp.asarray(c["original"]))

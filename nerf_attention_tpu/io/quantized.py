@@ -35,9 +35,6 @@ from nerf_attention_tpu.ops.quantize import (
 )
 from nerf_attention_tpu.types import SIRENConfig
 
-QUANTIZED_SUFFIX = "_model.npz"  # same stem convention as plain checkpoints
-
-
 def pack_codes(q: np.ndarray, bits: int) -> np.ndarray:
     """Pack symmetric int codes (-qmax..qmax) into a dense little-endian
     ``bits``-bit stream (uint8). ceil(size*bits/8) bytes — the accounting

@@ -4,7 +4,7 @@ Beyond-reference extension (round 4, extending the r3 storage study): plain
 post-training int4 rounds a trained network onto a coarse grid and eats the
 quality the sweep earned. A short quantization-aware fine-tune repairs most
 of that: the forward pass sees the EXACT fp16-scaled int4 grid the
-serializer would store (`ops/quantize.py:_int4_groupwise`), gradients flow
+serializer would store (`ops/quantize.py:_int_groupwise`), gradients flow
 through the rounding with the straight-through estimator, and the batched
 trainer shape (jit + vmap over checkpoints, `lax.scan` over epochs —
 `parallel/sweep.py`) makes a few hundred epochs over every saved medium
@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from nerf_attention_tpu.models.siren import positions, siren_apply_maybe_fm
@@ -42,7 +43,16 @@ def fake_quant_groupwise(
         w, [(0, 0)] * len(batch) + [(0, pad), (0, 0)]
     ).reshape(*batch, n_groups, group, channels)
     amax = jnp.abs(grouped).max(axis=-2, keepdims=True)
-    scale = (jnp.maximum(amax, 1e-12) / qmax).astype(jnp.float16).astype(jnp.float32)
+    # Same fp16-smallest-normal floor as quantize._int_groupwise: a dead
+    # group's scale must not round to fp16 zero (NaN in the divide would
+    # poison the whole batched fine-tune through the shared mean loss).
+    scale = (
+        jnp.maximum(
+            (jnp.maximum(amax, 1e-12) / qmax).astype(jnp.float16),
+            jnp.asarray(np.finfo(np.float16).tiny, jnp.float16),
+        )
+        .astype(jnp.float32)
+    )
     q = jnp.clip(jnp.round(grouped / scale), -qmax, qmax)
     dq = (q * scale).reshape(*batch, n_groups * group, channels)
     return dq[..., :rows, :]
@@ -56,6 +66,69 @@ def fake_quant_int4(w: jax.Array, group: int = INT4_GROUP) -> jax.Array:
 def _ste(w: jax.Array, group: int, bits: int) -> jax.Array:
     """Straight-through estimator: forward = fake-quantized, grad = identity."""
     return w + jax.lax.stop_gradient(fake_quant_groupwise(w, group, bits) - w)
+
+
+def qat_finetune_checkpoints(
+    loaded: list[dict], base_scheme: str, epochs: int
+) -> list[list[tuple]]:
+    """Stack loaded checkpoints, fine-tune against ``base_scheme``'s stored
+    grid in ONE batched program, and return per-checkpoint fp32 params.
+
+    ``loaded`` entries are ``{"ckpt": load_siren_checkpoint(..) dict,
+    "original": (S, D) target tensor}`` — the shape both callers
+    (`experiments/quantized_params.py` and `compress.py`) hold. The batch
+    MUST be architecturally homogeneous: leaves stack only for equal
+    shapes, and — silently worse — a mixed fm_mult/omega batch would
+    fine-tune every net after the first with the WRONG forward, so both
+    are validated here rather than trusted from ``loaded[0]``.
+    """
+    from nerf_attention_tpu.ops.quantize import parse_scheme
+
+    kind, bits, group = parse_scheme(base_scheme)
+    if kind != "int" or group is None:
+        raise ValueError(
+            f"QAT needs a group-wise integer base scheme, got {base_scheme!r}"
+        )
+    if not loaded:
+        return []
+    omegas = {float(e["ckpt"]["config"].omega_0) for e in loaded}
+    fm_mults = {e["ckpt"].get("fm_mult") for e in loaded}
+    if len(omegas) > 1 or len(fm_mults) > 1:
+        raise ValueError(
+            "QAT batch mixes forwards: omega_0 "
+            f"{sorted(omegas)}, fm_mult {sorted(fm_mults, key=str)} — "
+            "fine-tuning them under one forward would corrupt every net "
+            "after the first; split the directory by network family"
+        )
+    first = loaded[0]["ckpt"]
+    n_layers = len(first["params"])
+    params = [
+        (
+            np.stack([e["ckpt"]["params"][i][0] for e in loaded]),
+            np.stack([e["ckpt"]["params"][i][1] for e in loaded]),
+        )
+        for i in range(n_layers)
+    ]
+    targets_norm = np.stack(
+        [
+            (e["original"] - np.asarray(e["ckpt"]["target_mean"]))
+            / np.asarray(e["ckpt"]["target_std"])
+            for e in loaded
+        ]
+    ).astype(np.float32)
+    tuned, _ = qat_finetune_batch(
+        params,
+        targets_norm,
+        omega=omegas.pop(),
+        fm_mult=fm_mults.pop(),
+        epochs=epochs,
+        group=group,
+        bits=bits,
+    )
+    tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
+    return [
+        [(w[idx], b[idx]) for w, b in tuned] for idx in range(len(loaded))
+    ]
 
 
 def qat_finetune_batch(

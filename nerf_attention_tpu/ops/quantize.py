@@ -86,7 +86,14 @@ def _int_groupwise(x: np.ndarray, axis: int | None, group: int, bits: int):
     pad = n_groups * group - rows
     grouped = np.pad(cols, ((0, pad), (0, 0))).reshape(n_groups, group, channels)
     amax = np.abs(grouped).max(axis=1)  # (n_groups, channels)
-    scale = (np.maximum(amax, 1e-12) / qmax).astype(np.float16)
+    # Floor at fp16's smallest normal: an all-zero/dead group would
+    # otherwise round its scale to fp16 zero and the dequant divide below
+    # turns into NaN (and NaN-poisons the jax QAT twin, ops/qat.py, which
+    # must clamp identically to share the stored grid bit-for-bit).
+    scale = np.maximum(
+        (np.maximum(amax, 1e-12) / qmax).astype(np.float16),
+        np.finfo(np.float16).tiny,
+    )
     scale_f32 = scale.astype(np.float32)[:, None, :]
     q = np.clip(np.rint(grouped / scale_f32), -qmax, qmax).astype(np.int8)
     dq = (q.astype(np.float32) * scale_f32).reshape(-1, channels)[:rows]

@@ -302,7 +302,7 @@ def test_experiments_cli_infers_geometry_from_disk(tmp_path, monkeypatch):
     (kv / "metadata.json").write_text(
         json.dumps(
             dict(model_name="synthetic", num_layers=4, num_kv_heads=4,
-                 seq_len=512, head_dim=128, actual_tokens=512)
+                 seq_len=512, head_dim=64, actual_tokens=512)
         )
     )
 
@@ -328,6 +328,7 @@ def test_experiments_cli_infers_geometry_from_disk(tmp_path, monkeypatch):
     assert calls["ensure"]["seq_len"] == 512       # from sweep_meta.json
     assert calls["ensure"]["num_layers"] == 4      # from cache metadata
     assert calls["ensure"]["num_kv_heads"] == 4
+    assert calls["ensure"]["head_dim"] == 64       # non-128 must survive too
     assert calls["profile"]["synth_seq_len"] == 512
     assert calls["profile"]["synth_layers"] == 4
     assert calls["profile"]["synth_heads"] == 4
@@ -370,6 +371,46 @@ def test_aggregate_decode_experiment(tmp_path, figqa):
     assert results["ratio_vs_measured"] > 0
     assert (tmp_path / "aggregate_decode.json").exists()
     figqa(tmp_path / "aggregate_decode.png")
+
+
+def test_aggregate_decode_decodes_fm_checkpoints_as_fm(tmp_path):
+    """FM checkpoints must be timed with the FM forward (the multipliers
+    are part of the serving network), recorded in the artifact, and not
+    silently mixed with shared-omega files."""
+    import jax
+
+    from nerf_attention_tpu.experiments.aggregate_decode import (
+        run_aggregate_decode_experiment,
+    )
+    from nerf_attention_tpu.io.checkpoint import save_siren_checkpoint
+    from nerf_attention_tpu.models.siren import init_siren
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+    medium = CONFIGS_BY_NAME["medium"]
+    fits = tmp_path / "fits"
+    for i, fm in enumerate([64.0, 64.0, None]):  # one mismatched file
+        params = [
+            (np.asarray(w), np.asarray(b))
+            for w, b in init_siren(jax.random.PRNGKey(i), medium, 8)
+        ]
+        save_siren_checkpoint(
+            fits / f"L0_H{i}_key_medium_model.npz", params, medium, 8,
+            np.zeros(8, np.float32), np.ones(8, np.float32),
+            {"name": f"L0_H{i}_key_medium"}, fm_mult=fm,
+        )
+
+    results = run_aggregate_decode_experiment(
+        output_dir=tmp_path,
+        siren_dir=fits,
+        seq_len=64,
+        head_dim=8,
+        num_layers=1,
+        num_kv_heads=1,
+        verbose=False,
+    )
+    assert results["fm_mult"] == 64.0
+    assert "fm_mult=64" in results["weights_source"]
+    assert "1 skipped" in results["weights_source"]
 
 
 def test_aggregate_decode_trained_stack(tmp_path):

@@ -157,6 +157,55 @@ def test_parameterized_fake_quant_matches_numpy_grid():
         np.testing.assert_allclose(dq_jax, dq_np, atol=1e-7)
 
 
+def test_dead_groups_quantize_finite():
+    """An all-zero (or sub-fp16-subnormal) weight group must not round its
+    fp16 scale to zero: the numpy dequant would divide by zero and the jax
+    QAT twin would NaN-poison the whole batched fine-tune through the
+    shared mean loss. Both grids clamp at fp16's smallest normal — and
+    stay bit-identical to each other."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.qat import fake_quant_groupwise
+
+    w = np.zeros((64, 8), np.float32)
+    w[0, 0] = 1e-9  # one sub-representable straggler in a dead group
+    w[40, 3] = 2.0  # one live group for contrast
+    for scheme, bits, group in (("int4", 4, 32), ("int8_g32", 8, 32)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any divide/invalid warns -> fail
+            payload, dq_np = quantize_array(w, scheme, axis=1)
+        assert np.isfinite(dq_np).all()
+        assert np.isfinite(payload["scale"].astype(np.float32)).all()
+        assert (payload["scale"].astype(np.float32) > 0).all()
+        dq_jax = np.asarray(fake_quant_groupwise(jnp.asarray(w), group, bits))
+        assert np.isfinite(dq_jax).all()
+        np.testing.assert_array_equal(dq_jax, dq_np)
+
+
+def test_qat_checkpoint_batch_rejects_mixed_forwards():
+    """qat_finetune_checkpoints must refuse a batch that mixes FM and
+    shared-omega nets — stacking them would fine-tune every net after the
+    first with the wrong forward, silently."""
+    from nerf_attention_tpu.ops.qat import qat_finetune_checkpoints
+
+    def entry(fm):
+        return {
+            "ckpt": {
+                "params": _params(),
+                "config": CONFIG,
+                "fm_mult": fm,
+                "target_mean": np.zeros((1, 8), np.float32),
+                "target_std": np.ones((1, 8), np.float32),
+            },
+            "original": np.zeros((4, 8), np.float32),
+        }
+
+    with pytest.raises(ValueError, match="mixes forwards"):
+        qat_finetune_checkpoints([entry(None), entry(64.0)], "int4", 1)
+
+
 def test_int4_fake_quant_matches_numpy_grid():
     """The jax QAT projection and the numpy storage path must share one
     grid — otherwise QAT optimizes against a grid that is never stored."""

@@ -94,7 +94,12 @@ def main() -> None:
         fm_mult = None
         for p in list(parts[2:]):
             if p.startswith("fm"):
-                fm_mult = float(p[2:])
+                try:
+                    fm_mult = float(p[2:])
+                except ValueError:
+                    raise SystemExit(
+                        f"bad variant {v!r}: fm token {p!r} is not fm<number>"
+                    )
                 parts.remove(p)
         if not 2 <= len(parts) <= 4:
             raise SystemExit(
