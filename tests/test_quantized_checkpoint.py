@@ -200,6 +200,39 @@ def test_compress_cli_end_to_end(tmp_path):
         )
 
 
+def test_compress_preserves_fm_through_qat(tmp_path):
+    """The FM deployment point (FINDINGS: FM ships at int8-g32) must keep
+    fm_mult through the QAT repair and the stored file — an FM net decoded
+    shared-omega is a different network."""
+    from nerf_attention_tpu.compress import main as compress_main
+    from nerf_attention_tpu.io.checkpoint import save_siren_checkpoint
+    from nerf_attention_tpu.io import kvstore
+
+    rng = np.random.default_rng(1)
+    seq_len, d_head = 64, 8
+    kv_dir = tmp_path / "kv"
+    keys = rng.standard_normal((1, seq_len, d_head)).astype(np.float32)
+    values = rng.standard_normal((1, seq_len, d_head)).astype(np.float32)
+    kvstore.save_layer(kv_dir, 0, keys, values)
+
+    fits = tmp_path / "fits"
+    save_siren_checkpoint(
+        fits / "L0_H0_key_t48_model.npz", _params(), CONFIG, d_head,
+        np.zeros(d_head, np.float32), np.ones(d_head, np.float32),
+        {"name": "L0_H0_key_t48", "layer": 0, "head": 0, "kv_type": "key"},
+        fm_mult=16.0,
+    )
+    out = tmp_path / "fits_q"
+    compress_main([
+        "--siren_dir", str(fits), "--out_dir", str(out),
+        "--scheme", "int8_g32", "--qat", "--qat_epochs", "3",
+        "--kv_dir", str(kv_dir),
+    ])
+    ckpt = load_siren_checkpoint(out / "L0_H0_key_t48_model.npz")
+    assert ckpt["fm_mult"] == 16.0
+    assert ckpt["scheme"] == "int8_g32"
+
+
 def test_qat_requires_groupwise_int_scheme(tmp_path):
     from nerf_attention_tpu.compress import main as compress_main
 
