@@ -90,7 +90,7 @@ def main() -> None:
         "experiment",
         choices=[
             "scaling", "multi_prompt", "svd", "layer_profile",
-            "aggregate_decode", "quantize", "all",
+            "aggregate_decode", "quantize", "incremental", "all",
         ],
     )
     parser.add_argument("--model", type=str, default="unsloth/Llama-3.1-8B")
@@ -149,6 +149,20 @@ def main() -> None:
     parser.add_argument(
         "--qat_epochs", type=int, default=300,
         help="quantize: straight-through fine-tune length for _qat schemes",
+    )
+    parser.add_argument(
+        "--incr_final_len", type=int, default=None,
+        help="incremental: cache length the growth runs TO (default "
+        "2x the start length); synthetic backend generates its own cache "
+        "at this length under <results_root>/incremental/kv_cache",
+    )
+    parser.add_argument(
+        "--incr_chunk", type=int, default=256,
+        help="incremental: tokens appended per growth step",
+    )
+    parser.add_argument(
+        "--incr_warm_epochs", type=int, default=1000,
+        help="incremental: warm fine-tune budget per growth step",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -325,6 +339,46 @@ def main() -> None:
                 schemes=schemes, qat_epochs=args.qat_epochs,
             )
             plot_quantized_pareto(quant, figures_dir)
+
+    if args.experiment == "incremental":
+        # Deliberately NOT part of 'all': each growth step compiles two
+        # fresh-length programs, which is minutes of compile on the first
+        # run — an opt-in study, like the reference treats its heavy extras.
+        print("\n" + "=" * 60)
+        print("EXPERIMENT 7: Incremental Refit of a Growing Cache")
+        print("=" * 60)
+        from nerf_attention_tpu.experiments.incremental import (
+            run_incremental_experiment,
+        )
+
+        start_len = args.seq_len
+        final_len = args.incr_final_len or 2 * start_len
+        incr_root = root / "incremental"
+        if args.backend == "synthetic":
+            from nerf_attention_tpu.synthetic import ensure_synthetic_cache
+
+            incr_kv = incr_root / "kv_cache"
+            ensure_synthetic_cache(
+                incr_kv,
+                values_mode=args.values_mode,
+                seq_len=final_len,
+                num_layers=cache_layers,
+                num_kv_heads=cache_heads,
+                head_dim=cache_head_dim,
+            )
+        else:
+            # A real extraction at the final length is the growing cache;
+            # prefixes of it are its earlier states.
+            incr_kv = Path(args.kv_dir)
+        run_incremental_experiment(
+            incr_kv,
+            incr_root,
+            start_len=start_len,
+            chunk=args.incr_chunk,
+            epochs_full=args.epochs,
+            warm_epochs=args.incr_warm_epochs,
+            fm_mult=args.fm_mult,
+        )
 
     if args.experiment == "all":
         print("\n" + "=" * 60)
