@@ -19,3 +19,7 @@ from nerf_attention_tpu.experiments.quantized_params import (
     plot_quantized_pareto,
     run_quantization_experiment,
 )
+from nerf_attention_tpu.experiments.incremental import (
+    plot_incremental,
+    run_incremental_experiment,
+)
