@@ -74,6 +74,59 @@ def test_incremental_growth_protocol(tmp_path, grown_cache, figqa):
     figqa(out / "incremental_refit.png")
 
 
+def test_incremental_cli_wiring(tmp_path, monkeypatch):
+    """The subcommand generates its own cache at the final length under
+    <root>/incremental and threads start/final/chunk/warm/fm through."""
+    import sys
+
+    import nerf_attention_tpu.experiments.__main__ as cli
+    import nerf_attention_tpu.synthetic as synthetic
+
+    calls = {}
+    monkeypatch.setattr(
+        synthetic, "ensure_synthetic_cache",
+        lambda kv_dir, **kw: calls.setdefault("ensure", (kv_dir, kw)),
+    )
+    monkeypatch.setattr(
+        cli, "run_incremental_experiment",
+        lambda kv, out, **kw: calls.setdefault("run", (kv, out, kw)),
+        raising=False,
+    )
+    # The CLI imports the runner inside the branch; patch the module it
+    # imports from instead.
+    import nerf_attention_tpu.experiments.incremental as incr_mod
+
+    monkeypatch.setattr(
+        incr_mod, "run_incremental_experiment",
+        lambda kv, out, **kw: calls.setdefault("run", (kv, out, kw)),
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "incremental",
+            "--results_root", str(tmp_path),
+            "--kv_dir", str(tmp_path / "kv"),
+            "--siren_dir", str(tmp_path / "nofits"),
+            "--seq_len", "512", "--incr_chunk", "128",
+            "--incr_warm_epochs", "300", "--epochs", "900",
+            "--fm_mult", "64", "--values_mode", "hard",
+            "--synth_layers", "2",
+        ],
+    )
+    cli.main()
+    kv_dir, ensure_kw = calls["ensure"]
+    assert kv_dir == tmp_path / "incremental" / "kv_cache"
+    assert ensure_kw["seq_len"] == 1024  # default final = 2x start
+    assert ensure_kw["values_mode"] == "hard"
+    kv, out, run_kw = calls["run"]
+    assert kv == tmp_path / "incremental" / "kv_cache"
+    assert out == tmp_path / "incremental"
+    assert run_kw == dict(
+        start_len=512, chunk=128, epochs_full=900, warm_epochs=300,
+        fm_mult=64.0,
+    )
+
+
 def test_incremental_rejects_short_cache(tmp_path, grown_cache):
     with pytest.raises(ValueError, match="must exceed"):
         run_incremental_experiment(
