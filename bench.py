@@ -74,6 +74,24 @@ def main() -> None:
 
     _enable_cache()
 
+    # Ride out a transient tunnel outage: the axon backend occasionally
+    # returns UNAVAILABLE for a few minutes (observed r4). jax re-attempts
+    # init whenever no backend is registered yet, so a bounded retry loop
+    # turns "bench ran during a blip" into a delayed-but-valid measurement.
+    # Hung (rather than fail-fast) init attempts are bounded by the
+    # driver's own process timeout; nothing in-process can preempt them.
+    deadline = time.monotonic() + 900.0
+    while True:
+        try:
+            jax.devices()
+            break
+        except Exception as err:  # noqa: BLE001 - backend init error types vary
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise
+            log(f"backend init failed ({err}); retrying for {remaining:.0f}s more")
+            time.sleep(min(30.0, remaining))
+
     from nerf_attention_tpu.fit import fit_kv_cache
     from nerf_attention_tpu.parallel.mesh import fit_mesh
     from nerf_attention_tpu.synthetic import generate_synthetic_kv
