@@ -63,6 +63,12 @@ def main() -> None:
     parser.add_argument("--warm_epochs", type=int, default=1000)
     parser.add_argument("--qat_epochs", type=int, default=300)
     parser.add_argument("--tolerance", type=float, default=0.005)
+    parser.add_argument(
+        "--fm_mult", type=float, default=None,
+        help="run the whole protocol on FM-SIRENs (per-unit first-layer "
+        "frequency multipliers up to this value); pair with the FM "
+        "frontier's storage point, e.g. --scheme int8_g32",
+    )
     args = parser.parse_args()
 
     from nerf_attention_tpu.utils.compile_cache import enable as enable_cache
@@ -78,7 +84,6 @@ def main() -> None:
         _init_batch,
     )
     from nerf_attention_tpu.io import kvstore
-    from nerf_attention_tpu.ops.qat import fake_quant_groupwise
     from nerf_attention_tpu.ops.quantize import parse_scheme, quantize_params
     from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
@@ -109,7 +114,7 @@ def main() -> None:
     master, _ = _fit_with_trajectory(
         jnp.asarray(full[:, : args.start_len]),
         _init_batch(n, medium, full.shape[-1], seed=0),
-        config=medium, epochs=args.epochs_full, lr=1e-4, fm_mult=None,
+        config=medium, epochs=args.epochs_full, lr=1e-4, fm_mult=args.fm_mult,
     )
 
     def dequantize_batched(params):
@@ -141,8 +146,8 @@ def main() -> None:
         ]
     )
     qat_master, _ = qat_finetune_batch(
-        master, jnp.asarray(tn), omega=medium.omega_0, epochs=args.qat_epochs,
-        group=group, bits=bits,
+        master, jnp.asarray(tn), omega=medium.omega_0, fm_mult=args.fm_mult,
+        epochs=args.qat_epochs, group=group, bits=bits,
     )
 
     starts = {
@@ -154,13 +159,14 @@ def main() -> None:
     grown = jnp.asarray(full[:, :grown_len])
     _, scratch_traj = _fit_with_trajectory(
         grown, _init_batch(n, medium, full.shape[-1], seed=1),
-        config=medium, epochs=args.epochs_full, lr=1e-4, fm_mult=None,
+        config=medium, epochs=args.epochs_full, lr=1e-4, fm_mult=args.fm_mult,
     )
     scratch_final = float(np.asarray(scratch_traj)[:, -1].mean())
     target_q = scratch_final - args.tolerance
 
     results = {
         "scheme": args.scheme,
+        "fm_mult": args.fm_mult,
         "start_len": args.start_len,
         "grown_len": grown_len,
         "n_tensors": n,
@@ -173,7 +179,7 @@ def main() -> None:
     for name, params in starts.items():
         _, traj = _fit_with_trajectory(
             grown, params, config=medium, epochs=args.warm_epochs, lr=1e-4,
-            fm_mult=None,
+            fm_mult=args.fm_mult,
         )
         mean = np.asarray(traj).mean(axis=0)
         hits = np.nonzero(mean >= target_q)[0]
