@@ -74,23 +74,37 @@ def main() -> None:
 
     _enable_cache()
 
-    # Ride out a transient tunnel outage: the axon backend occasionally
-    # returns UNAVAILABLE for a few minutes (observed r4). jax re-attempts
-    # init whenever no backend is registered yet, so a bounded retry loop
-    # turns "bench ran during a blip" into a delayed-but-valid measurement.
-    # Hung (rather than fail-fast) init attempts are bounded by the
-    # driver's own process timeout; nothing in-process can preempt them.
-    deadline = time.monotonic() + 900.0
-    while True:
+    # Ride out a transient tunnel outage: the axon backend occasionally goes
+    # UNAVAILABLE for tens of minutes (observed r4), and a down tunnel makes
+    # backend init HANG rather than fail fast — an in-process retry would
+    # never regain control. So probe in a killable subprocess (inheriting
+    # this process's env, hence the same platform pin) and only init the
+    # real backend here once a probe has succeeded. When the backend is up
+    # the probe costs a few seconds (init only — the expensive tunnel warmup
+    # happens at first dispatch, which the warm-up matmul below pays anyway).
+    import subprocess
+
+    deadline = time.monotonic() + (0.0 if args.dryrun else 900.0)
+    attempt = 0
+    while not args.dryrun:
+        attempt += 1
         try:
-            jax.devices()
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(240.0, max(deadline - time.monotonic(), 30.0)),
+                capture_output=True,
+            )
+            if probe.returncode == 0:
+                break
+            reason = (probe.stderr or b"").decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            reason = "init hang (killed probe)"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log(f"backend probe never succeeded; proceeding anyway ({reason})")
             break
-        except Exception as err:  # noqa: BLE001 - backend init error types vary
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                raise
-            log(f"backend init failed ({err}); retrying for {remaining:.0f}s more")
-            time.sleep(min(30.0, remaining))
+        log(f"backend probe {attempt} failed ({reason}); {remaining:.0f}s left")
+        time.sleep(min(30.0, remaining))
 
     from nerf_attention_tpu.fit import fit_kv_cache
     from nerf_attention_tpu.parallel.mesh import fit_mesh
