@@ -23,3 +23,7 @@ from nerf_attention_tpu.experiments.incremental import (
     plot_incremental,
     run_incremental_experiment,
 )
+from nerf_attention_tpu.experiments.attention_error import (
+    plot_attention_error,
+    run_attention_error_experiment,
+)

@@ -90,7 +90,8 @@ def main() -> None:
         "experiment",
         choices=[
             "scaling", "multi_prompt", "svd", "layer_profile",
-            "aggregate_decode", "quantize", "incremental", "all",
+            "aggregate_decode", "quantize", "incremental",
+            "attention_error", "all",
         ],
     )
     parser.add_argument("--model", type=str, default="unsloth/Llama-3.1-8B")
@@ -165,6 +166,14 @@ def main() -> None:
         help="incremental: warm fine-tune budget per growth step",
     )
     parser.add_argument(
+        "--attn_layers", type=int, nargs="+", default=[0, 8, 17, 31],
+        help="attention_error: layer indices to probe (clipped to the cache)",
+    )
+    parser.add_argument(
+        "--attn_queries", type=int, default=256,
+        help="attention_error: causal query positions evaluated per head",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run scaling + layer_profile on FM-SIRENs (per-unit first-layer "
         "frequency multipliers up to this value, equal parameter count); "
@@ -228,7 +237,7 @@ def main() -> None:
         plot_multi_prompt(prompts, figures_dir)
 
     needs_kv_dir = args.experiment in (
-        "svd", "layer_profile", "quantize", "all"
+        "svd", "layer_profile", "quantize", "attention_error", "all"
     ) or (args.experiment == "aggregate_decode" and args.train_weights)
     if args.backend == "synthetic" and needs_kv_dir:
         # Hermetic SVD/layer-profile/quantize inputs. ensure_synthetic_cache
@@ -339,6 +348,34 @@ def main() -> None:
                 schemes=schemes, qat_epochs=args.qat_epochs,
             )
             plot_quantized_pareto(quant, figures_dir)
+
+    if args.experiment == "attention_error":
+        # Opt-in like 'incremental': it re-trains 2*heads fits per probed
+        # layer (the sweep's medium path), minutes of device time on a
+        # first run — not part of the reference's 'all' chain.
+        print("\n" + "=" * 60)
+        print("EXPERIMENT 8: Attention-Output End-Metric")
+        print("=" * 60)
+        if not kv_dir_ok:
+            print(
+                f"  Warning: {args.kv_dir} has no extracted cache, "
+                "skipping attention end-metric"
+            )
+        else:
+            from nerf_attention_tpu.experiments.attention_error import (
+                plot_attention_error,
+                run_attention_error_experiment,
+            )
+
+            attn = run_attention_error_experiment(
+                Path(args.kv_dir),
+                root / "attention_error",
+                layers=tuple(args.attn_layers),
+                epochs=args.epochs,
+                n_queries=args.attn_queries,
+                fm_mult=args.fm_mult,
+            )
+            plot_attention_error(attn, figures_dir)
 
     if args.experiment == "incremental":
         # Deliberately NOT part of 'all': each growth step compiles two
