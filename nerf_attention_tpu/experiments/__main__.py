@@ -174,6 +174,12 @@ def main() -> None:
         help="attention_error: causal query positions evaluated per head",
     )
     parser.add_argument(
+        "--attn_gains", type=float, nargs="+", default=[1.0, 8.0, 32.0, 64.0],
+        help="attention_error: matched-query logit gains (the sharpness "
+        "sweep; on the hard cache 1..64 spans ~8.1 -> ~1 nats of weight "
+        "entropy)",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run scaling + layer_profile on FM-SIRENs (per-unit first-layer "
         "frequency multipliers up to this value, equal parameter count); "
@@ -373,6 +379,7 @@ def main() -> None:
                 layers=tuple(args.attn_layers),
                 epochs=args.epochs,
                 n_queries=args.attn_queries,
+                gains=tuple(args.attn_gains),
                 fm_mult=args.fm_mult,
             )
             plot_attention_error(attn, figures_dir)

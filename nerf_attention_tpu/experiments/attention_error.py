@@ -8,35 +8,33 @@ does: ``O = softmax(q K^T / sqrt(d)) V``. This experiment measures what a
 given K/V reconstruction quality actually costs at the attention OUTPUT,
 which the reference never quantifies.
 
-Why the proxy can mislead, in both directions:
+The variable that controls the answer is attention SHARPNESS. The output
+is a convex combination of value rows; with broad weights the combination
+averages hundreds of rows, the i.i.d. (unfittable) part of the value
+error cancels, and the output barely moves — while peaked attention reads
+few rows, nothing cancels, and both key error (weight redistribution) and
+value error (the read row itself) land at full strength. So the protocol
+sweeps sharpness explicitly and reports the exact weights' entropy next
+to every number:
 
-  * Key error passes through a softmax. Under PEAKED attention (retrieval
-    heads: the query matches one key far better than the rest) a small
-    logit perturbation can flip the argmax and swap in the wrong value
-    row — error amplification. Under DIFFUSE attention the weights barely
-    order the keys and logit noise washes out in the average — error
-    suppression.
-  * Value error enters linearly: the output is a convex combination of
-    value rows, so row errors average with the attention weights and the
-    same V CosSim costs far less after mixing.
+  * matched queries at gain g — q = g * (k_t + noise * sigma_k * eps):
+    the query matches its own position's key (retrieval-like) and ``g``
+    models the trained logit scale. On the hard-mode cache g = 1..64
+    spans mean weight entropy ~8.1 -> ~1 nats (measured; the carrier
+    makes same-phase keys near-twins, so small gains cannot concentrate
+    the softmax over 4096 rows no matter how well the query matches).
+  * diffuse — q ~ N(0, sigma_k^2 I): content-free queries, the
+    full-averaging floor.
 
-Protocol. For each probed layer: fit one medium SIREN per K and V head
-tensor (the sweep's exact training path, batched in one program), rebuild
-K-hat / V-hat, then compare exact attention against three reconstruction
-variants — (K-hat, V-hat) full swap, (K-hat, V) key error only,
-(K, V-hat) value error only — for the last ``n_queries`` positions under
-full causal masking, in two query regimes:
-
-  * sharp   — q_t = k_t + 0.25 * sigma_k * eps: the query matches its own
-              position's key (induction/retrieval-like, near-one-hot
-              weights; the self-logit ||k||^2/sqrt(d) dominates)
-  * diffuse — q ~ N(0, sigma_k^2 I): content-free queries, broad weights
-              (the averaging regime)
-
-Reported per (layer, regime, variant): output CosSim (mean/min over
-queries), attention-weight total variation, top-1 agreement; plus the
-exact weights' entropy (regime sharpness) and the fit-time K/V CosSim
-proxies, so the JSON holds the proxy -> end-metric mapping directly.
+For each probed layer: fit one medium SIREN per K and V head tensor (the
+sweep's exact training path, batched in one program), rebuild K-hat /
+V-hat, then compare exact attention against three reconstruction variants
+— (K-hat, V-hat) full swap, (K-hat, V) key error only, (K, V-hat) value
+error only — for the last ``n_queries`` positions under full causal
+masking. Reported per (layer, regime, variant): output CosSim (mean/min
+over queries), attention-weight total variation, top-1 agreement; plus
+the fit-time K/V CosSim proxies, so the JSON holds the proxy ->
+end-metric mapping directly.
 
 Outputs ``attention_error_results.json`` under the experiment dir and
 ``attention_error.png`` under the figures dir.
@@ -66,6 +64,7 @@ from nerf_attention_tpu.parallel.sweep import (
 from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
 VARIANTS = ("full", "keys_only", "values_only")
+DEFAULT_GAINS = (1.0, 8.0, 32.0, 64.0)
 
 
 def attention_outputs(
@@ -111,32 +110,42 @@ def _variant_metrics(q, k, v, k_hat, v_hat, allowed):
     return out
 
 
-def _layer_metrics(keys, values, keys_hat, values_hat, q_sharp, q_diffuse, allowed):
-    """vmapped-over-heads metrics for both query regimes (jit target)."""
+def _layer_metrics(
+    keys, values, keys_hat, values_hat, q_matched, q_diffuse, allowed, gains
+):
+    """vmapped-over-heads metrics for every sharpness regime (jit target).
+
+    ``gains`` is a static tuple: each entry scales the matched queries,
+    modelling the trained logit scale (softmax temperature).
+    """
     per_head = jax.vmap(_variant_metrics, in_axes=(0, 0, 0, 0, 0, None))
-    return {
-        "sharp": per_head(q_sharp, keys, values, keys_hat, values_hat, allowed),
-        "diffuse": per_head(q_diffuse, keys, values, keys_hat, values_hat, allowed),
+    out = {
+        "diffuse": per_head(q_diffuse, keys, values, keys_hat, values_hat, allowed)
     }
+    for g in gains:
+        out[f"matched_g{g:g}"] = per_head(
+            g * q_matched, keys, values, keys_hat, values_hat, allowed
+        )
+    return out
 
 
 def make_queries(
-    keys: np.ndarray, n_queries: int, seed: int, sharp_noise: float = 0.25
+    keys: np.ndarray, n_queries: int, seed: int, noise: float = 0.25
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (sharp, diffuse) query batches for (H, S, D) keys.
+    """Deterministic (matched, diffuse) query batches for (H, S, D) keys.
 
-    sharp: the query at position t is that position's own key plus
-    ``sharp_noise * sigma_k`` Gaussian jitter — self-logit dominates.
-    diffuse: isotropic N(0, sigma_k^2) — content-free averaging.
+    matched: the query at position t is that position's own key plus
+    ``noise * sigma_k`` Gaussian jitter — unscaled; the caller applies the
+    logit gain. diffuse: isotropic N(0, sigma_k^2) — content-free.
     """
     h, s, d = keys.shape
     t = min(n_queries, s)
     sigma = keys.std(axis=(1, 2), keepdims=True)  # (H, 1, 1)
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     eps = np.asarray(jax.random.normal(k1, (h, t, d), jnp.float32))
-    sharp = keys[:, s - t :] + sharp_noise * sigma * eps
+    matched = keys[:, s - t :] + noise * sigma * eps
     diffuse = sigma * np.asarray(jax.random.normal(k2, (h, t, d), jnp.float32))
-    return sharp.astype(np.float32), diffuse.astype(np.float32)
+    return matched.astype(np.float32), diffuse.astype(np.float32)
 
 
 def causal_allowed(seq_len: int, n_queries: int) -> np.ndarray:
@@ -176,6 +185,7 @@ def run_attention_error_experiment(
     epochs: int = 2000,
     lr: float = 1e-4,
     n_queries: int = 256,
+    gains: tuple[float, ...] = DEFAULT_GAINS,
     seed: int = 0,
     fm_mult: float | None = None,
     impl: str = "auto",
@@ -189,14 +199,16 @@ def run_attention_error_experiment(
     seq_len = metadata.seq_len
     probe = sorted({min(l, metadata.num_layers - 1) for l in layers})
     n_heads = min(metadata.num_kv_heads, max_heads)
+    gains = tuple(float(g) for g in gains)
     allowed = jnp.asarray(causal_allowed(seq_len, n_queries))
-    metrics_fn = jax.jit(_layer_metrics)
+    metrics_fn = jax.jit(_layer_metrics, static_argnums=(7,))
+    sharpest = f"matched_g{max(gains):g}"
 
     if verbose:
         print(
             f"Attention end-metric: layers {probe}, {n_heads} heads, "
             f"{config.name} x {epochs} epochs, {min(n_queries, seq_len)} "
-            f"causal queries @ S={seq_len}"
+            f"causal queries @ S={seq_len}, gains {[f'{g:g}' for g in gains]}"
             + (f", FM-SIREN M={fm_mult:g}" if fm_mult else "")
         )
 
@@ -216,13 +228,13 @@ def run_attention_error_experiment(
         k_idx, v_idx = np.arange(n_heads), np.arange(n_heads, 2 * n_heads)
         keys_hat = _reconstruct(fit, k_idx, seq_len, config, fm_mult)
         values_hat = _reconstruct(fit, v_idx, seq_len, config, fm_mult)
-        q_sharp, q_diffuse = make_queries(keys, n_queries, seed)
+        q_matched, q_diffuse = make_queries(keys, n_queries, seed)
         raw = jax.tree.map(
             lambda x: np.asarray(x),
             metrics_fn(
                 jnp.asarray(keys), jnp.asarray(values),
                 jnp.asarray(keys_hat), jnp.asarray(values_hat),
-                jnp.asarray(q_sharp), jnp.asarray(q_diffuse), allowed,
+                jnp.asarray(q_matched), jnp.asarray(q_diffuse), allowed, gains,
             ),
         )
         key_cos = float(fit.cosine_mean[k_idx].mean())
@@ -234,8 +246,7 @@ def run_attention_error_experiment(
             "value_fit_cosine": value_cos,
             "regimes": {},
         }
-        for regime in ("sharp", "diffuse"):
-            r = raw[regime]
+        for regime, r in raw.items():
             row["regimes"][regime] = {
                 "exact_entropy_nats": float(r["exact_entropy_nats"].mean()),
                 "variants": {
@@ -251,15 +262,16 @@ def run_attention_error_experiment(
             }
         layer_rows.append(row)
         if verbose:
-            sharp = row["regimes"]["sharp"]["variants"]
-            diffuse = row["regimes"]["diffuse"]["variants"]
+            peak = row["regimes"][sharpest]
+            broad = row["regimes"]["diffuse"]
             print(
                 f"  L{layer_idx}: fit K {key_cos:.4f} / V {value_cos:.4f} | "
-                f"output sharp {sharp['full']['output_cosine_mean']:.4f} "
-                f"(K-only {sharp['keys_only']['output_cosine_mean']:.4f}, "
-                f"top1 {sharp['keys_only']['top1_agreement']:.3f}) | "
-                f"diffuse {diffuse['full']['output_cosine_mean']:.4f} "
-                f"(K-only {diffuse['keys_only']['output_cosine_mean']:.4f})"
+                f"output @{peak['exact_entropy_nats']:.1f} nats "
+                f"{peak['variants']['full']['output_cosine_mean']:.4f} "
+                f"(K-only {peak['variants']['keys_only']['output_cosine_mean']:.4f}, "
+                f"top1 {peak['variants']['keys_only']['top1_agreement']:.3f}) | "
+                f"diffuse @{broad['exact_entropy_nats']:.1f} nats "
+                f"{broad['variants']['full']['output_cosine_mean']:.4f}"
             )
 
     results = {
@@ -269,7 +281,8 @@ def run_attention_error_experiment(
         "seq_len": seq_len,
         "n_queries": int(min(n_queries, seq_len)),
         "seed": seed,
-        "sharp_noise": 0.25,
+        "matched_noise": 0.25,
+        "gains": list(gains),
         "layers": layer_rows,
         "wall_seconds": time.perf_counter() - t0,
     }
@@ -284,62 +297,83 @@ def run_attention_error_experiment(
 
 
 def plot_attention_error(results: dict, figures_dir: Path) -> None:
-    """Output fidelity by layer/variant/regime + proxy-vs-end scatter."""
+    """Output fidelity vs attention entropy + per-layer proxy comparison."""
     figures_dir = Path(figures_dir)
     figures_dir.mkdir(parents=True, exist_ok=True)
     rows = results["layers"]
     if not rows:
         return
-    xs = [r["layer"] for r in rows]
+    regimes = list(rows[0]["regimes"])
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5))
 
-    styles = {"sharp": "-", "diffuse": "--"}
+    # Panel 1: layer-averaged output CosSim against the regime's measured
+    # entropy — the sharpness axis is the story.
     colors = {"full": "#9b59b6", "keys_only": "#3498db", "values_only": "#e67e22"}
-    for regime, ls in styles.items():
-        for variant, color in colors.items():
-            ax1.plot(
-                xs,
-                [
-                    r["regimes"][regime]["variants"][variant]["output_cosine_mean"]
-                    for r in rows
-                ],
-                ls, marker="o", color=color,
-                label=f"{variant} ({regime})",
+    ent = {
+        reg: float(np.mean([r["regimes"][reg]["exact_entropy_nats"] for r in rows]))
+        for reg in regimes
+    }
+    order = sorted(regimes, key=lambda reg: ent[reg])
+    for variant, color in colors.items():
+        ys = [
+            float(
+                np.mean(
+                    [
+                        r["regimes"][reg]["variants"][variant]["output_cosine_mean"]
+                        for r in rows
+                    ]
+                )
             )
-    ax1.plot(
-        xs, [r["value_fit_cosine"] for r in rows],
-        ":", marker="v", color="#7f8c8d", label="V fit CosSim (proxy)",
-    )
+            for reg in order
+        ]
+        ax1.plot([ent[r] for r in order], ys, "o-", color=color, label=variant)
+    for reg in order:
+        marker = "D" if reg == "diffuse" else None
+        if marker:
+            ax1.axvline(ent[reg], color="#95a5a6", alpha=0.3, linestyle=":")
     ax1.set(
-        xlabel="Layer", ylabel="Attention-output CosSim vs exact",
-        title="What K/V reconstruction costs at the output",
+        xlabel="Exact attention entropy (nats)",
+        ylabel="Attention-output CosSim vs exact",
+        title="Output error vs attention sharpness (layer mean)",
     )
-    ax1.legend(fontsize=8)
+    ax1.invert_xaxis()  # sharper attention to the right
+    ax1.legend(fontsize=9)
     ax1.grid(True, alpha=0.3)
 
-    for regime, ls in styles.items():
-        ax2.plot(
-            xs,
-            [
-                r["regimes"][regime]["variants"]["keys_only"]["top1_agreement"]
-                for r in rows
-            ],
-            ls, marker="s", color="#3498db", label=f"top-1 agreement ({regime})",
-        )
-        ax2.plot(
-            xs,
-            [
-                r["regimes"][regime]["variants"]["keys_only"]["attn_tv_mean"]
-                for r in rows
-            ],
-            ls, marker="^", color="#e74c3c", label=f"weight TV ({regime})",
-        )
-    ax2.set(
-        xlabel="Layer", ylabel="Attention-weight disturbance (K-only)",
-        title="Key error at the softmax",
+    # Panel 2: per-layer proxy (V fit) vs end-metric at the sharpest gain
+    # and at the diffuse floor.
+    sharpest = order[0]
+    xs = [r["layer"] for r in rows]
+    width = 0.27
+    xpos = np.arange(len(xs))
+    ax2.bar(
+        xpos - width, [r["value_fit_cosine"] for r in rows], width,
+        color="#7f8c8d", label="V fit CosSim (proxy)",
     )
-    ax2.legend(fontsize=8)
-    ax2.grid(True, alpha=0.3)
+    ax2.bar(
+        xpos,
+        [
+            r["regimes"][sharpest]["variants"]["full"]["output_cosine_mean"]
+            for r in rows
+        ],
+        width, color="#9b59b6", label=f"output ({sharpest})",
+    )
+    ax2.bar(
+        xpos + width,
+        [
+            r["regimes"]["diffuse"]["variants"]["full"]["output_cosine_mean"]
+            for r in rows
+        ],
+        width, color="#2ecc71", label="output (diffuse)",
+    )
+    ax2.set_xticks(xpos, [str(x) for x in xs])
+    ax2.set(
+        xlabel="Layer", ylabel="CosSim",
+        title="Proxy vs end-metric by layer",
+    )
+    ax2.set_ylim(0, 1.05)
+    ax2.legend(fontsize=9)
+    ax2.grid(True, alpha=0.3, axis="y")
     plt.tight_layout()
     plt.savefig(
         figures_dir / "attention_error.png", dpi=150, bbox_inches="tight"

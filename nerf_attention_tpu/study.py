@@ -22,7 +22,9 @@ Stages (each skippable via --skip, resumable where the stage supports it):
   4. experiments — scaling ladder, multi-prompt, SVD, layer profile,
                  aggregate decode, quantized storage, final summary
                  (delegates to experiments/__main__ with --results_root)
-  5. compress  — opt-in (--compress SCHEME): ship the sweep as bit-packed
+  5. attention — opt-in (--attention): price the fitted reconstruction at
+                 the attention OUTPUT (experiments/attention_error.py)
+  6. compress  — opt-in (--compress SCHEME): ship the sweep as bit-packed
                  quantized checkpoints under <root>/fits_<scheme>, QAT
                  repair included for _qat schemes (compress.py)
 """
@@ -33,7 +35,7 @@ import argparse
 import sys
 from pathlib import Path
 
-STAGES = ("extract", "fit", "evaluate", "experiments", "compress")
+STAGES = ("extract", "fit", "evaluate", "experiments", "attention", "compress")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -80,6 +82,12 @@ def main(argv: list[str] | None = None) -> None:
         "checkpoints under <root>/fits_<scheme> (io/quantized.py); a _qat "
         "suffix (e.g. int4_g128_qat, the measured 6x frontier point) runs "
         "the straight-through repair first",
+    )
+    parser.add_argument(
+        "--attention", action="store_true",
+        help="after the experiments, run the attention-output end-metric "
+        "(experiments attention_error): what the sweep's K/V CosSim "
+        "actually costs at softmax(qK^T/sqrt(d))V",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -178,6 +186,32 @@ def main(argv: list[str] | None = None) -> None:
             *(
                 ["--schemes", args.schemes]
                 if args.schemes is not None
+                else []
+            ),
+        ]
+        try:
+            experiments_main()
+        finally:
+            sys.argv = saved_argv
+
+    if args.attention and "attention" not in args.skip:
+        banner("attention", f"output end-metric -> {root}/attention_error")
+        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
+
+        saved_argv = sys.argv
+        sys.argv = [
+            "experiments", "attention_error",
+            "--backend", args.backend,
+            "--values_mode", args.values_mode,
+            "--results_root", str(root),
+            "--kv_dir", str(kv_dir),
+            "--siren_dir", str(fits_dir),
+            "--epochs", str(args.epochs),
+            "--synth_layers", str(args.synth_layers),
+            "--seq_len", str(args.seq_len),
+            *(
+                ["--fm_mult", str(args.fm_mult)]
+                if args.fm_mult is not None
                 else []
             ),
         ]

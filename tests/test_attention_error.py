@@ -81,30 +81,44 @@ def test_value_only_error_keeps_weights_exact():
     )
 
 
-def test_sharp_queries_are_peaked_and_key_noise_hurts_top1():
+def test_gain_sharpens_matched_queries():
+    """Higher logit gain concentrates the softmax: entropy must fall and
+    the own-position argmax rate must not degrade."""
     rng = np.random.default_rng(3)
     h, s, d = 1, 64, 16
     keys = rng.standard_normal((h, s, d)).astype(np.float32)
-    q_sharp, q_diffuse = make_queries(keys, n_queries=16, seed=0)
-    assert q_sharp.shape == (1, 16, d) and q_diffuse.shape == (1, 16, d)
+    q_matched, q_diffuse = make_queries(keys, n_queries=16, seed=0)
+    assert q_matched.shape == (1, 16, d) and q_diffuse.shape == (1, 16, d)
     allowed = jnp.asarray(causal_allowed(s, 16))
     v = rng.standard_normal((s, d)).astype(np.float32)
-    _, w = attention_outputs(
-        jnp.asarray(q_sharp[0]), jnp.asarray(keys[0]), jnp.asarray(v), allowed
-    )
-    w = np.asarray(w)
-    # Sharp regime: each query's top key is its own position (rows are the
-    # last 16 positions), and the weight there dominates.
     own = np.arange(s - 16, s)
-    assert (w.argmax(axis=-1) == own).mean() >= 0.7
-    # Heavy key noise must disturb the argmax more than no noise does.
+
+    def entropy_and_own(gain):
+        _, w = attention_outputs(
+            jnp.asarray(gain * q_matched[0]), jnp.asarray(keys[0]),
+            jnp.asarray(v), allowed,
+        )
+        w = np.asarray(w)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(w > 0, w * np.log(w), 0.0).sum(-1).mean()
+        return ent, (w.argmax(axis=-1) == own).mean()
+
+    e1, own1 = entropy_and_own(1.0)
+    e8, own8 = entropy_and_own(8.0)
+    assert e8 < e1
+    # i.i.d. keys have no twins: matched queries retrieve their own row.
+    assert own1 >= 0.7 and own8 >= own1
+    # Heavy key noise must disturb the sharp-regime argmax.
     k_noisy = keys[0] + 1.0 * keys[0].std() * rng.standard_normal((s, d)).astype(
         np.float32
     )
-    _, w_noisy = attention_outputs(
-        jnp.asarray(q_sharp[0]), jnp.asarray(k_noisy), jnp.asarray(v), allowed
+    _, w_exact = attention_outputs(
+        jnp.asarray(8.0 * q_matched[0]), jnp.asarray(keys[0]), jnp.asarray(v), allowed
     )
-    agree = (np.asarray(w_noisy).argmax(-1) == w.argmax(-1)).mean()
+    _, w_noisy = attention_outputs(
+        jnp.asarray(8.0 * q_matched[0]), jnp.asarray(k_noisy), jnp.asarray(v), allowed
+    )
+    agree = (np.asarray(w_noisy).argmax(-1) == np.asarray(w_exact).argmax(-1)).mean()
     assert agree < 1.0
 
 
@@ -137,14 +151,21 @@ def test_attention_error_experiment_tiny(tmp_path, tiny_cache, figqa):
         tiny_cache, out,
         layers=(0, 5),  # 5 clips to the cache's last layer (1)
         max_heads=1, config_name="tiny", epochs=40, n_queries=16,
-        verbose=False,
+        gains=(1.0, 8.0), verbose=False,
     )
     assert [r["layer"] for r in results["layers"]] == [0, 1]
     on_disk = json.loads((out / "attention_error_results.json").read_text())
     assert on_disk["n_queries"] == 16
+    assert on_disk["gains"] == [1.0, 8.0]
     for row in results["layers"]:
         assert 0 < row["key_fit_cosine"] <= 1.0
-        for regime in ("sharp", "diffuse"):
+        assert set(row["regimes"]) == {"diffuse", "matched_g1", "matched_g8"}
+        # The gain sweep is the sharpness axis: entropy must fall with gain.
+        assert (
+            row["regimes"]["matched_g8"]["exact_entropy_nats"]
+            < row["regimes"]["matched_g1"]["exact_entropy_nats"]
+        )
+        for regime in ("matched_g1", "matched_g8", "diffuse"):
             variants = row["regimes"][regime]["variants"]
             for name in ("full", "keys_only", "values_only"):
                 m = variants[name]
@@ -188,11 +209,13 @@ def test_attention_error_cli_wiring(tmp_path, tiny_cache, monkeypatch, capsys):
             "--results_root", str(tmp_path / "root"),
             "--attn_layers", "0", "1",
             "--attn_queries", "8",
+            "--attn_gains", "2", "16",
             "--epochs", "7",
         ],
     )
     cli.main()
     assert calls["layers"] == (0, 1)
     assert calls["n_queries"] == 8
+    assert calls["gains"] == (2.0, 16.0)
     assert calls["epochs"] == 7
     assert calls["kv_dir"] == tiny_cache

@@ -46,14 +46,23 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
             "--root", str(tmp_path), "--values_mode", "hard",
             "--epochs", "7", "--seq_len", "1024", "--fm_mult", "64",
             "--compress", "int4_g128_qat",
+            "--attention",
             "--skip", "evaluate",
         ]
     )
     stages = [name for name, _ in calls]
-    assert stages == ["extract", "analyze", "fit", "experiments", "compress"]
+    assert stages == [
+        "extract", "analyze", "fit", "experiments", "experiments", "compress",
+    ]
+    # The opt-in attention stage delegates to the experiments CLI with the
+    # attention_error subcommand and the study's own geometry.
+    attn_argv = calls[4][1]["argv"]
+    assert attn_argv[1] == "attention_error"
+    assert attn_argv[attn_argv.index("--seq_len") + 1] == "1024"
+    assert attn_argv[attn_argv.index("--fm_mult") + 1] == "64.0"
     # A _qat compress scheme splits into the base grid + the --qat flag,
     # and the stage targets the study's own fits/kv dirs.
-    comp_argv = calls[4][1]["argv"]
+    comp_argv = calls[5][1]["argv"]
     assert comp_argv[comp_argv.index("--scheme") + 1] == "int4_g128"
     assert "--qat" in comp_argv
     assert comp_argv[comp_argv.index("--out_dir") + 1].endswith(
