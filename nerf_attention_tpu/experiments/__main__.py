@@ -380,6 +380,11 @@ def main() -> None:
                 epochs=args.epochs,
                 n_queries=args.attn_queries,
                 gains=tuple(args.attn_gains),
+                schemes=(
+                    tuple(s.strip() for s in args.schemes.split(",") if s.strip())
+                    if args.schemes
+                    else ()
+                ),
                 fm_mult=args.fm_mult,
             )
             plot_attention_error(attn, figures_dir)

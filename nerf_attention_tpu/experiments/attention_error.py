@@ -175,6 +175,33 @@ def _reconstruct(metrics, idx, seq_len, config, fm_mult, sin_impl="fast"):
     )
 
 
+def _quantized_view(metrics, scheme: str):
+    """Dequantized view of the batched fit params under a storage scheme —
+    what a server restoring from a ``scheme`` artifact actually decodes.
+    Returns a _reconstruct-compatible object (params + target stats)."""
+    from types import SimpleNamespace
+
+    from nerf_attention_tpu.ops.quantize import quantize_params
+
+    leaves = [(np.asarray(w), np.asarray(b)) for w, b in metrics.params]
+    n = leaves[0][0].shape[0]
+    per_net = [
+        quantize_params([(w[i], b[i]) for w, b in leaves], scheme)[1]
+        for i in range(n)
+    ]
+    return SimpleNamespace(
+        params=[
+            (
+                np.stack([net[l][0] for net in per_net]),
+                np.stack([net[l][1] for net in per_net]),
+            )
+            for l in range(len(leaves))
+        ],
+        target_mean=metrics.target_mean,
+        target_std=metrics.target_std,
+    )
+
+
 def run_attention_error_experiment(
     kv_dir: Path,
     output_dir: Path,
@@ -186,6 +213,7 @@ def run_attention_error_experiment(
     lr: float = 1e-4,
     n_queries: int = 256,
     gains: tuple[float, ...] = DEFAULT_GAINS,
+    schemes: tuple[str, ...] = (),
     seed: int = 0,
     fm_mult: float | None = None,
     impl: str = "auto",
@@ -260,6 +288,46 @@ def run_attention_error_experiment(
                     for name in VARIANTS
                 },
             }
+        for scheme in schemes:
+            stored = _quantized_view(fit, scheme)
+            k_hat_q = _reconstruct(stored, k_idx, seq_len, config, fm_mult)
+            v_hat_q = _reconstruct(stored, v_idx, seq_len, config, fm_mult)
+            raw_q = jax.tree.map(
+                lambda x: np.asarray(x),
+                metrics_fn(
+                    jnp.asarray(keys), jnp.asarray(values),
+                    jnp.asarray(k_hat_q), jnp.asarray(v_hat_q),
+                    jnp.asarray(q_matched), jnp.asarray(q_diffuse), allowed,
+                    gains,
+                ),
+            )
+            proxy = jax.jit(jax.vmap(lambda a, b: jnp.mean(cosine_similarity(a, b))))
+            block = {
+                "key_proxy_cosine": float(
+                    np.asarray(proxy(jnp.asarray(k_hat_q), jnp.asarray(keys))).mean()
+                ),
+                "value_proxy_cosine": float(
+                    np.asarray(
+                        proxy(jnp.asarray(v_hat_q), jnp.asarray(values))
+                    ).mean()
+                ),
+                "regimes": {},
+            }
+            for regime, r in raw_q.items():
+                block["regimes"][regime] = {
+                    "exact_entropy_nats": float(r["exact_entropy_nats"].mean()),
+                    "variants": {
+                        name: {
+                            metric: float(r[name][metric].mean())
+                            for metric in (
+                                "output_cosine_mean", "output_cosine_min",
+                                "attn_tv_mean", "top1_agreement",
+                            )
+                        }
+                        for name in VARIANTS
+                    },
+                }
+            row.setdefault("storage", {})[scheme] = block
         layer_rows.append(row)
         if verbose:
             peak = row["regimes"][sharpest]
@@ -273,6 +341,14 @@ def run_attention_error_experiment(
                 f"diffuse @{broad['exact_entropy_nats']:.1f} nats "
                 f"{broad['variants']['full']['output_cosine_mean']:.4f}"
             )
+            for scheme, block in row.get("storage", {}).items():
+                print(
+                    f"    stored {scheme}: proxy K {block['key_proxy_cosine']:.4f}"
+                    f" / V {block['value_proxy_cosine']:.4f} | sharpest full "
+                    f"{block['regimes'][sharpest]['variants']['full']['output_cosine_mean']:.4f}"
+                    f" | diffuse "
+                    f"{block['regimes']['diffuse']['variants']['full']['output_cosine_mean']:.4f}"
+                )
 
     results = {
         "config": config.name,
@@ -283,6 +359,7 @@ def run_attention_error_experiment(
         "seed": seed,
         "matched_noise": 0.25,
         "gains": list(gains),
+        "schemes": list(schemes),
         "layers": layer_rows,
         "wall_seconds": time.perf_counter() - t0,
     }

@@ -180,6 +180,29 @@ def test_attention_error_experiment_tiny(tmp_path, tiny_cache, figqa):
     figqa(figs / "attention_error.png")
 
 
+def test_attention_error_storage_schemes(tmp_path, tiny_cache):
+    """Quantized-payload rows: fp16 storage is output-transparent."""
+    results = run_attention_error_experiment(
+        tiny_cache, tmp_path / "attn",
+        layers=(0,), max_heads=1, config_name="tiny", epochs=30,
+        n_queries=8, gains=(8.0,), schemes=("fp16", "int8"),
+        verbose=False,
+    )
+    assert results["schemes"] == ["fp16", "int8"]
+    row = results["layers"][0]
+    assert set(row["storage"]) == {"fp16", "int8"}
+    base = row["regimes"]["matched_g8"]["variants"]["full"]["output_cosine_mean"]
+    fp16 = row["storage"]["fp16"]
+    assert set(fp16["regimes"]) == {"diffuse", "matched_g8"}
+    assert abs(
+        fp16["regimes"]["matched_g8"]["variants"]["full"]["output_cosine_mean"]
+        - base
+    ) < 2e-3
+    for block in row["storage"].values():
+        assert -1.0 <= block["key_proxy_cosine"] <= 1.0
+        assert -1.0 <= block["value_proxy_cosine"] <= 1.0
+
+
 def test_attention_error_cli_wiring(tmp_path, tiny_cache, monkeypatch, capsys):
     """Subcommand reaches the runner with CLI args threaded through."""
     import sys
