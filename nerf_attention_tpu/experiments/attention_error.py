@@ -42,6 +42,7 @@ Outputs ``attention_error_results.json`` under the experiment dir and
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -65,6 +66,10 @@ from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
 VARIANTS = ("full", "keys_only", "values_only")
 DEFAULT_GAINS = (1.0, 8.0, 32.0, 64.0)
+
+# Mean-over-positions row-wise CosSim, batched over heads (proxy metric
+# for stored payloads; module-level so it traces once per shape).
+_proxy_cos = jax.jit(jax.vmap(lambda a, b: jnp.mean(cosine_similarity(a, b))))
 
 
 def attention_outputs(
@@ -156,21 +161,27 @@ def causal_allowed(seq_len: int, n_queries: int) -> np.ndarray:
     return (np.arange(seq_len)[None, :] <= rows)
 
 
-def _reconstruct(metrics, idx, seq_len, config, fm_mult, sin_impl="fast"):
-    """Denormalized SIREN reconstructions for fit rows ``idx`` (stacked)."""
-    pos = positions(seq_len)
+@functools.lru_cache(maxsize=8)
+def _recon_jit(omega: float, fm_mult: float | None, sin_impl: str):
+    """Batched denormalizing forward, jitted once per (omega, fm, sin)."""
     sin = _resolve_sin(sin_impl)
 
-    def one(params, mean, std):
-        pred = siren_apply_maybe_fm(params, config.omega_0, fm_mult, pos, sin=sin)
+    def one(params, mean, std, pos):
+        pred = siren_apply_maybe_fm(params, omega, fm_mult, pos, sin=sin)
         return pred * std + mean
 
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
+
+
+def _reconstruct(metrics, idx, seq_len, config, fm_mult, sin_impl="fast"):
+    """Denormalized SIREN reconstructions for fit rows ``idx`` (stacked)."""
     params = [(jnp.asarray(w[idx]), jnp.asarray(b[idx])) for w, b in metrics.params]
     return np.asarray(
-        jax.jit(jax.vmap(one))(
+        _recon_jit(config.omega_0, fm_mult, sin_impl)(
             params,
             jnp.asarray(metrics.target_mean[idx]),
             jnp.asarray(metrics.target_std[idx]),
+            positions(seq_len),
         )
     )
 
@@ -301,14 +312,15 @@ def run_attention_error_experiment(
                     gains,
                 ),
             )
-            proxy = jax.jit(jax.vmap(lambda a, b: jnp.mean(cosine_similarity(a, b))))
             block = {
                 "key_proxy_cosine": float(
-                    np.asarray(proxy(jnp.asarray(k_hat_q), jnp.asarray(keys))).mean()
+                    np.asarray(
+                        _proxy_cos(jnp.asarray(k_hat_q), jnp.asarray(keys))
+                    ).mean()
                 ),
                 "value_proxy_cosine": float(
                     np.asarray(
-                        proxy(jnp.asarray(v_hat_q), jnp.asarray(values))
+                        _proxy_cos(jnp.asarray(v_hat_q), jnp.asarray(values))
                     ).mean()
                 ),
                 "regimes": {},
