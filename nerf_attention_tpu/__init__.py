@@ -51,6 +51,7 @@ from nerf_attention_tpu.ops.quantize import (
     param_bytes,
     parse_scheme,
     quantize_params,
+    split_scheme,
 )
 from nerf_attention_tpu.ops.siren_pallas import (
     siren_decode_batch,
@@ -97,6 +98,7 @@ __all__ = [
     "save_quantized_siren_checkpoint",
     "param_bytes",
     "parse_scheme",
+    "split_scheme",
     "qat_finetune_batch",
 ]
 

@@ -32,6 +32,7 @@ from nerf_attention_tpu.ops.quantize import (
     parse_scheme,
     param_bytes,
     quantize_params,
+    split_scheme,
 )
 from nerf_attention_tpu.types import SIRENConfig
 
@@ -90,6 +91,7 @@ def save_quantized_siren_checkpoint(
     SIREN's 2-D (in, out) layout.
     """
     kind, bits, group = parse_scheme(scheme)
+    _, l0fp32 = split_scheme(scheme)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     for w, _ in params:
@@ -102,7 +104,10 @@ def save_quantized_siren_checkpoint(
         "target_std": np.asarray(target_std, dtype=np.float32),
     }
     for i, (w_pay, b_pay) in enumerate(payloads):
-        if kind in ("fp32", "fp16"):
+        if l0fp32 and i == 0:  # _l0fp32: layer 0 persists as raw fp32
+            arrays[f"w_{i}"] = w_pay["data"]
+            arrays[f"b_{i}"] = b_pay["data"]
+        elif kind in ("fp32", "fp16"):
             arrays[f"w_{i}"] = w_pay["data"]
             arrays[f"b_{i}"] = b_pay["data"]
         elif kind == "bf16":
@@ -153,10 +158,13 @@ def dequantize_arrays(data, meta: dict) -> list[tuple[np.ndarray, np.ndarray]]:
     (same dtypes, same op order as `ops/quantize.py`). ``data`` is the open
     npz mapping; called by ``checkpoint.load_siren_checkpoint``."""
     kind, bits, group = parse_scheme(meta["scheme"])
+    _, l0fp32 = split_scheme(meta["scheme"])
     params = []
     for i, w_shape in enumerate(meta["w_shapes"]):
         rows, channels = int(w_shape[0]), int(w_shape[1])
-        if kind == "fp32":
+        if l0fp32 and i == 0:
+            params.append((data[f"w_{i}"], data[f"b_{i}"]))
+        elif kind == "fp32":
             params.append((data[f"w_{i}"], data[f"b_{i}"]))
         elif kind == "fp16":
             params.append(

@@ -82,9 +82,10 @@ def qat_finetune_checkpoints(
     fine-tune every net after the first with the WRONG forward, so both
     are validated here rather than trusted from ``loaded[0]``.
     """
-    from nerf_attention_tpu.ops.quantize import parse_scheme
+    from nerf_attention_tpu.ops.quantize import parse_scheme, split_scheme
 
     kind, bits, group = parse_scheme(base_scheme)
+    _, skip_first = split_scheme(base_scheme)
     if kind != "int" or group is None:
         raise ValueError(
             f"QAT needs a group-wise integer base scheme, got {base_scheme!r}"
@@ -124,6 +125,7 @@ def qat_finetune_checkpoints(
         epochs=epochs,
         group=group,
         bits=bits,
+        skip_first=skip_first,
     )
     tuned = [(np.asarray(w), np.asarray(b)) for w, b in tuned]
     return [
@@ -141,6 +143,7 @@ def qat_finetune_batch(
     lr: float = 3e-5,
     group: int = INT4_GROUP,
     bits: int = 4,
+    skip_first: bool = False,
     sin_impl: str = "fast",
 ):
     """Fine-tune a batch of trained SIRENs against their stored-grid
@@ -170,7 +173,12 @@ def qat_finetune_batch(
         opt_state = tx.init(params)
 
         def loss_fn(p):
-            fq = [(_ste(w, group, bits), b) for w, b in p]
+            # skip_first: a _l0fp32 scheme stores layer 0 in fp32, so the
+            # straight-through projection must leave it off the int grid.
+            fq = [
+                (w if (skip_first and i == 0) else _ste(w, group, bits), b)
+                for i, (w, b) in enumerate(p)
+            ]
             pred = jax.vmap(
                 lambda q: siren_apply_maybe_fm(q, omega, fm_mult, pos, sin=sin)
             )(fq)

@@ -27,15 +27,35 @@ SCHEMES = ("fp32", "bf16", "fp16", "int8", "int4")
 INT4_GROUP = 32  # reduction-axis elements sharing one fp16 scale
 
 
+def split_scheme(scheme: str) -> tuple[str, bool]:
+    """Strip the ``_l0fp32`` modifier -> (base scheme, l0fp32 flag).
+
+    ``_l0fp32`` stores the FIRST layer's weights AND bias in fp32. For
+    FM-SIRENs this is the whole storage-fragility fix: unit i's layer-0
+    rounding error becomes phase error scaled by ``omega_0 * m_i`` (up to
+    64x a shared-omega net's sensitivity — FINDINGS "storage-fragile"),
+    and layer 0 is (1, hidden) + (hidden,) — ~0.3% of a medium net's
+    bytes. Measured on-chip: an FM-64 value net at S=4096 reads 0.42
+    under plain fp16 storage and 0.8005 (= the fp32 master) with the
+    modifier.
+    """
+    if scheme.endswith("_l0fp32"):
+        return scheme[: -len("_l0fp32")], True
+    return scheme, False
+
+
 def parse_scheme(scheme: str) -> tuple[str, int | None, int | None]:
-    """Parse a scheme name -> (kind, bits, group).
+    """Parse a scheme name -> (kind, bits, group) of its BASE grid.
 
     Beyond the named SCHEMES, group-wise integer schemes are parameterized
     as ``int<B>_g<N>`` (B in 2..8 bits, one fp16 scale per N reduction-axis
     elements per channel): ``int3_g64``, ``int8_g32``, … Plain ``int4`` is
     ``int4_g32`` (INT4_GROUP); plain ``int8`` is the r3 per-channel scheme
-    (group=None). Returns bits/group None for the float schemes.
+    (group=None). Returns bits/group None for the float schemes. A
+    ``_l0fp32`` modifier (see :func:`split_scheme`) is stripped first —
+    callers that branch on the first layer use ``split_scheme``.
     """
+    scheme, _ = split_scheme(scheme)
     if scheme in ("fp32", "bf16", "fp16"):
         return scheme, None, None
     if scheme == "int8":
@@ -159,15 +179,26 @@ def quantize_params(params, scheme: str):
     fp16 scales (``int4`` / ``int<B>_g<N>``: group input rows per scale,
     per output channel); biases are per-tensor int8 under plain int8, and
     fp16 under every group-wise scheme (a bias is one row — coarse rounding
-    there costs quality for ~0.1% of the bytes). The dequantized list is
-    fp32 and drops into ``siren_apply`` unchanged.
+    there costs quality for ~0.1% of the bytes). A ``_l0fp32`` scheme
+    stores layer 0 (weights AND bias) in fp32 — the FM phase-sensitivity
+    fix (:func:`split_scheme`). The dequantized list is fp32 and drops
+    into ``siren_apply`` unchanged.
     """
-    _, _, group = parse_scheme(scheme)
+    base, l0fp32 = split_scheme(scheme)
+    _, _, group = parse_scheme(base)
     payloads, dq_params = [], []
-    for w, b in params:
-        w_payload, w_dq = quantize_array(w, scheme, axis=np.ndim(w) - 1)
+    for i, (w, b) in enumerate(params):
+        if l0fp32 and i == 0:
+            payloads.append(
+                (quantize_array(w, "fp32")[0], quantize_array(b, "fp32")[0])
+            )
+            dq_params.append(
+                (np.asarray(w, np.float32), np.asarray(b, np.float32))
+            )
+            continue
+        w_payload, w_dq = quantize_array(w, base, axis=np.ndim(w) - 1)
         b_payload, b_dq = quantize_array(
-            b, "fp16" if group is not None else scheme, axis=None
+            b, "fp16" if group is not None else base, axis=None
         )
         payloads.append((w_payload, b_payload))
         dq_params.append((w_dq, b_dq))
@@ -181,11 +212,16 @@ def param_bytes(params, scheme: str) -> int:
     """Stored size of a quantized SIREN — the exact layout
     ``quantize_params`` produces: per-channel int8 includes its fp32
     scales; a group-wise int<B> scheme packs B-bit weights densely
-    (ceil(size*B/8) bytes) plus fp16 group scales and fp16 biases."""
+    (ceil(size*B/8) bytes) plus fp16 group scales and fp16 biases; a
+    ``_l0fp32`` modifier charges layer 0 at 4 bytes/param."""
     kind, bits, group = parse_scheme(scheme)
+    _, l0fp32 = split_scheme(scheme)
     total = 0
-    for w, b in params:
+    for i, (w, b) in enumerate(params):
         w, b = np.asarray(w), np.asarray(b)
+        if l0fp32 and i == 0:
+            total += (w.size + b.size) * 4
+            continue
         if group is not None:
             total += -(-(w.size * bits) // 8)  # dense bit-packing
             total += groupwise_scale_count(w.shape, np.ndim(w) - 1, group) * 2

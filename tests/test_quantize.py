@@ -142,6 +142,95 @@ def test_parameterized_groupwise_schemes():
     np.testing.assert_array_equal(dq_named, dq_param)
 
 
+def test_l0fp32_modifier_keeps_first_layer_exact():
+    """_l0fp32: layer 0 stores fp32 (the FM phase-sensitivity fix), every
+    other layer matches the base grid, and the accounting charges 4 B/param
+    for layer 0."""
+    from nerf_attention_tpu.ops.quantize import (
+        param_bytes,
+        parse_scheme,
+        quantize_params,
+        split_scheme,
+    )
+
+    rng = np.random.default_rng(11)
+    params = [
+        (rng.standard_normal((1, 32)).astype(np.float32),
+         rng.standard_normal(32).astype(np.float32)),
+        (rng.standard_normal((32, 32)).astype(np.float32),
+         rng.standard_normal(32).astype(np.float32)),
+        (rng.standard_normal((32, 8)).astype(np.float32),
+         rng.standard_normal(8).astype(np.float32)),
+    ]
+    assert split_scheme("int8_g32_l0fp32") == ("int8_g32", True)
+    assert split_scheme("int8_g32") == ("int8_g32", False)
+    assert parse_scheme("int8_g32_l0fp32") == parse_scheme("int8_g32")
+    with pytest.raises(ValueError):
+        parse_scheme("bogus_l0fp32")
+
+    _, dq_mod = quantize_params(params, "int8_g32_l0fp32")
+    _, dq_base = quantize_params(params, "int8_g32")
+    np.testing.assert_array_equal(dq_mod[0][0], params[0][0])
+    np.testing.assert_array_equal(dq_mod[0][1], params[0][1])
+    assert not np.array_equal(dq_base[0][0], params[0][0])
+    for l in range(1, len(params)):
+        np.testing.assert_array_equal(dq_mod[l][0], dq_base[l][0])
+        np.testing.assert_array_equal(dq_mod[l][1], dq_base[l][1])
+
+    w0, b0 = params[0]
+    delta = (w0.size + b0.size) * 4 - param_bytes([params[0]], "int8_g32")
+    assert param_bytes(params, "int8_g32_l0fp32") == (
+        param_bytes(params, "int8_g32") + delta
+    )
+
+
+def test_qat_skip_first_respects_l0fp32_grid():
+    """A _l0fp32 base scheme must leave layer 0 off the straight-through
+    grid: with every OTHER layer already on-grid, the skip_first loss at
+    init is exactly the fp32 loss (no projection error from layer 0)."""
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.ops.qat import fake_quant_groupwise, qat_finetune_batch
+
+    rng = np.random.default_rng(5)
+    n, s, d = 2, 24, 4
+    w0 = rng.standard_normal((n, 1, 16)).astype(np.float32)
+    b0 = rng.standard_normal((n, 16)).astype(np.float32)
+    # Layers 1..: pre-project onto the int8_g32 grid so STE is a no-op there.
+    w1 = np.asarray(fake_quant_groupwise(
+        jnp.asarray(rng.standard_normal((n, 16, d)).astype(np.float32)),
+        group=32, bits=8,
+    ))
+    b1 = rng.standard_normal((n, d)).astype(np.float32)
+    targets = rng.standard_normal((n, s, d)).astype(np.float32)
+    _, losses_skip = qat_finetune_batch(
+        [(w0, b0), (w1, b1)], targets, omega=30.0, fm_mult=64.0,
+        epochs=1, group=32, bits=8, skip_first=True,
+    )
+    # Reference loss: plain fp32 forward on the same params.
+    from nerf_attention_tpu.models.siren import positions, siren_apply_maybe_fm
+    from nerf_attention_tpu.parallel.sweep import _resolve_sin
+
+    pos = positions(s)
+    sin = _resolve_sin("fast")
+    pred = np.asarray(
+        jax.vmap(
+            lambda p0w, p0b, p1w, p1b: siren_apply_maybe_fm(
+                [(p0w, p0b), (p1w, p1b)], 30.0, 64.0, pos, sin=sin
+            )
+        )(jnp.asarray(w0), jnp.asarray(b0), jnp.asarray(w1), jnp.asarray(b1))
+    )
+    want = float(np.mean((pred - targets) ** 2))
+    # fp32 accumulation-order noise only (measured ~3e-5 on this batch).
+    assert abs(float(losses_skip[0]) - want) < 1e-3
+    # Without skip_first the same batch carries layer-0 projection error.
+    _, losses_full = qat_finetune_batch(
+        [(w0, b0), (w1, b1)], targets, omega=30.0, fm_mult=64.0,
+        epochs=1, group=32, bits=8, skip_first=False,
+    )
+    assert abs(float(losses_full[0]) - want) > 1e-2
+
+
 def test_parameterized_fake_quant_matches_numpy_grid():
     """The jax QAT projection must share the numpy storage grid for every
     (bits, group), not just the int4 default."""

@@ -32,7 +32,7 @@ CONFIG = SIRENConfig(48, 2, 30.0, "t48")
 # Every storage family: float schemes, per-channel int8, group-wise grids
 # (including a group that does not divide the 48-row reduction axis).
 SCHEMES = ("fp32", "bf16", "fp16", "int8", "int8_g32", "int4", "int4_g128",
-           "int3_g64", "int2_g32")
+           "int3_g64", "int2_g32", "int8_g32_l0fp32", "fp16_l0fp32")
 
 
 def _params(seed: int = 0):
@@ -69,7 +69,9 @@ def test_saved_checkpoint_dequantizes_bit_identically(tmp_path, scheme):
         np.testing.assert_array_equal(np.asarray(b_want), np.asarray(b_got))
 
 
-@pytest.mark.parametrize("scheme", ["int4_g128", "int3_g64", "int8", "fp16"])
+@pytest.mark.parametrize(
+    "scheme", ["int4_g128", "int3_g64", "int8", "fp16", "int8_g32_l0fp32"]
+)
 def test_stored_array_bytes_match_param_bytes_accounting(tmp_path, scheme):
     """The npz's parameter arrays must cost exactly what param_bytes
     charges — the on-disk artifact IS the claimed compression."""
