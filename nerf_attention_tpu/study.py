@@ -214,6 +214,12 @@ def main(argv: list[str] | None = None) -> None:
                 if args.fm_mult is not None
                 else []
             ),
+            *(
+                # Price the stored payloads at the output too.
+                ["--schemes", args.schemes]
+                if args.schemes is not None
+                else []
+            ),
         ]
         try:
             experiments_main()

@@ -60,6 +60,7 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
     assert attn_argv[1] == "attention_error"
     assert attn_argv[attn_argv.index("--seq_len") + 1] == "1024"
     assert attn_argv[attn_argv.index("--fm_mult") + 1] == "64.0"
+    assert "--schemes" not in attn_argv  # only passed when the user sets it
     # A _qat compress scheme splits into the base grid + the --qat flag,
     # and the stage targets the study's own fits/kv dirs.
     comp_argv = calls[5][1]["argv"]
