@@ -430,13 +430,29 @@ def test_quantization_experiment(tmp_path, figqa):
     # fine-tunes against its own grid.
     frontier = run_quantization_experiment(
         fits, kv_dir, tmp_path / "out2",
-        schemes=("fp32", "int4", "int3_g64", "int3_g64_qat"),
+        schemes=(
+            "fp32", "int4", "int3_g64", "int3_g64_qat",
+            "int4_l0fp32", "int4_l0fp32_qat",
+        ),
         qat_epochs=50, verbose=False,
     )
     by = {s: [r for r in frontier if r["scheme"] == s] for s in
-          ("fp32", "int4", "int3_g64", "int3_g64_qat")}
+          ("fp32", "int4", "int3_g64", "int3_g64_qat",
+           "int4_l0fp32", "int4_l0fp32_qat")}
     assert all(len(v) == n_ckpts for v in by.values())
     assert by["int3_g64"][0]["stored_bytes"] < by["int4"][0]["stored_bytes"]
+    # _l0fp32 flows through the experiment + its QAT pass: slightly larger
+    # payload than the base grid, quality not meaningfully worse (exact
+    # layer 0 can differ from rounded by luck on a tiny shared-omega fit).
+    assert by["int4_l0fp32"][0]["stored_bytes"] > by["int4"][0]["stored_bytes"]
+    assert (
+        by["int4_l0fp32"][0]["final_cosine_mean"]
+        >= by["int4"][0]["final_cosine_mean"] - 0.01
+    )
+    assert (
+        by["int4_l0fp32_qat"][0]["stored_bytes"]
+        == by["int4_l0fp32"][0]["stored_bytes"]
+    )
     assert (
         by["int3_g64_qat"][0]["stored_bytes"] == by["int3_g64"][0]["stored_bytes"]
     )
