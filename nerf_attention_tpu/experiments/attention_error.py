@@ -186,15 +186,39 @@ def _reconstruct(metrics, idx, seq_len, config, fm_mult, sin_impl="fast"):
     )
 
 
-def _quantized_view(metrics, scheme: str):
+def _quantized_view(metrics, scheme: str, targets=None, config=None,
+                    fm_mult=None, qat_epochs: int = 300):
     """Dequantized view of the batched fit params under a storage scheme —
     what a server restoring from a ``scheme`` artifact actually decodes.
-    Returns a _reconstruct-compatible object (params + target stats)."""
+    A ``_qat`` suffix runs the straight-through repair against the scheme's
+    stored grid first (the shipped-payload path, `ops/qat.py`); ``targets``
+    (N, S, D) raw tensors in fit-row order are required for it. Returns a
+    _reconstruct-compatible object (params + target stats)."""
     from types import SimpleNamespace
 
-    from nerf_attention_tpu.ops.quantize import quantize_params
+    from nerf_attention_tpu.ops.quantize import (
+        parse_scheme,
+        quantize_params,
+        split_scheme,
+    )
 
-    leaves = [(np.asarray(w), np.asarray(b)) for w, b in metrics.params]
+    params = metrics.params
+    if scheme.endswith("_qat"):
+        scheme = scheme[: -len("_qat")]
+        _, bits, group = parse_scheme(scheme)
+        if group is None:
+            raise ValueError(f"QAT needs a group-wise int base, got {scheme!r}")
+        from nerf_attention_tpu.ops.qat import qat_finetune_batch
+
+        targets_norm = (np.asarray(targets) - metrics.target_mean) / (
+            metrics.target_std
+        )
+        params, _ = qat_finetune_batch(
+            params, targets_norm.astype(np.float32), omega=config.omega_0,
+            fm_mult=fm_mult, epochs=qat_epochs, group=group, bits=bits,
+            skip_first=split_scheme(scheme)[1],
+        )
+    leaves = [(np.asarray(w), np.asarray(b)) for w, b in params]
     n = leaves[0][0].shape[0]
     per_net = [
         quantize_params([(w[i], b[i]) for w, b in leaves], scheme)[1]
@@ -300,7 +324,10 @@ def run_attention_error_experiment(
                 },
             }
         for scheme in schemes:
-            stored = _quantized_view(fit, scheme)
+            stored = _quantized_view(
+                fit, scheme, targets=np.concatenate([keys, values]),
+                config=config, fm_mult=fm_mult,
+            )
             k_hat_q = _reconstruct(stored, k_idx, seq_len, config, fm_mult)
             v_hat_q = _reconstruct(stored, v_idx, seq_len, config, fm_mult)
             raw_q = jax.tree.map(

@@ -185,12 +185,12 @@ def test_attention_error_storage_schemes(tmp_path, tiny_cache):
     results = run_attention_error_experiment(
         tiny_cache, tmp_path / "attn",
         layers=(0,), max_heads=1, config_name="tiny", epochs=30,
-        n_queries=8, gains=(8.0,), schemes=("fp16", "int8"),
+        n_queries=8, gains=(8.0,), schemes=("fp16", "int8", "int4_qat"),
         verbose=False,
     )
-    assert results["schemes"] == ["fp16", "int8"]
+    assert results["schemes"] == ["fp16", "int8", "int4_qat"]
     row = results["layers"][0]
-    assert set(row["storage"]) == {"fp16", "int8"}
+    assert set(row["storage"]) == {"fp16", "int8", "int4_qat"}
     base = row["regimes"]["matched_g8"]["variants"]["full"]["output_cosine_mean"]
     fp16 = row["storage"]["fp16"]
     assert set(fp16["regimes"]) == {"diffuse", "matched_g8"}
