@@ -54,7 +54,11 @@ SCHEME_STYLE = {
 
 # The experiment's default scheme set: every storage scheme plus the
 # QAT-repaired int4 point (same payload, fine-tuned master weights).
-EXPERIMENT_SCHEMES = SCHEMES + ("int4_qat",)
+# int8_g32_l0fp32 is in the default grid so an FM study shows its repaired
+# shipping point (first-layer fp32 cures FM's storage fragility — FINDINGS)
+# next to the rows that motivate it; for shared-omega nets it reads as a
+# slightly-larger int8_g32.
+EXPERIMENT_SCHEMES = SCHEMES + ("int8_g32_l0fp32", "int4_qat")
 
 
 def _reconstruct(
