@@ -443,6 +443,31 @@ def plot_attention_error(results: dict, figures_dir: Path) -> None:
             for reg in order
         ]
         ax1.plot([ent[r] for r in order], ys, "o-", color=color, label=variant)
+    # Stored payloads (when priced): the full-swap curve per scheme, so
+    # the storage story is visible next to the in-memory fits.
+    stored_schemes = sorted(
+        {s for r in rows for s in r.get("storage", {})},
+    )
+    stored_colors = plt.cm.Dark2(np.linspace(0, 1, max(len(stored_schemes), 1)))
+    for scheme, color in zip(stored_schemes, stored_colors):
+        ys = [
+            float(
+                np.mean(
+                    [
+                        r["storage"][scheme]["regimes"][reg]["variants"]["full"][
+                            "output_cosine_mean"
+                        ]
+                        for r in rows
+                        if scheme in r.get("storage", {})
+                    ]
+                )
+            )
+            for reg in order
+        ]
+        ax1.plot(
+            [ent[r] for r in order], ys, "--", marker="x", color=color,
+            label=f"stored {scheme}",
+        )
     for reg in order:
         marker = "D" if reg == "diffuse" else None
         if marker:
