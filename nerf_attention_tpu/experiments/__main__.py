@@ -142,10 +142,11 @@ def main() -> None:
     )
     parser.add_argument(
         "--schemes", type=str, default=None,
-        help="quantize: comma-separated storage schemes (named schemes, "
-        "parameterized int<B>_g<N>, and any group-wise integer scheme's "
-        "_qat variant, e.g. fp16,int4_g64_qat,int3_g64_qat); default: "
-        "fp32,bf16,fp16,int8,int4,int4_qat",
+        help="quantize/attention_error: comma-separated storage schemes "
+        "(named schemes, parameterized int<B>_g<N>, an _l0fp32 modifier, "
+        "and any group-wise integer scheme's _qat variant, e.g. "
+        "fp16,int4_g64_qat,int8_g32_l0fp32); default for quantize: "
+        "fp32,bf16,fp16,int8,int4,int8_g32_l0fp32,int4_qat",
     )
     parser.add_argument(
         "--qat_epochs", type=int, default=300,
@@ -385,6 +386,7 @@ def main() -> None:
                     if args.schemes
                     else ()
                 ),
+                qat_epochs=args.qat_epochs,
                 fm_mult=args.fm_mult,
             )
             plot_attention_error(attn, figures_dir)

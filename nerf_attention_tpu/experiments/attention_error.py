@@ -66,6 +66,7 @@ from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
 VARIANTS = ("full", "keys_only", "values_only")
 DEFAULT_GAINS = (1.0, 8.0, 32.0, 64.0)
+MATCHED_NOISE = 0.25  # sigma_k multiple of jitter on matched queries
 
 # Mean-over-positions row-wise CosSim, batched over heads (proxy metric
 # for stored payloads; module-level so it traces once per shape).
@@ -135,7 +136,7 @@ def _layer_metrics(
 
 
 def make_queries(
-    keys: np.ndarray, n_queries: int, seed: int, noise: float = 0.25
+    keys: np.ndarray, n_queries: int, seed: int, noise: float = MATCHED_NOISE
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (matched, diffuse) query batches for (H, S, D) keys.
 
@@ -151,6 +152,28 @@ def make_queries(
     matched = keys[:, s - t :] + noise * sigma * eps
     diffuse = sigma * np.asarray(jax.random.normal(k2, (h, t, d), jnp.float32))
     return matched.astype(np.float32), diffuse.astype(np.float32)
+
+
+def _serialize_regimes(raw: dict) -> dict:
+    """Host-side JSON block for one metrics_fn result: per regime, the mean
+    entropy and the four metrics of every variant (shared by the base-fit
+    and stored-payload rows so their schemas cannot diverge)."""
+    return {
+        regime: {
+            "exact_entropy_nats": float(r["exact_entropy_nats"].mean()),
+            "variants": {
+                name: {
+                    metric: float(r[name][metric].mean())
+                    for metric in (
+                        "output_cosine_mean", "output_cosine_min",
+                        "attn_tv_mean", "top1_agreement",
+                    )
+                }
+                for name in VARIANTS
+            },
+        }
+        for regime, r in raw.items()
+    }
 
 
 def causal_allowed(seq_len: int, n_queries: int) -> np.ndarray:
@@ -249,12 +272,26 @@ def run_attention_error_experiment(
     n_queries: int = 256,
     gains: tuple[float, ...] = DEFAULT_GAINS,
     schemes: tuple[str, ...] = (),
+    qat_epochs: int = 300,
     seed: int = 0,
     fm_mult: float | None = None,
     impl: str = "auto",
     verbose: bool = True,
 ) -> dict:
     """Fit K/V SIRENs per probed layer and price them at the attention output."""
+    # Validate scheme names before any device time is spent (same fail-fast
+    # contract as run_quantization_experiment): a typo must not cost the
+    # probed layers' fits.
+    from nerf_attention_tpu.ops.quantize import parse_scheme
+
+    for s in schemes:
+        base = s[: -len("_qat")] if s.endswith("_qat") else s
+        kind, _, group = parse_scheme(base)
+        if s.endswith("_qat") and (kind != "int" or group is None):
+            raise ValueError(
+                f"QAT needs a group-wise integer base scheme, got {s!r}"
+            )
+
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     config = CONFIGS_BY_NAME[config_name]
@@ -307,26 +344,12 @@ def run_attention_error_experiment(
             "heads": n_heads,
             "key_fit_cosine": key_cos,
             "value_fit_cosine": value_cos,
-            "regimes": {},
+            "regimes": _serialize_regimes(raw),
         }
-        for regime, r in raw.items():
-            row["regimes"][regime] = {
-                "exact_entropy_nats": float(r["exact_entropy_nats"].mean()),
-                "variants": {
-                    name: {
-                        metric: float(r[name][metric].mean())
-                        for metric in (
-                            "output_cosine_mean", "output_cosine_min",
-                            "attn_tv_mean", "top1_agreement",
-                        )
-                    }
-                    for name in VARIANTS
-                },
-            }
         for scheme in schemes:
             stored = _quantized_view(
                 fit, scheme, targets=np.concatenate([keys, values]),
-                config=config, fm_mult=fm_mult,
+                config=config, fm_mult=fm_mult, qat_epochs=qat_epochs,
             )
             k_hat_q = _reconstruct(stored, k_idx, seq_len, config, fm_mult)
             v_hat_q = _reconstruct(stored, v_idx, seq_len, config, fm_mult)
@@ -350,22 +373,8 @@ def run_attention_error_experiment(
                         _proxy_cos(jnp.asarray(v_hat_q), jnp.asarray(values))
                     ).mean()
                 ),
-                "regimes": {},
+                "regimes": _serialize_regimes(raw_q),
             }
-            for regime, r in raw_q.items():
-                block["regimes"][regime] = {
-                    "exact_entropy_nats": float(r["exact_entropy_nats"].mean()),
-                    "variants": {
-                        name: {
-                            metric: float(r[name][metric].mean())
-                            for metric in (
-                                "output_cosine_mean", "output_cosine_min",
-                                "attn_tv_mean", "top1_agreement",
-                            )
-                        }
-                        for name in VARIANTS
-                    },
-                }
             row.setdefault("storage", {})[scheme] = block
         layer_rows.append(row)
         if verbose:
@@ -396,7 +405,7 @@ def run_attention_error_experiment(
         "seq_len": seq_len,
         "n_queries": int(min(n_queries, seq_len)),
         "seed": seed,
-        "matched_noise": 0.25,
+        "matched_noise": MATCHED_NOISE,
         "gains": list(gains),
         "schemes": list(schemes),
         "layers": layer_rows,

@@ -203,6 +203,28 @@ def test_attention_error_storage_schemes(tmp_path, tiny_cache):
         assert -1.0 <= block["value_proxy_cosine"] <= 1.0
 
 
+def test_attention_error_rejects_bad_schemes_before_fitting(
+    tmp_path, tiny_cache, monkeypatch
+):
+    """Scheme typos must fail before any device time is spent."""
+    import nerf_attention_tpu.experiments.attention_error as mod
+
+    def boom(*a, **k):
+        raise AssertionError("fit_batch must not run for an invalid scheme")
+
+    monkeypatch.setattr(mod, "fit_batch", boom)
+    with pytest.raises(ValueError, match="scheme"):
+        run_attention_error_experiment(
+            tiny_cache, tmp_path / "attn", layers=(0,), epochs=5,
+            schemes=("bogus",), verbose=False,
+        )
+    with pytest.raises(ValueError, match="QAT"):
+        run_attention_error_experiment(
+            tiny_cache, tmp_path / "attn", layers=(0,), epochs=5,
+            schemes=("fp16_qat",), verbose=False,
+        )
+
+
 def test_attention_error_cli_wiring(tmp_path, tiny_cache, monkeypatch, capsys):
     """Subcommand reaches the runner with CLI args threaded through."""
     import sys
@@ -234,6 +256,7 @@ def test_attention_error_cli_wiring(tmp_path, tiny_cache, monkeypatch, capsys):
             "--attn_queries", "8",
             "--attn_gains", "2", "16",
             "--epochs", "7",
+            "--qat_epochs", "11",
         ],
     )
     cli.main()
@@ -241,4 +264,5 @@ def test_attention_error_cli_wiring(tmp_path, tiny_cache, monkeypatch, capsys):
     assert calls["n_queries"] == 8
     assert calls["gains"] == (2.0, 16.0)
     assert calls["epochs"] == 7
+    assert calls["qat_epochs"] == 11
     assert calls["kv_dir"] == tiny_cache

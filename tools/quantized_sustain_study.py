@@ -84,11 +84,16 @@ def main() -> None:
         _init_batch,
     )
     from nerf_attention_tpu.io import kvstore
-    from nerf_attention_tpu.ops.quantize import parse_scheme, quantize_params
+    from nerf_attention_tpu.ops.quantize import (
+        parse_scheme,
+        quantize_params,
+        split_scheme,
+    )
     from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
     medium = CONFIGS_BY_NAME["medium"]
     _, bits, group = parse_scheme(args.scheme)
+    skip_first = split_scheme(args.scheme)[1]
     if group is None:
         raise SystemExit(f"--scheme must be group-wise int, got {args.scheme!r}")
 
@@ -148,6 +153,9 @@ def main() -> None:
     qat_master, _ = qat_finetune_batch(
         master, jnp.asarray(tn), omega=medium.omega_0, fm_mult=args.fm_mult,
         epochs=args.qat_epochs, group=group, bits=bits,
+        # _l0fp32 schemes store layer 0 fp32 — the repair must tune against
+        # the same grid the payload uses.
+        skip_first=skip_first,
     )
 
     starts = {
