@@ -39,7 +39,24 @@ from nerf_attention_tpu.types import SIRENConfig
 def pack_codes(q: np.ndarray, bits: int) -> np.ndarray:
     """Pack symmetric int codes (-qmax..qmax) into a dense little-endian
     ``bits``-bit stream (uint8). ceil(size*bits/8) bytes — the accounting
-    ``param_bytes`` charges for an int<B> payload."""
+    ``param_bytes`` charges for an int<B> payload.
+
+    Uses the native codec (`native/qcodec.cpp`, bit-exact twin) when a
+    compiler is available; the numpy path is the fallback."""
+    from nerf_attention_tpu.native import load_qcodec
+
+    lib = load_qcodec()
+    if lib is not None:
+        import ctypes
+
+        codes = np.ascontiguousarray(q.reshape(-1), dtype=np.int8)
+        out = np.empty(-(-codes.size * bits // 8), dtype=np.uint8)
+        lib.pack_codes(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_long(codes.size), ctypes.c_int(bits),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
     qmax = (1 << (bits - 1)) - 1
     u = (q.reshape(-1).astype(np.int16) + qmax).astype(np.uint8)
     if bits == 8:
@@ -50,6 +67,20 @@ def pack_codes(q: np.ndarray, bits: int) -> np.ndarray:
 
 def unpack_codes(packed: np.ndarray, bits: int, size: int) -> np.ndarray:
     """Inverse of :func:`pack_codes` — recover ``size`` int8 codes."""
+    from nerf_attention_tpu.native import load_qcodec
+
+    lib = load_qcodec()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(np.asarray(packed, np.uint8))
+        out = np.empty(size, dtype=np.int8)
+        lib.unpack_codes(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(size), ctypes.c_int(bits),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        return out
     qmax = (1 << (bits - 1)) - 1
     if bits == 8:
         u = packed[:size]
