@@ -201,6 +201,12 @@ def test_attention_error_storage_schemes(tmp_path, tiny_cache):
     for block in row["storage"].values():
         assert -1.0 <= block["key_proxy_cosine"] <= 1.0
         assert -1.0 <= block["value_proxy_cosine"] <= 1.0
+    # The figure's stored-payload overlay branch renders too.
+    figs = tmp_path / "figs"
+    plot_attention_error(results, figs)
+    from tests.conftest import assert_figure_png
+
+    assert_figure_png(figs / "attention_error.png")
 
 
 def test_attention_error_rejects_bad_schemes_before_fitting(
