@@ -57,6 +57,10 @@ from nerf_attention_tpu.ops.siren_pallas import (
     siren_decode_batch,
     siren_decode_fused,
 )
+from nerf_attention_tpu.ops.siren_attention_pallas import (
+    siren_attention_decode,
+    siren_attention_decode_fused,
+)
 
 __all__ = [
     "CONFIGS_FULL",
@@ -91,6 +95,8 @@ __all__ = [
     "fast_sincos",
     "siren_decode_fused",
     "siren_decode_batch",
+    "siren_attention_decode",
+    "siren_attention_decode_fused",
     "fm_frequency_multipliers",
     "siren_apply_fm",
     "siren_apply_maybe_fm",

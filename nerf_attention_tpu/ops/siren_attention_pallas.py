@@ -305,6 +305,69 @@ def siren_attention_decode_reference(
     )
 
 
+def siren_attention_decode_sharded(
+    k_params,
+    v_params,
+    k_mean,
+    k_std,
+    v_mean,
+    v_std,
+    q,
+    omega: float,
+    seq_len: int,
+    mesh,
+    axis: str = "fit",
+    interpret: bool = False,
+    sin_impl: str = "fast",
+    fm_mult: float | None = None,
+    causal: bool = True,
+) -> jax.Array:
+    """Fused attention-from-parameters with the head axis over a mesh.
+
+    The serving scale-out: a model's full KV-cache replacement is hundreds
+    of (key-net, value-net) pairs — 512 for the study's 32Lx8Hx2 geometry —
+    and each head's attention is independent, so the head axis shards with
+    zero collectives, exactly like `siren_decode_batch_sharded`. Head count
+    must be divisible by the mesh size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = q.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        raise ValueError(f"head count {n} not divisible by mesh size {n_dev}")
+
+    leaf = P(axis, None, None)
+    bias = P(axis, None)
+    param_specs = [(leaf, bias) for _ in k_params]
+    in_specs = (param_specs, param_specs, leaf, leaf, leaf, leaf, leaf)
+    body = lambda kp, vp, km, ks, vm, vs, qq: siren_attention_decode_fused(
+        kp, vp, km, ks, vm, vs, qq, omega, seq_len, interpret=interpret,
+        sin_impl=sin_impl, fm_mult=fm_mult, causal=causal,
+    )
+    common = dict(mesh=mesh, in_specs=in_specs, out_specs=leaf)
+    try:
+        fn = jax.shard_map(body, check_vma=False, **common)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        fn = _shard_map(body, check_rep=False, **common)
+    shard = lambda x, spec: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, spec)
+    )
+    k_params = [(shard(w, leaf), shard(b, bias)) for w, b in k_params]
+    v_params = [(shard(w, leaf), shard(b, bias)) for w, b in v_params]
+    return fn(
+        k_params,
+        v_params,
+        shard(jnp.asarray(k_mean, jnp.float32).reshape(n, 1, -1), leaf),
+        shard(jnp.asarray(k_std, jnp.float32).reshape(n, 1, -1), leaf),
+        shard(jnp.asarray(v_mean, jnp.float32).reshape(n, 1, -1), leaf),
+        shard(jnp.asarray(v_std, jnp.float32).reshape(n, 1, -1), leaf),
+        shard(q, leaf),
+    )
+
+
 def siren_attention_decode(
     k_params,
     v_params,

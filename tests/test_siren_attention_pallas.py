@@ -126,6 +126,38 @@ def test_unaligned_seq_and_tile_padding():
     np.testing.assert_allclose(b, want, atol=5e-5, rtol=1e-4)
 
 
+def test_sharded_attention_matches_local():
+    """shard_map over the head axis on the 8-device CPU mesh == local."""
+    from nerf_attention_tpu.ops.siren_attention_pallas import (
+        siren_attention_decode_sharded,
+    )
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+    config = SIRENConfig(32, 1, 30.0, "t32")
+    args = _heads(8, config, seed=15)
+    q = _queries(8, 2, seed=16)
+    mesh = fit_mesh()
+    got = np.asarray(
+        siren_attention_decode_sharded(*args, q, 30.0, 128, mesh, interpret=True)
+    )
+    want = np.asarray(siren_attention_decode(*args, q, 30.0, 128, tile=64))
+    assert got.shape == (8, 2, D)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_sharded_attention_rejects_ragged():
+    from nerf_attention_tpu.ops.siren_attention_pallas import (
+        siren_attention_decode_sharded,
+    )
+    from nerf_attention_tpu.parallel.mesh import fit_mesh
+
+    config = SIRENConfig(16, 1, 30.0, "t")
+    args = _heads(6, config, seed=17)  # 6 % 8 != 0
+    q = _queries(6, 1, seed=18)
+    with pytest.raises(ValueError, match="divisible"):
+        siren_attention_decode_sharded(*args, q, 30.0, 64, fit_mesh(), interpret=True)
+
+
 def test_softmax_normalization():
     """With identical value nets collapsed to a constant, the attention
     output must equal that constant regardless of key content — the online

@@ -1,0 +1,222 @@
+"""Attention-from-parameters ladder: one-pass fused vs two-pass vs cache.
+
+The serving question behind `ops/siren_attention_pallas.py`: what does a
+decode step ``O = softmax(q K^T / sqrt(d)) V`` cost when the KV cache is
+stored as SIREN parameters? Three paths, measured per seq_len over a
+layer's worth of heads:
+
+  * ``fused``   — the one-pass kernel: K/V tiles reconstructed in VMEM and
+    consumed by the online softmax; no reconstructed tensor touches HBM.
+  * ``twopass`` — the pre-kernel story: batched fused decode materializes
+    K-hat/V-hat to HBM, XLA attention reads them back.
+  * ``cache``   — the conventional baseline: attention over an fp32 KV
+    cache already resident in HBM (what serving pays when the cache is
+    stored raw; its memory cost is the ``kv_bytes`` column).
+
+All three run under the same dependent-loop two-point timer as the rest of
+the benchmarks (`utils/timing.py`): the loop body perturbs the first-layer
+biases of BOTH nets and the query block by (output mean * 1e-30), so no
+pass can be hoisted, and replicates are interleaved. A fused-vs-twopass
+parity check at the first ladder point is recorded in the JSON.
+
+Run on the real chip:
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/measure_attention_decode.py \
+        --out benchmarks/r4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+LADDER = [2048, 8192, 32768]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", type=str, default="benchmarks/r4")
+    parser.add_argument("--samples", type=int, default=5)
+    parser.add_argument("--n_heads", type=int, default=8)
+    parser.add_argument("--head_dim", type=int, default=128)
+    parser.add_argument("--n_queries", type=int, default=1)
+    parser.add_argument("--config", type=str, default="medium")
+    parser.add_argument("--sin_impl", type=str, default="fast")
+    parser.add_argument(
+        "--ladder", type=str, default=None,
+        help="comma-separated seq_len override (smoke tests)",
+    )
+    args = parser.parse_args()
+    ladder = [int(x) for x in args.ladder.split(",")] if args.ladder else LADDER
+
+    from nerf_attention_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_attention_tpu.experiments.attention_error import attention_outputs
+    from nerf_attention_tpu.models.siren import init_siren
+    from nerf_attention_tpu.ops.siren_attention_pallas import (
+        siren_attention_decode_fused,
+    )
+    from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+    from nerf_attention_tpu.utils.timing import (
+        _on_tpu,
+        _per_iter_samples,
+        replicate_stats,
+    )
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    config = CONFIGS_BY_NAME[args.config]
+    n, d, t = args.n_heads, args.head_dim, args.n_queries
+    log(f"backend={jax.default_backend()}  config={config.name}  "
+        f"heads={n}  D={d}  T={t}")
+
+    # Warm the client before any timed work.
+    np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 2 * n + 3)
+    stack = lambda plist: [
+        (jnp.stack([p[i][0] for p in plist]), jnp.stack([p[i][1] for p in plist]))
+        for i in range(len(plist[0]))
+    ]
+    k_params = stack([init_siren(keys[i], config, d) for i in range(n)])
+    v_params = stack([init_siren(keys[n + i], config, d) for i in range(n)])
+    k_mean = jax.random.normal(keys[-3], (n, 1, d)) * 0.3
+    v_mean = jax.random.normal(keys[-2], (n, 1, d)) * 0.3
+    k_std = jnp.abs(k_mean) + 0.7
+    v_std = jnp.abs(v_mean) + 0.5
+    q = jax.random.normal(keys[-1], (n, t, d)) * 0.8
+    per_net_elems = sum(w.size // n + b.size // n for w, b in k_params)
+    param_bytes = 2 * n * per_net_elems * 4
+
+    def time_variant(forward, operands, reps):
+        """Dependent-loop timer over (k_params, v_params, q) operands."""
+
+        @jax.jit
+        def run(ops, n_iter):
+            def body(_, carry):
+                (kp, vp, qq), acc = carry
+                out = forward(kp, vp, qq)
+                delta = jnp.mean(out).astype(jnp.float32) * 1e-30
+                kp2 = [(kp[0][0], kp[0][1] + delta)] + list(kp[1:])
+                vp2 = [(vp[0][0], vp[0][1] + delta)] + list(vp[1:])
+                return ((kp2, vp2, qq + delta), acc + delta)
+
+            return jax.lax.fori_loop(0, n_iter, body, (ops, jnp.float32(0.0)))[1]
+
+        deltas = [
+            v * 1e3
+            for v in _per_iter_samples(run, operands, reps=reps, samples=args.samples)
+        ]
+        return replicate_stats(deltas)
+
+    omega = float(config.omega_0)
+    rows = []
+    parity = None
+    for seq_len in ladder:
+        t0 = time.perf_counter()
+
+        def fused(kp, vp, qq, _s=seq_len):
+            return siren_attention_decode_fused(
+                kp, vp, k_mean, k_std, v_mean, v_std, qq, omega, _s,
+                sin_impl=args.sin_impl, causal=False,
+            )
+
+        def twopass(kp, vp, qq, _s=seq_len):
+            k_hat = (
+                siren_decode_batch(kp, omega, _s, sin_impl=args.sin_impl)
+                * k_std + k_mean
+            )
+            v_hat = (
+                siren_decode_batch(vp, omega, _s, sin_impl=args.sin_impl)
+                * v_std + v_mean
+            )
+            allowed = jnp.ones((t, _s), bool)
+            return jax.vmap(
+                lambda qh, kh, vh: attention_outputs(qh, kh, vh, allowed)[0]
+            )(qq, k_hat, v_hat)
+
+        k_cache = jax.random.normal(jax.random.PRNGKey(7), (n, seq_len, d))
+        v_cache = jax.random.normal(jax.random.PRNGKey(8), (n, seq_len, d))
+
+        def cache_attn(kp, vp, qq, _s=seq_len):
+            allowed = jnp.ones((t, _s), bool)
+            return jax.vmap(
+                lambda qh, kh, vh: attention_outputs(qh, kh, vh, allowed)[0]
+            )(qq, k_cache, v_cache)
+
+        if parity is None:
+            a = np.asarray(fused(k_params, v_params, q))
+            b = np.asarray(twopass(k_params, v_params, q))
+            parity = {
+                "seq_len": seq_len,
+                "max_abs_err": float(np.abs(a - b).max()),
+                "mean_abs_err": float(np.abs(a - b).mean()),
+            }
+            log(f"  parity fused-vs-twopass @S={seq_len}: "
+                f"max {parity['max_abs_err']:.2e}")
+
+        reps = (
+            max(30, 2_000_000 // max(seq_len * n, 1)) if _on_tpu() else 10
+        )
+        operands = (k_params, v_params, q)
+        fused_ms = time_variant(fused, operands, reps)
+        twopass_ms = time_variant(twopass, operands, reps)
+        cache_ms = time_variant(cache_attn, operands, reps)
+        kv_bytes = 2 * n * seq_len * d * 4
+        row = {
+            "seq_len": seq_len,
+            "fused_ms": fused_ms,
+            "twopass_ms": twopass_ms,
+            "cache_attn_ms": cache_ms,
+            "speedup_vs_twopass": twopass_ms["median"]
+            / max(fused_ms["median"], 1e-12),
+            "fused_over_cache": fused_ms["median"] / max(cache_ms["median"], 1e-12),
+            "kv_bytes_fp32": kv_bytes,
+            "param_bytes_fp32": param_bytes,
+            "compression": kv_bytes / max(param_bytes, 1),
+        }
+        rows.append(row)
+        log(
+            f"  S={seq_len}: fused {fused_ms['median']:.4f}ms "
+            f"[{fused_ms['q25']:.4f},{fused_ms['q75']:.4f}]  "
+            f"twopass {twopass_ms['median']:.4f}ms "
+            f"[{twopass_ms['q25']:.4f},{twopass_ms['q75']:.4f}]  "
+            f"cache {cache_ms['median']:.4f}ms "
+            f"[{cache_ms['q25']:.4f},{cache_ms['q75']:.4f}]  "
+            f"speedup {row['speedup_vs_twopass']:.2f}x  "
+            f"(took {time.perf_counter() - t0:.0f}s)"
+        )
+
+    payload = {
+        "backend": jax.default_backend(),
+        "config": config.name,
+        "n_heads": n,
+        "head_dim": d,
+        "n_queries": t,
+        "sin_impl": args.sin_impl,
+        "samples_per_point": args.samples,
+        "parity_fused_vs_twopass": parity,
+        "ladder": rows,
+    }
+    with open(out_dir / "attention_decode.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    log(f"wrote {out_dir / 'attention_decode.json'}")
+
+
+if __name__ == "__main__":
+    main()
