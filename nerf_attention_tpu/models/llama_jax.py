@@ -429,6 +429,33 @@ def _layer_forward(
     return h, (k, v)
 
 
+def _scanned_layers(config: LlamaConfig, params: dict) -> dict:
+    """Layer leaves + per-layer flag leaves for the decoder scan.
+
+    Per-layer sliding windows ride the scan as one more leaf (<= 0 means
+    full attention for that layer); Gemma3's sliding layers additionally
+    carry a flag selecting the local-base rope table.
+    """
+    layers = params["layers"]
+    if config.layer_windows is not None:
+        layers = dict(layers)
+        layers["window"] = jnp.asarray(
+            [w if w else 0 for w in config.layer_windows], dtype=jnp.int32
+        )
+    if config.rope_local_theta is not None:
+        if config.layer_windows is not None:
+            local_flags = [1 if w else 0 for w in config.layer_windows]
+        else:
+            # Uniform-window (or windowless) config: every layer shares one
+            # attention type, so one flag serves all.
+            local_flags = [
+                1 if config.sliding_window is not None else 0
+            ] * config.num_hidden_layers
+        layers = dict(layers)
+        layers["rope_local"] = jnp.asarray(local_flags, dtype=jnp.int32)
+    return layers
+
+
 @partial(jax.jit, static_argnames=("config",))
 def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
     """One prefill pass -> per-layer post-RoPE KV.
@@ -452,27 +479,10 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
     cos, sin = rope_table()
     cos_local = sin_local = None
 
-    layers = params["layers"]
-    if config.layer_windows is not None:
-        # Per-layer sliding windows ride the scan as one more leaf (<= 0
-        # means full attention for that layer).
-        layers = dict(layers)
-        layers["window"] = jnp.asarray(
-            [w if w else 0 for w in config.layer_windows], dtype=jnp.int32
-        )
+    layers = _scanned_layers(config, params)
     if config.rope_local_theta is not None:
         # Gemma3: sliding layers use the local-base rope table.
         cos_local, sin_local = rope_table(config.rope_local_theta)
-        if config.layer_windows is not None:
-            local_flags = [1 if w else 0 for w in config.layer_windows]
-        else:
-            # Uniform-window (or windowless) config: every layer shares one
-            # attention type, so one flag serves all.
-            local_flags = [
-                1 if config.sliding_window is not None else 0
-            ] * config.num_hidden_layers
-        layers = dict(layers)
-        layers["rope_local"] = jnp.asarray(local_flags, dtype=jnp.int32)
 
     def scan_layer(h, lp):
         h, kv = _layer_forward(
@@ -482,6 +492,149 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
 
     _, (keys, values) = jax.lax.scan(scan_layer, h, layers)
     return keys, values
+
+
+def _layer_decode(
+    config: LlamaConfig, h: jax.Array, lp: dict, cache_k, cache_v,
+    position, cos, sin, cos_local=None, sin_local=None,
+):
+    """One decoder layer for a single token over an S-token KV cache.
+
+    h: (1, hidden). cache_k/cache_v: (n_kv, S, D) post-RoPE — the layout
+    `llama_prefill_kv` emits per layer. Mirrors `_layer_forward` exactly,
+    except attention runs the one query at ``position`` over the
+    concatenated [cache; new] keys/values.
+    Returns (h, (k_new, v_new)), k_new/v_new (n_kv, 1, D).
+    """
+    n_q, n_kv, d = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+
+    if "rope_local" in lp:
+        use_local = lp["rope_local"] > 0
+        cos = jnp.where(use_local, cos_local, cos)
+        sin = jnp.where(use_local, sin_local, sin)
+
+    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
+    q = (x @ lp["q"] + lp["q_bias"]).reshape(1, n_q, d).transpose(1, 0, 2)
+    k = (x @ lp["k"] + lp["k_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
+    v = (x @ lp["v"] + lp["v_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
+
+    if config.qk_norm:
+        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
+        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    k_full = jnp.concatenate([cache_k, k], axis=1)  # (n_kv, S+1, D)
+    v_full = jnp.concatenate([cache_v, v], axis=1)
+    group = n_q // n_kv
+    kf = jnp.repeat(k_full, group, axis=0)
+    vf = jnp.repeat(v_full, group, axis=0)
+
+    scale = (
+        jax.lax.rsqrt(jnp.float32(d))
+        if config.attn_scale is None
+        else jnp.float32(config.attn_scale)
+    )
+    logits = (
+        jnp.einsum("hqd,hkd->hqk", q, kf, preferred_element_type=jnp.float32)
+        * scale
+    )  # (n_q, 1, S+1)
+    if config.attn_logit_softcap is not None:
+        cap = config.attn_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    cols = jnp.arange(k_full.shape[1])
+    keep = cols <= position
+    window = lp["window"] if "window" in lp else config.sliding_window
+    if isinstance(window, jax.Array):
+        keep &= (window <= 0) | (cols > position - window)
+    elif window is not None:
+        keep &= cols > position - window
+    logits = jnp.where(keep[None, None, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+    attn = jnp.einsum("hqk,hkd->hqd", probs, vf)  # (n_q, 1, D)
+    attn = attn.transpose(1, 0, 2).reshape(1, n_q * d)
+    attn_out = attn @ lp["o"]
+
+    act = _mlp_act(config.hidden_act)
+    if config.sandwich_norms:
+        h = h + _rms_norm(
+            attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
+        )
+        x = _rms_norm(
+            h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+        )
+        gated = act(x @ lp["gate"]) * (x @ lp["up"])
+        h = h + _rms_norm(
+            gated @ lp["down"], lp["post_ffn_norm"],
+            config.rms_norm_eps, config.norm_offset,
+        )
+    else:
+        h = h + attn_out
+        x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
+        gated = act(x @ lp["gate"]) * (x @ lp["up"])
+        h = h + gated @ lp["down"]
+    return h, (k, v)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def llama_decode_step(
+    config: LlamaConfig,
+    params: dict,
+    token_id: jax.Array,
+    position: jax.Array,
+    cache_keys: jax.Array,
+    cache_values: jax.Array,
+):
+    """One autoregressive decode step over a per-layer KV cache.
+
+    The cache-swap serving surface of the study: ``cache_keys`` /
+    ``cache_values`` are (num_layers, num_kv_heads, S, head_dim) post-RoPE
+    tensors in `llama_prefill_kv`'s layout — the true cache, or ANY
+    reconstruction of it (SIREN decodes, dequantized payloads), making
+    end-to-end "serve from compressed cache" runnable: the swap changes
+    nothing else about the forward. ``token_id``/``position`` are scalars
+    (position is the new token's absolute position, normally S).
+
+    Returns (h_last (hidden,), (k_new, v_new) each (num_layers,
+    num_kv_heads, 1, head_dim)). The model's weight set stops at the KV /
+    hidden-state surface (extraction contract — no lm_head is loaded;
+    see module docstring), so the decode step returns the final hidden
+    state before any output norm/readout.
+    """
+    h = params["embed"][token_id][None, :]
+    if config.scale_embeddings:
+        h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+    position = jnp.asarray(position, jnp.int32)
+
+    def rope_row(theta=None):
+        inv_freq = jnp.asarray(_rope_frequencies(config, theta))
+        angles = position.astype(jnp.float32) * inv_freq  # (D/2,)
+        angles = jnp.concatenate([angles, angles])[None, :]  # (1, D)
+        return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+
+    cos, sin = rope_row()
+    cos_local = sin_local = None
+    if config.rope_local_theta is not None:
+        cos_local, sin_local = rope_row(config.rope_local_theta)
+
+    def scan_layer(h, xs):
+        lp, ck, cv = xs
+        h, kv = _layer_decode(
+            config, h, lp, ck, cv, position, cos, sin,
+            cos_local=cos_local, sin_local=sin_local,
+        )
+        return h, kv
+
+    layers = _scanned_layers(config, params)
+    h, (k_new, v_new) = jax.lax.scan(
+        scan_layer, h, (layers, cache_keys, cache_values)
+    )
+    return h[0], (k_new, v_new)
 
 
 # ---------------------------------------------------------------------------

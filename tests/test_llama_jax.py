@@ -617,3 +617,156 @@ def test_gemma_hub_configs_without_layer_types():
     # pattern 3: full attention at layers 2 and 5.
     assert gemma3.layer_windows == (1024, 1024, None, 1024, 1024, None, 1024)
     assert gemma3.rope_local_theta == 10_000.0
+
+
+# ---------------------------------------------------------------------------
+# Decode step over a KV cache (the cache-swap serving surface)
+# ---------------------------------------------------------------------------
+
+_DECODE_CONFIGS = {
+    "base_gqa": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4,
+    ),
+    "qwen3ish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, qk_norm=True,
+    ),
+    "gemma2ish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, hidden_act="gelu_pytorch_tanh", norm_offset=True,
+        scale_embeddings=True, attn_scale=16**-0.5,
+        attn_logit_softcap=1.0, sandwich_norms=True,
+        layer_windows=(3, None, 3),
+    ),
+    "gemma3ish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, norm_offset=True, rope_local_theta=1000.0,
+        layer_windows=(4, None, 4),
+    ),
+}
+
+
+def _spiced_params(config, seed=0):
+    """Random params with nonzero QKV biases so the bias path bites."""
+    params = init_random_llama(config, seed=seed)
+    rng = np.random.RandomState(seed + 1)
+    layers = dict(params["layers"])
+    for name in ("q_bias", "k_bias", "v_bias"):
+        layers[name] = jnp.asarray(
+            rng.randn(*layers[name].shape) * 0.02, dtype=jnp.float32
+        )
+    return {**params, "layers": layers}
+
+
+@pytest.mark.parametrize("name", list(_DECODE_CONFIGS), ids=list(_DECODE_CONFIGS))
+def test_decode_step_matches_prefill(name):
+    """Autoregressive consistency: the decode step's new per-layer K/V over
+    the first-S cache must equal prefill's position-S rows (which
+    transitively checks every layer's hidden state through attention over
+    the cache — any drift in any earlier layer would shift them)."""
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+
+    config = _DECODE_CONFIGS[name]
+    params = _spiced_params(config)
+    rng = np.random.RandomState(7)
+    s = 10
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + 1), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+
+    h_last, (k_new, v_new) = llama_decode_step(
+        config, params, ids[s], s, keys[:, :, :s, :], values[:, :, :s, :]
+    )
+    assert h_last.shape == (config.hidden_size,)
+    assert np.isfinite(np.asarray(h_last)).all()
+    np.testing.assert_allclose(
+        np.asarray(k_new), np.asarray(keys[:, :, s : s + 1, :]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_new), np.asarray(values[:, :, s : s + 1, :]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_decode_step_cache_swap_semantics():
+    """Swapping in a perturbed cache moves the output, monotonically in the
+    perturbation — the end-to-end surface a SIREN-reconstructed cache
+    plugs into."""
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+
+    config = _DECODE_CONFIGS["base_gqa"]
+    params = _spiced_params(config, seed=3)
+    rng = np.random.RandomState(11)
+    s = 12
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + 1), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+    ck, cv = keys[:, :, :s, :], values[:, :, :s, :]
+
+    h_true, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    h_same, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    np.testing.assert_array_equal(np.asarray(h_true), np.asarray(h_same))
+
+    noise = jnp.asarray(rng.randn(*ck.shape), jnp.float32)
+    drifts = []
+    for eps in (0.01, 0.1, 1.0):
+        h_hat, _ = llama_decode_step(
+            config, params, ids[s], s, ck + eps * noise, cv
+        )
+        drifts.append(float(jnp.linalg.norm(h_hat - h_true)))
+    assert drifts[0] > 0.0
+    assert drifts[0] < drifts[1] < drifts[2]
+
+
+def test_decode_step_from_siren_reconstructed_cache():
+    """The full pipeline: prefill a tiny model, fit one SIREN per
+    (layer, head, K|V) slice with the sweep trainer, rebuild the cache
+    from the nets, and run the decode step on the reconstruction."""
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+    from nerf_attention_tpu.models.siren import positions, siren_apply
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import SIRENConfig
+
+    config = _DECODE_CONFIGS["base_gqa"]
+    params = _spiced_params(config, seed=5)
+    rng = np.random.RandomState(13)
+    s = 32
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + 1), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+    ck, cv = np.asarray(keys[:, :, :s, :]), np.asarray(values[:, :, :s, :])
+
+    n_l, n_kv, _, d = ck.shape
+    targets = np.concatenate([ck, cv]).reshape(2 * n_l * n_kv, s, d)
+    net = SIRENConfig(32, 2, 30.0, "t32")
+    batch = fit_batch(targets, net, epochs=400, seed=0)
+
+    import jax
+
+    pos = positions(s)
+    recon = jax.vmap(
+        lambda p, m, sd: siren_apply(p, net.omega_0, pos) * sd + m
+    )(
+        [(jnp.asarray(w), jnp.asarray(b)) for w, b in batch.params],
+        jnp.asarray(batch.target_mean),
+        jnp.asarray(batch.target_std),
+    )
+    recon = np.asarray(recon).reshape(2 * n_l, n_kv, s, d)
+    ck_hat, cv_hat = jnp.asarray(recon[:n_l]), jnp.asarray(recon[n_l:])
+
+    h_true, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    h_hat, (k_new, v_new) = llama_decode_step(
+        config, params, ids[s], s, ck_hat, cv_hat
+    )
+    assert np.isfinite(np.asarray(h_hat)).all()
+    assert k_new.shape == (n_l, n_kv, 1, d)
+    # The reconstruction trained to reasonable CosSim; the decode output
+    # must land near the true-cache output (loose bound — tiny nets).
+    cos = float(
+        jnp.dot(h_hat, h_true)
+        / (jnp.linalg.norm(h_hat) * jnp.linalg.norm(h_true))
+    )
+    assert cos > 0.9, (cos, float(batch.cosine_mean.mean()))
