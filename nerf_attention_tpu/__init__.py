@@ -29,6 +29,10 @@ from nerf_attention_tpu.extract import (
     extract_kv_cache_synthetic,
     get_sample_text,
 )
+from nerf_attention_tpu.models.llama_jax import (
+    llama_decode_step,
+    llama_prefill_kv,
+)
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
 from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.fit import fit_kv_cache, fit_siren
@@ -97,6 +101,8 @@ __all__ = [
     "siren_decode_batch",
     "siren_attention_decode",
     "siren_attention_decode_fused",
+    "llama_decode_step",
+    "llama_prefill_kv",
     "fm_frequency_multipliers",
     "siren_apply_fm",
     "siren_apply_maybe_fm",
