@@ -556,6 +556,12 @@ def _layer_decode(
         keep &= cols > position - window
     logits = jnp.where(keep[None, None, :], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+    # Per-head attention entropy (nats) of the new token — the sharpness
+    # observable the end-metric studies condition on (experiment 8).
+    p32 = probs.astype(jnp.float32)
+    entropy = -jnp.sum(
+        jnp.where(p32 > 0, p32 * jnp.log(p32), 0.0), axis=(-2, -1)
+    )  # (n_q,)
     attn = jnp.einsum("hqk,hkd->hqd", probs, vf)  # (n_q, 1, D)
     attn = attn.transpose(1, 0, 2).reshape(1, n_q * d)
     attn_out = attn @ lp["o"]
@@ -578,7 +584,7 @@ def _layer_decode(
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
         gated = act(x @ lp["gate"]) * (x @ lp["up"])
         h = h + gated @ lp["down"]
-    return h, (k, v)
+    return h, (k, v, entropy)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -601,10 +607,13 @@ def llama_decode_step(
     (position is the new token's absolute position, normally S).
 
     Returns (h_last (hidden,), (k_new, v_new) each (num_layers,
-    num_kv_heads, 1, head_dim)). The model's weight set stops at the KV /
-    hidden-state surface (extraction contract — no lm_head is loaded;
-    see module docstring), so the decode step returns the final hidden
-    state before any output norm/readout.
+    num_kv_heads, 1, head_dim), attn_entropy (num_layers,
+    num_attention_heads) — the new token's per-head attention entropy in
+    nats, the sharpness observable the end-metric studies condition on).
+    The model's weight set stops at the KV / hidden-state surface
+    (extraction contract — no lm_head is loaded; see module docstring), so
+    the decode step returns the final hidden state before any output
+    norm/readout.
     """
     h = params["embed"][token_id][None, :]
     if config.scale_embeddings:
@@ -631,10 +640,10 @@ def llama_decode_step(
         return h, kv
 
     layers = _scanned_layers(config, params)
-    h, (k_new, v_new) = jax.lax.scan(
+    h, (k_new, v_new, entropy) = jax.lax.scan(
         scan_layer, h, (layers, cache_keys, cache_values)
     )
-    return h[0], (k_new, v_new)
+    return h[0], (k_new, v_new), entropy
 
 
 # ---------------------------------------------------------------------------

@@ -678,10 +678,19 @@ def test_decode_step_matches_prefill(name):
     ids = jnp.asarray(rng.randint(0, config.vocab_size, s + 1), jnp.int32)
     keys, values = llama_prefill_kv(config, params, ids)
 
-    h_last, (k_new, v_new) = llama_decode_step(
+    h_last, (k_new, v_new), entropy = llama_decode_step(
         config, params, ids[s], s, keys[:, :, :s, :], values[:, :, :s, :]
     )
     assert h_last.shape == (config.hidden_size,)
+    assert entropy.shape == (
+        config.num_hidden_layers, config.num_attention_heads
+    )
+    ent = np.asarray(entropy)
+    assert np.isfinite(ent).all() and (ent >= 0).all()
+    # Random-init attention over 10 tokens is near-uniform: entropy close
+    # to log(S+1) unless a sliding window trims the support.
+    if config.layer_windows is None and config.sliding_window is None:
+        assert float(ent.mean()) > 0.5 * np.log(s + 1)
     assert np.isfinite(np.asarray(h_last)).all()
     np.testing.assert_allclose(
         np.asarray(k_new), np.asarray(keys[:, :, s : s + 1, :]),
@@ -707,14 +716,14 @@ def test_decode_step_cache_swap_semantics():
     keys, values = llama_prefill_kv(config, params, ids)
     ck, cv = keys[:, :, :s, :], values[:, :, :s, :]
 
-    h_true, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
-    h_same, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    h_true, _, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    h_same, _, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
     np.testing.assert_array_equal(np.asarray(h_true), np.asarray(h_same))
 
     noise = jnp.asarray(rng.randn(*ck.shape), jnp.float32)
     drifts = []
     for eps in (0.01, 0.1, 1.0):
-        h_hat, _ = llama_decode_step(
+        h_hat, _, _ = llama_decode_step(
             config, params, ids[s], s, ck + eps * noise, cv
         )
         drifts.append(float(jnp.linalg.norm(h_hat - h_true)))
@@ -757,8 +766,8 @@ def test_decode_step_from_siren_reconstructed_cache():
     recon = np.asarray(recon).reshape(2 * n_l, n_kv, s, d)
     ck_hat, cv_hat = jnp.asarray(recon[:n_l]), jnp.asarray(recon[n_l:])
 
-    h_true, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
-    h_hat, (k_new, v_new) = llama_decode_step(
+    h_true, _, _ = llama_decode_step(config, params, ids[s], s, ck, cv)
+    h_hat, (k_new, v_new), _ = llama_decode_step(
         config, params, ids[s], s, ck_hat, cv_hat
     )
     assert np.isfinite(np.asarray(h_hat)).all()
