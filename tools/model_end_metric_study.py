@@ -61,6 +61,14 @@ def main() -> None:
     parser.add_argument("--gains", type=str, default=None)
     parser.add_argument("--schemes", type=str, default=None)
     parser.add_argument("--layers", type=int, default=8)
+    parser.add_argument(
+        "--seed", type=int, default=0,
+        help="seeds the model init, token ids, and fits (replicate runs)",
+    )
+    parser.add_argument(
+        "--tag", type=str, default="",
+        help="suffix for the output filename (replicate runs)",
+    )
     args = parser.parse_args()
     gains = (
         [float(x) for x in args.gains.split(",")] if args.gains else list(DEFAULT_GAINS)
@@ -134,10 +142,12 @@ def main() -> None:
         "gains": [],
     }
 
+    results["seed"] = args.seed
+
     for gain in gains:
         t0 = time.perf_counter()
-        rng = np.random.RandomState(0)
-        params = init_random_llama(config, seed=0)
+        rng = np.random.RandomState(args.seed)
+        params = init_random_llama(config, seed=args.seed)
         layers = dict(params["layers"])
         scale = jnp.asarray(np.sqrt(gain), jnp.float32)
         layers["q"] = layers["q"] * scale
@@ -161,7 +171,7 @@ def main() -> None:
         targets = np.concatenate(
             [np.asarray(ck), np.asarray(cv)]
         ).reshape(2 * n_l * n_kv, s, d)
-        batch = fit_batch(targets, net, epochs=args.epochs, seed=0)
+        batch = fit_batch(targets, net, epochs=args.epochs, seed=args.seed)
         n_half = n_l * n_kv
         log(f"  gain={gain}: fit K CosSim "
             f"{float(batch.cosine_mean[:n_half].mean()):.4f} / V "
@@ -213,27 +223,40 @@ def main() -> None:
                     for v in VARIANTS
                 ))
 
-            # --- propagation profile (master only): swap layers < j ---
+            # --- propagation profiles (master only) ---
+            # prefix: swap layers < j (early-to-late rollout); suffix:
+            # swap layers >= j (late-to-early). Comparing them separates
+            # "partial swaps are bad" (both dip below the full swap) from
+            # "early layers are fragile" (only prefix dips).
             if scheme == "master":
-                profile = []
-                for j in range(n_l + 1):
-                    mask = (jnp.arange(n_l) < j)[:, None, None, None]
-                    kj = jnp.where(mask, ck_hat, ck)
-                    vj = jnp.where(mask, cv_hat, cv)
-                    h_j, _ = decode_many(params, tokens, positions, kj, vj)
-                    profile.append(
-                        float(np.asarray(out_cos(h_j, h_true)).mean())
-                    )
-                row["propagation_output_cosine_by_swapped_prefix"] = profile
-                log(f"    propagation (j=0..{n_l}): "
-                    + " ".join(f"{p:.5f}" for p in profile))
+                def swap_profile(member):
+                    prof = []
+                    for j in range(n_l + 1):
+                        mask = member(jnp.arange(n_l), j)[:, None, None, None]
+                        kj = jnp.where(mask, ck_hat, ck)
+                        vj = jnp.where(mask, cv_hat, cv)
+                        h_j, _ = decode_many(params, tokens, positions, kj, vj)
+                        prof.append(
+                            float(np.asarray(out_cos(h_j, h_true)).mean())
+                        )
+                    return prof
+
+                prefix = swap_profile(lambda l, j: l < j)
+                suffix = swap_profile(lambda l, j: l >= n_l - j)
+                row["propagation_output_cosine_by_swapped_prefix"] = prefix
+                row["propagation_output_cosine_by_swapped_suffix"] = suffix
+                log(f"    propagation prefix (j=0..{n_l}): "
+                    + " ".join(f"{p:.5f}" for p in prefix))
+                log(f"    propagation suffix (j=0..{n_l}): "
+                    + " ".join(f"{p:.5f}" for p in suffix))
 
         results["gains"].append(row)
         log(f"  gain={gain} done in {time.perf_counter() - t0:.0f}s")
 
-    with open(out_dir / "model_end_metric.json", "w") as f:
+    name = f"model_end_metric{args.tag}.json"
+    with open(out_dir / name, "w") as f:
         json.dump(results, f, indent=2)
-    log(f"wrote {out_dir / 'model_end_metric.json'}")
+    log(f"wrote {out_dir / name}")
 
 
 if __name__ == "__main__":
