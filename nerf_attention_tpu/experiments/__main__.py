@@ -167,6 +167,14 @@ def main() -> None:
         help="incremental: warm fine-tune budget per growth step",
     )
     parser.add_argument(
+        "--incr_coords", choices=["relative", "absolute"],
+        default="relative",
+        help="incremental: coordinate convention while the cache grows — "
+        "relative recompresses linspace(0,1,S) every append (the fit "
+        "pipeline's convention), absolute pins token i at i/(final-1) so "
+        "appends never move learned coordinates",
+    )
+    parser.add_argument(
         "--attn_layers", type=int, nargs="+", default=[0, 8, 17, 31],
         help="attention_error: layer indices to probe (clipped to the cache)",
     )
@@ -404,7 +412,11 @@ def main() -> None:
 
         start_len = args.seq_len
         final_len = args.incr_final_len or 2 * start_len
-        incr_root = root / "incremental"
+        incr_root = root / (
+            "incremental"
+            if args.incr_coords == "relative"
+            else f"incremental_{args.incr_coords}"
+        )
         if args.backend == "synthetic":
             from nerf_attention_tpu.synthetic import ensure_synthetic_cache
 
@@ -429,6 +441,7 @@ def main() -> None:
             epochs_full=args.epochs,
             warm_epochs=args.incr_warm_epochs,
             fm_mult=args.fm_mult,
+            coords=args.incr_coords,
         )
 
     if args.experiment == "all":

@@ -31,6 +31,11 @@ quality, per step and summed over the whole 2048→4096 growth — the
 measured answer to "is a fitted cache maintainable, or must you re-pay the
 full sweep per chunk?".
 
+``coords="absolute"`` re-runs the same protocol with token i pinned at
+i / (final_len - 1) for the whole growth, so appends extend the domain
+instead of recompressing it — isolating how much of the sustaining cost
+is the coordinate convention rather than the new tokens themselves.
+
 Outputs ``incremental_results.json`` and ``incremental_refit.png`` under
 the experiment output dir.
 """
@@ -75,15 +80,18 @@ def _fit_with_trajectory(
     lr: float,
     fm_mult: float | None,
     sin_impl: str = "fast",
+    total_len: int | None = None,
 ):
     """Batched fit recording per-epoch denormalized CosSim.
 
     targets: (N, S, D). init_params: batched leaves [(N, in, out), (N, out)]
     (warm start) or None (fresh init, seeded). Returns (final params,
     trajectory (epochs, N) of mean CosSim vs the UNnormalized targets).
+    ``total_len`` pins coordinates to the cache's final length (absolute
+    convention); None is the relative linspace(0, 1, S) default.
     """
     n, seq_len, d_head = targets.shape
-    pos = positions(seq_len)
+    pos = positions(seq_len, total_len=total_len)
     omega = config.omega_0
     sin = _resolve_sin(sin_impl)
     tx = _make_optimizer(lr, epochs)
@@ -115,11 +123,13 @@ def _fit_with_trajectory(
     return jax.jit(jax.vmap(one_fit))(init_params, targets)
 
 
-def _eval_batch(params, targets, *, config, fm_mult, sin_impl="fast"):
+def _eval_batch(
+    params, targets, *, config, fm_mult, sin_impl="fast", total_len=None
+):
     """Mean denormalized CosSim of batched params against (N, S, D) targets,
     normalizing each target exactly as a fit at this length would."""
     n, seq_len, d_head = targets.shape
-    pos = positions(seq_len)
+    pos = positions(seq_len, total_len=total_len)
     sin = _resolve_sin(sin_impl)
 
     def one(p, target):
@@ -148,13 +158,20 @@ def run_incremental_experiment(
     lr: float = 1e-4,
     tolerance: float = 0.005,
     fm_mult: float | None = None,
+    coords: str = "relative",
     verbose: bool = True,
 ) -> dict:
     """Measure warm-refit vs from-scratch cost over a growing cache.
 
     ``kv_dir`` must hold a cache at the FINAL length (its metadata seq_len);
     prefixes of it are the cache's earlier states. Uses ``max_heads`` heads'
-    K and V from ``layer_idx`` (2*max_heads tensors, batched)."""
+    K and V from ``layer_idx`` (2*max_heads tensors, batched).
+
+    ``coords``: "relative" (reference-parity linspace(0, 1, S) — growth
+    recompresses every coordinate) or "absolute" (token i sits at
+    i / (final_len - 1) forever — appends extend the domain without moving
+    what the network already learned). The two coincide at the final
+    length, so final-length quality is directly comparable across modes."""
     kv_dir, output_dir = Path(kv_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     metadata = kvstore.load_metadata(kv_dir)
@@ -163,6 +180,9 @@ def run_incremental_experiment(
         raise ValueError(
             f"cache seq_len {final_len} must exceed start_len {start_len}"
         )
+    if coords not in ("relative", "absolute"):
+        raise ValueError(f"coords must be relative|absolute, got {coords!r}")
+    total_len = final_len if coords == "absolute" else None
     layer_idx = min(layer_idx, metadata.num_layers - 1)
     keys_a, values_a = kvstore.load_layer(kv_dir, layer_idx)
     tensors, names = [], []
@@ -184,6 +204,7 @@ def run_incremental_experiment(
             f"{start_len}->{final_len} in +{chunk} chunks, warm budget "
             f"{warm_epochs} vs scratch {epochs_full} epochs"
             + (f", FM-SIREN M={fm_mult:g}" if fm_mult else "")
+            + (f", {coords} coordinates" if coords != "relative" else "")
         )
 
     steps = []
@@ -194,6 +215,7 @@ def run_incremental_experiment(
         scratch_params, scratch_traj = _fit_with_trajectory(
             targets, _init_batch(n, MEDIUM, full.shape[-1], seed=i),
             config=MEDIUM, epochs=epochs_full, lr=lr, fm_mult=fm_mult,
+            total_len=total_len,
         )
         scratch_traj = np.asarray(scratch_traj)  # (N, epochs)
         scratch_final = float(np.mean(scratch_traj[:, -1]))
@@ -209,13 +231,14 @@ def run_incremental_experiment(
             stale = float(
                 np.mean(
                     _eval_batch(
-                        params, targets, config=MEDIUM, fm_mult=fm_mult
+                        params, targets, config=MEDIUM, fm_mult=fm_mult,
+                        total_len=total_len,
                     )
                 )
             )
             warm_params, warm_traj = _fit_with_trajectory(
                 targets, params, config=MEDIUM, epochs=warm_epochs, lr=lr,
-                fm_mult=fm_mult,
+                fm_mult=fm_mult, total_len=total_len,
             )
             warm_traj = np.asarray(warm_traj)
             warm_mean = warm_traj.mean(axis=0)  # (epochs,)
@@ -272,6 +295,7 @@ def run_incremental_experiment(
         "layer": layer_idx,
         "n_tensors": n,
         "fm_mult": fm_mult,
+        "coords": coords,
         "start_len": start_len,
         "final_len": final_len,
         "chunk": chunk,

@@ -149,6 +149,25 @@ def siren_apply_maybe_fm(
     return siren_apply_fm(params, omega_0, mult, x, sin=sin)
 
 
-def positions(seq_len: int, dtype: jnp.dtype = jnp.float32) -> jax.Array:
-    """Input coordinates: linspace(0, 1, S) as a (S, 1) column (siren.py:82)."""
-    return jnp.linspace(0.0, 1.0, seq_len, dtype=dtype)[:, None]
+def positions(
+    seq_len: int,
+    dtype: jnp.dtype = jnp.float32,
+    *,
+    total_len: int | None = None,
+) -> jax.Array:
+    """Input coordinates: linspace(0, 1, S) as a (S, 1) column (siren.py:82).
+
+    ``total_len`` pins the normalization to a cache's FINAL length instead
+    of the current one: token ``i`` maps to ``i / (total_len - 1)`` so an
+    append never moves existing coordinates (the "absolute" convention of
+    the incremental experiment). ``total_len=None`` (and the degenerate
+    ``total_len == seq_len``) is the reference-parity relative convention.
+    """
+    if total_len is None or total_len == seq_len:
+        # linspace exactly, to keep the sweep's bit-identical reproduction.
+        return jnp.linspace(0.0, 1.0, seq_len, dtype=dtype)[:, None]
+    if total_len < seq_len:
+        raise ValueError(f"total_len {total_len} < seq_len {seq_len}")
+    return jnp.linspace(
+        0.0, 1.0, total_len, dtype=dtype
+    )[:seq_len, None]

@@ -74,6 +74,33 @@ def test_incremental_growth_protocol(tmp_path, grown_cache, figqa):
     figqa(out / "incremental_refit.png")
 
 
+def test_incremental_absolute_coords_preserve_stale_quality(
+    tmp_path, grown_cache
+):
+    """Absolute coordinates leave learned positions untouched on append, so
+    the stale (0-epoch) floor must beat the relative convention's, where
+    every coordinate recompresses."""
+    results = {}
+    for coords in ("relative", "absolute"):
+        results[coords] = run_incremental_experiment(
+            grown_cache,
+            tmp_path / coords,
+            start_len=64,
+            chunk=32,
+            layer_idx=0,
+            max_heads=1,
+            epochs_full=80,
+            warm_epochs=20,
+            coords=coords,
+            verbose=False,
+        )
+        assert results[coords]["coords"] == coords
+    stale = {
+        c: results[c]["steps"][1]["stale_cosine"] for c in results
+    }
+    assert stale["absolute"] > stale["relative"]
+
+
 def test_incremental_cli_wiring(tmp_path, monkeypatch):
     """The subcommand generates its own cache at the final length under
     <root>/incremental and threads start/final/chunk/warm/fm through."""
@@ -123,8 +150,41 @@ def test_incremental_cli_wiring(tmp_path, monkeypatch):
     assert out == tmp_path / "incremental"
     assert run_kw == dict(
         start_len=512, chunk=128, epochs_full=900, warm_epochs=300,
-        fm_mult=64.0,
+        fm_mult=64.0, coords="relative",
     )
+
+
+def test_incremental_cli_absolute_coords_dir(tmp_path, monkeypatch):
+    """--incr_coords absolute lands in its own dir (no artifact clobber)."""
+    import sys
+
+    import nerf_attention_tpu.experiments.__main__ as cli
+    import nerf_attention_tpu.experiments.incremental as incr_mod
+    import nerf_attention_tpu.synthetic as synthetic
+
+    calls = {}
+    monkeypatch.setattr(
+        synthetic, "ensure_synthetic_cache",
+        lambda kv_dir, **kw: calls.setdefault("ensure", (kv_dir, kw)),
+    )
+    monkeypatch.setattr(
+        incr_mod, "run_incremental_experiment",
+        lambda kv, out, **kw: calls.setdefault("run", (kv, out, kw)),
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "incremental",
+            "--results_root", str(tmp_path),
+            "--kv_dir", str(tmp_path / "kv"),
+            "--siren_dir", str(tmp_path / "nofits"),
+            "--incr_coords", "absolute",
+        ],
+    )
+    cli.main()
+    _, out, run_kw = calls["run"]
+    assert out == tmp_path / "incremental_absolute"
+    assert run_kw["coords"] == "absolute"
 
 
 def test_incremental_rejects_short_cache(tmp_path, grown_cache):

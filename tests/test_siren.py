@@ -72,6 +72,20 @@ def test_positions_contract():
     assert pos.shape == (5, 1)
 
 
+def test_positions_absolute_convention():
+    import pytest
+
+    # Absolute coordinates are the exact PREFIX of the final-length grid:
+    # appends never move what came before.
+    full = np.asarray(positions(9))
+    part = np.asarray(positions(5, total_len=9))
+    np.testing.assert_array_equal(part, full[:5])
+    # At the final length the two conventions coincide bit-exactly.
+    np.testing.assert_array_equal(np.asarray(positions(9, total_len=9)), full)
+    with pytest.raises(ValueError):
+        positions(9, total_len=5)
+
+
 def test_forward_output_shape():
     config = SIRENConfig(32, 2, 30.0, "t")
     params = init_siren(jax.random.PRNGKey(0), config, out_features=12)
