@@ -32,6 +32,7 @@ from nerf_attention_tpu.extract import (
 from nerf_attention_tpu.models.llama_jax import (
     llama_decode_step,
     llama_prefill_kv,
+    llama_prefill_kv_sp,
 )
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
 from nerf_attention_tpu.analyze import analyze_kv_cache
@@ -103,6 +104,7 @@ __all__ = [
     "siren_attention_decode_fused",
     "llama_decode_step",
     "llama_prefill_kv",
+    "llama_prefill_kv_sp",
     "fm_frequency_multipliers",
     "siren_apply_fm",
     "siren_apply_maybe_fm",

@@ -302,6 +302,7 @@ def _causal_attention(
     window=None,
     softcap: float | None = None,
     scale: float | None = None,
+    row_offset=0,
 ):
     """Causal softmax attention, query-chunked.
 
@@ -318,11 +319,15 @@ def _causal_attention(
     full attention). ``softcap``: Gemma2 logit soft-capping, applied before
     the mask like HF's eager path. ``scale``: logit scale override
     (Gemma2's query_pre_attn_scalar ** -0.5); default rsqrt(head_dim).
+    ``row_offset``: global index of q's first row when q holds only a
+    sequence-parallel slice of the queries while k/v are the gathered full
+    sequence (static 0 on the single-device path, a traced axis-index
+    multiple under shard_map) — masks are built in GLOBAL coordinates.
     """
     h_heads, s, d = q.shape
     scale = jax.lax.rsqrt(jnp.float32(d)) if scale is None else jnp.float32(scale)
     neg_inf = jnp.finfo(jnp.float32).min
-    cols = jnp.arange(s)
+    cols = jnp.arange(k_full.shape[1])
 
     block = min(ATTN_BLOCK, s)
     n_blocks = -(-s // block)
@@ -337,7 +342,7 @@ def _causal_attention(
         )
         if softcap is not None:
             logits = softcap * jnp.tanh(logits / softcap)
-        rows = row0 + jnp.arange(block)
+        rows = row_offset + row0 + jnp.arange(block)
         keep = cols[None, None, :] <= rows[None, :, None]
         if isinstance(window, jax.Array):
             keep &= (window <= 0) | (
@@ -357,9 +362,18 @@ def _causal_attention(
 
 def _layer_forward(
     config: LlamaConfig, h: jax.Array, lp: dict, cos, sin,
-    cos_local=None, sin_local=None,
+    cos_local=None, sin_local=None, sp_axis: str | None = None, row_offset=0,
 ):
-    """One decoder layer. h: (S, hidden). Returns (h, (keys, values))."""
+    """One decoder layer. h: (S, hidden). Returns (h, (keys, values)).
+
+    With ``sp_axis`` set (sequence-parallel prefill under shard_map), h
+    holds this shard's slice of rows: K/V are all-gathered over the mesh
+    axis for attention — the one collective per layer; K/V are tiny next to
+    activations under GQA — while everything else (projections, MLP, norms)
+    stays local to the shard. ``row_offset`` is the slice's global row
+    origin, threaded into the causal/window mask. Returned keys/values stay
+    LOCAL (this shard's rows) so the stacked cache shards over the mesh.
+    """
     n_q, n_kv, d = (
         config.num_attention_heads,
         config.num_key_value_heads,
@@ -391,10 +405,20 @@ def _layer_forward(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
 
+    # Sequence-parallel: gather the full-sequence K/V (pre-repeat — n_kv
+    # heads, the cheapest tensor to move) so each shard's queries attend
+    # over the whole prefix. Shards are laid out in axis-index order, so
+    # tiled concatenation along the row axis reconstructs global order.
+    if sp_axis is not None:
+        k_att = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
+        v_att = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
+    else:
+        k_att, v_att = k, v
+
     # GQA: repeat kv heads up to the query head count.
     group = n_q // n_kv
-    k_full = jnp.repeat(k, group, axis=0)
-    v_full = jnp.repeat(v, group, axis=0)
+    k_full = jnp.repeat(k_att, group, axis=0)
+    v_full = jnp.repeat(v_att, group, axis=0)
 
     # Per-layer windows arrive as a scanned traced scalar in lp["window"];
     # uniform windows stay the static config value.
@@ -402,6 +426,7 @@ def _layer_forward(
     attn = _causal_attention(
         q, k_full, v_full, window=window,
         softcap=config.attn_logit_softcap, scale=config.attn_scale,
+        row_offset=row_offset,
     )
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
     attn_out = attn @ lp["o"]
@@ -492,6 +517,80 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
 
     _, (keys, values) = jax.lax.scan(scan_layer, h, layers)
     return keys, values
+
+
+def llama_prefill_kv_sp(
+    config: LlamaConfig,
+    params: dict,
+    input_ids: jax.Array,
+    mesh,
+    axis: str = "sp",
+):
+    """Sequence-parallel prefill: the token axis sharded over a mesh.
+
+    The reference's extraction is single-device and hits its memory wall at
+    S=8192 on 8 GB (`/root/reference/nerf_attention/experiments/scaling.py:111-116`
+    catches the OOM and stops the ladder). The TPU-native answer is to shard
+    the SEQUENCE over the mesh: each chip embeds and runs every layer on its
+    S/n-row slice (activations, attention logits, and MLP all shrink by n),
+    with one all-gather of the (n_kv, S/n, d) K/V per layer — the smallest
+    tensor in the block under GQA — so attention still sees the full causal
+    prefix, masked in global coordinates. Weights are replicated (this is
+    context/sequence parallelism, composable in principle with the Megatron
+    TP layout of ``shard_llama_params``, which shards them instead).
+
+    Returns (keys, values) like ``llama_prefill_kv``, each
+    (num_layers, num_kv_heads, S, head_dim), row-sharded over the mesh.
+    S must be divisible by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
+
+    n = int(np.prod(mesh.devices.shape))
+    s = int(input_ids.shape[0])
+    if s % n:
+        raise ValueError(f"seq_len {s} not divisible by mesh size {n}")
+    local_s = s // n
+
+    def per_shard(ids_local, params):
+        row0 = jax.lax.axis_index(axis) * local_s
+        h = params["embed"][ids_local]
+        if config.scale_embeddings:
+            h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+
+        def rope_table(theta=None):
+            # Same table as the single-device path, built at this shard's
+            # GLOBAL positions (row0 is traced; shapes stay static).
+            inv_freq = jnp.asarray(_rope_frequencies(config, theta))
+            pos = (row0 + jnp.arange(local_s)).astype(jnp.float32)
+            angles = pos[:, None] * inv_freq[None, :]
+            angles = jnp.concatenate([angles, angles], axis=-1)
+            return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+
+        cos, sin = rope_table()
+        cos_local = sin_local = None
+        layers = _scanned_layers(config, params)
+        if config.rope_local_theta is not None:
+            cos_local, sin_local = rope_table(config.rope_local_theta)
+
+        def scan_layer(h, lp):
+            h, kv = _layer_forward(
+                config, h, lp, cos, sin,
+                cos_local=cos_local, sin_local=sin_local,
+                sp_axis=axis, row_offset=row0,
+            )
+            return h, kv
+
+        _, (keys, values) = jax.lax.scan(scan_layer, h, layers)
+        return keys, values
+
+    kv_spec = P(None, None, axis, None)
+    fn = shard_map_compat(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=(kv_spec, kv_spec),
+    )
+    return jax.jit(fn)(jnp.asarray(input_ids, dtype=jnp.int32), params)
 
 
 def _layer_decode(

@@ -345,13 +345,9 @@ def siren_attention_decode_sharded(
         kp, vp, km, ks, vm, vs, qq, omega, seq_len, interpret=interpret,
         sin_impl=sin_impl, fm_mult=fm_mult, causal=causal,
     )
-    common = dict(mesh=mesh, in_specs=in_specs, out_specs=leaf)
-    try:
-        fn = jax.shard_map(body, check_vma=False, **common)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map as _shard_map
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
 
-        fn = _shard_map(body, check_rep=False, **common)
+    fn = shard_map_compat(body, mesh=mesh, in_specs=in_specs, out_specs=leaf)
     shard = lambda x, spec: jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, spec)
     )

@@ -218,23 +218,18 @@ def siren_decode_batch_sharded(
     if n % n_dev:
         raise ValueError(f"network count {n} not divisible by mesh size {n_dev}")
 
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
+
     leaf_spec = P(axis, None, None)
     bias_spec = P(axis, None)
     in_specs = [(leaf_spec, bias_spec) for _ in params]
-    # pallas_call's out_shape carries no varying-mesh-axes annotation; the
-    # kernel is per-shard pure, so disable the replication/vma check (named
-    # check_vma on jax.shard_map, check_rep on the experimental API).
-    common = dict(mesh=mesh, in_specs=(in_specs,), out_specs=leaf_spec)
     body = lambda p: siren_decode_batch(
         p, omega, seq_len, interpret=interpret, compute_dtype=compute_dtype,
         fm_mult=fm_mult,
     )
-    try:
-        fn = jax.shard_map(body, check_vma=False, **common)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map as _shard_map
-
-        fn = _shard_map(body, check_rep=False, **common)
+    fn = shard_map_compat(
+        body, mesh=mesh, in_specs=(in_specs,), out_specs=leaf_spec
+    )
     params = jax.device_put(
         [(w, b) for w, b in params],
         [(NamedSharding(mesh, leaf_spec), NamedSharding(mesh, bias_spec)) for _ in params],

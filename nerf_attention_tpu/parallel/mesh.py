@@ -39,3 +39,22 @@ def shard_batch(x: jax.Array | np.ndarray, mesh: Mesh, axis_name: str = FIT_AXIS
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of k that is >= n (fit batches pad up to the mesh)."""
     return ((n + k - 1) // k) * k
+
+
+def shard_map_compat(body, *, mesh: Mesh, in_specs, out_specs):
+    """shard_map across the jax 0.9 API move, replication checks off.
+
+    Newer jax exposes ``jax.shard_map`` (flag named ``check_vma``); older
+    releases only have ``jax.experimental.shard_map.shard_map``
+    (``check_rep``). Bodies here either wrap pallas_call (whose out_shape
+    carries no varying-mesh-axes annotation) or mix per-shard compute with
+    explicit collectives, so the automatic replication check is disabled in
+    both spellings.
+    """
+    common = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return jax.shard_map(body, check_vma=False, **common)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        return _shard_map(body, check_rep=False, **common)

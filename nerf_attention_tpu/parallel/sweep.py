@@ -41,6 +41,7 @@ from nerf_attention_tpu.parallel.mesh import (
     batch_sharding,
     pad_to_multiple,
     shard_batch,
+    shard_map_compat,
 )
 from nerf_attention_tpu.types import SIRENConfig
 
@@ -234,15 +235,10 @@ def _pallas_sharded_jitted(mesh, config: SIRENConfig, epochs: int, lr: float,
     )
     spec = P(FIT_AXIS)
     # Every output leaf leads with the fit axis, so one spec serves as the
-    # pytree prefix. The kernel is per-shard pure; disable the replication
-    # check (pallas_call carries no varying-mesh-axes annotation).
-    common = dict(mesh=mesh, in_specs=(spec, spec), out_specs=spec)
-    try:
-        fn = jax.shard_map(body, check_vma=False, **common)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map as _shard_map
-
-        fn = _shard_map(body, check_rep=False, **common)
+    # pytree prefix.
+    fn = shard_map_compat(
+        body, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )
     return jax.jit(fn)
 
 
