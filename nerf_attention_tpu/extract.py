@@ -259,11 +259,14 @@ def extract_kv_cache_jax(
     text: str | None = None,
     mesh=None,
     state: dict | None = None,
+    seq_mesh=None,
 ) -> KVMetadata:
     """Native path: JAX Llama prefill on the mesh with per-layer KV capture.
 
     ``state``: share across calls to load the checkpoint/tokenizer once
-    (same contract as extract_with_hf's ``state``).
+    (same contract as extract_with_hf's ``state``). ``mesh`` tensor-shards
+    the weights (TP); ``seq_mesh`` shards the token axis instead (SP — the
+    long-context path, see ``llama_prefill_kv_sp``).
     """
     from nerf_attention_tpu.models.llama_jax import extract_kv_with_jax_llama
 
@@ -274,6 +277,7 @@ def extract_kv_cache_jax(
         text=text if text is not None else get_sample_text(),
         mesh=mesh,
         state=state,
+        seq_mesh=seq_mesh,
     )
 
 
@@ -296,6 +300,12 @@ def main() -> None:
         help="synthetic values recipe: 'reference' (smooth sine parity) or "
         "'hard' (attention-sharpened, reproduces the real K>>V gap)",
     )
+    parser.add_argument(
+        "--mesh", type=str, default=None, choices=["tp", "sp"],
+        help="jax backend only: shard the prefill over all local devices — "
+        "'tp' tensor-shards the weights (Megatron layout), 'sp' shards the "
+        "token axis (sequence parallel, the long-context path)",
+    )
     args = parser.parse_args()
 
     if args.synthetic or args.backend == "synthetic":
@@ -309,7 +319,18 @@ def main() -> None:
             values_mode=args.values_mode,
         )
     elif args.backend == "jax":
-        extract_kv_cache_jax(args.model, args.seq_len, Path(args.output_dir))
+        mesh = seq_mesh = None
+        if args.mesh is not None:
+            import jax
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            built = Mesh(_np.array(jax.devices()), (args.mesh,))
+            mesh, seq_mesh = (built, None) if args.mesh == "tp" else (None, built)
+        extract_kv_cache_jax(
+            args.model, args.seq_len, Path(args.output_dir),
+            mesh=mesh, seq_mesh=seq_mesh,
+        )
     else:
         extract_kv_cache(args.model, args.seq_len, Path(args.output_dir), args.device)
 

@@ -970,11 +970,27 @@ def prefill_and_save_kv(
     input_ids: np.ndarray,
     output_dir: Path,
     model_name: str,
+    seq_mesh=None,
 ) -> KVMetadata:
-    """Run one prefill and persist per-layer KV in the standard layout."""
-    keys, values = llama_prefill_kv(
-        config, params, jnp.asarray(input_ids, dtype=jnp.int32)
-    )
+    """Run one prefill and persist per-layer KV in the standard layout.
+
+    ``seq_mesh``: run the prefill sequence-parallel over this mesh
+    (``llama_prefill_kv_sp``) instead of on one device. Tokenized text has
+    arbitrary length, so ids are END-padded up to a mesh multiple and the
+    cache sliced back — exact, because under a causal mask trailing pad
+    rows cannot influence any earlier row's K/V.
+    """
+    actual = int(len(input_ids))
+    ids = jnp.asarray(input_ids, dtype=jnp.int32)
+    if seq_mesh is not None:
+        n = int(np.prod(seq_mesh.devices.shape))
+        padded = ((actual + n - 1) // n) * n
+        keys, values = llama_prefill_kv_sp(
+            config, params, jnp.pad(ids, (0, padded - actual)), seq_mesh
+        )
+        keys, values = keys[:, :, :actual], values[:, :, :actual]
+    else:
+        keys, values = llama_prefill_kv(config, params, ids)
     keys = np.asarray(keys, dtype=np.float32)
     values = np.asarray(values, dtype=np.float32)
 
@@ -1003,13 +1019,22 @@ def extract_kv_with_jax_llama(
     mesh=None,
     dtype=jnp.bfloat16,
     state: dict | None = None,
+    seq_mesh=None,
 ) -> KVMetadata:
     """Native extraction: tokenize, prefill on the TPU, persist per-layer KV.
 
     ``state``: pass the same dict across calls to load the checkpoint and
     tokenizer once (the scaling/multi-prompt ladders extract at several
     lengths/prompts from one model — same contract as extract_with_hf).
+
+    ``mesh`` shards the WEIGHTS (Megatron TP, ``shard_llama_params``);
+    ``seq_mesh`` shards the TOKEN axis instead (``llama_prefill_kv_sp`` —
+    the long-context answer to the reference's single-device OOM at 8192,
+    `/root/reference/nerf_attention/experiments/scaling.py:111-116`).
+    Mutually exclusive for now: SP replicates weights per shard.
     """
+    if mesh is not None and seq_mesh is not None:
+        raise ValueError("mesh (TP) and seq_mesh (SP) are mutually exclusive")
     from transformers import AutoTokenizer
 
     state = state if state is not None else {}
@@ -1038,6 +1063,8 @@ def extract_kv_with_jax_llama(
     print(f"Sequence length: {len(ids)} tokens")
 
     print("Running prefill...")
-    metadata = prefill_and_save_kv(config, params, ids, output_dir, model_dir)
+    metadata = prefill_and_save_kv(
+        config, params, ids, output_dir, model_dir, seq_mesh=seq_mesh
+    )
     print(f"Saved {config.num_hidden_layers} layers to {output_dir}/")
     return metadata

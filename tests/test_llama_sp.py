@@ -119,6 +119,34 @@ def test_sp_rejects_indivisible_seq():
         llama_prefill_kv_sp(config, params, ids, _sp_mesh(4))
 
 
+def test_sp_prefill_and_save_pads_to_mesh(tmp_path):
+    """The extraction entry (prefill_and_save_kv seq_mesh=...) END-pads an
+    arbitrary-length token sequence up to a mesh multiple and slices the
+    cache back — saved layers must be bit-comparable to the single-device
+    path at the ORIGINAL length (causal mask: pad rows can't leak back)."""
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.models.llama_jax import prefill_and_save_kv
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8,
+    )
+    params = init_random_llama(config)
+    ids = np.arange(30, dtype=np.int32) % config.vocab_size  # 30 % 4 != 0
+
+    meta = prefill_and_save_kv(
+        config, params, ids, tmp_path / "sp", "toy", seq_mesh=_sp_mesh(4)
+    )
+    assert meta.actual_tokens == 30
+    k_ref, v_ref = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer in range(config.num_hidden_layers):
+        k, v = kvstore.load_layer(tmp_path / "sp", layer)
+        assert k.shape == (config.num_key_value_heads, 30, config.head_dim)
+        np.testing.assert_allclose(k, np.asarray(k_ref[layer]), atol=1e-5)
+        np.testing.assert_allclose(v, np.asarray(v_ref[layer]), atol=1e-5)
+
+
 def test_sp_kv_is_row_sharded():
     """The returned cache shards its row axis over the mesh (no gather of
     the output — the point is that nothing materializes full-S per device
