@@ -32,6 +32,7 @@ from nerf_attention_tpu.extract import (
 from nerf_attention_tpu.models.llama_jax import (
     llama_decode_step,
     llama_prefill_kv,
+    llama_prefill_kv_pp,
     llama_prefill_kv_sp,
 )
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
@@ -104,6 +105,7 @@ __all__ = [
     "siren_attention_decode_fused",
     "llama_decode_step",
     "llama_prefill_kv",
+    "llama_prefill_kv_pp",
     "llama_prefill_kv_sp",
     "fm_frequency_multipliers",
     "siren_apply_fm",

@@ -260,13 +260,15 @@ def extract_kv_cache_jax(
     mesh=None,
     state: dict | None = None,
     seq_mesh=None,
+    pipe_mesh=None,
 ) -> KVMetadata:
     """Native path: JAX Llama prefill on the mesh with per-layer KV capture.
 
     ``state``: share across calls to load the checkpoint/tokenizer once
     (same contract as extract_with_hf's ``state``). ``mesh`` tensor-shards
     the weights (TP); ``seq_mesh`` shards the token axis instead (SP — the
-    long-context path, see ``llama_prefill_kv_sp``).
+    long-context path, see ``llama_prefill_kv_sp``); ``pipe_mesh`` shards
+    the layer axis (PP, ``llama_prefill_kv_pp``).
     """
     from nerf_attention_tpu.models.llama_jax import extract_kv_with_jax_llama
 
@@ -278,6 +280,7 @@ def extract_kv_cache_jax(
         mesh=mesh,
         state=state,
         seq_mesh=seq_mesh,
+        pipe_mesh=pipe_mesh,
     )
 
 
@@ -301,10 +304,11 @@ def main() -> None:
         "'hard' (attention-sharpened, reproduces the real K>>V gap)",
     )
     parser.add_argument(
-        "--mesh", type=str, default=None, choices=["tp", "sp"],
+        "--mesh", type=str, default=None, choices=["tp", "sp", "pp"],
         help="jax backend only: shard the prefill over all local devices — "
         "'tp' tensor-shards the weights (Megatron layout), 'sp' shards the "
-        "token axis (sequence parallel, the long-context path)",
+        "token axis (sequence parallel, the long-context path), 'pp' shards "
+        "the layer axis (pipeline parallel, for weights+cache past one chip)",
     )
     args = parser.parse_args()
 
@@ -319,17 +323,16 @@ def main() -> None:
             values_mode=args.values_mode,
         )
     elif args.backend == "jax":
-        mesh = seq_mesh = None
+        meshes = {"tp": None, "sp": None, "pp": None}
         if args.mesh is not None:
             import jax
             import numpy as _np
             from jax.sharding import Mesh
 
-            built = Mesh(_np.array(jax.devices()), (args.mesh,))
-            mesh, seq_mesh = (built, None) if args.mesh == "tp" else (None, built)
+            meshes[args.mesh] = Mesh(_np.array(jax.devices()), (args.mesh,))
         extract_kv_cache_jax(
             args.model, args.seq_len, Path(args.output_dir),
-            mesh=mesh, seq_mesh=seq_mesh,
+            mesh=meshes["tp"], seq_mesh=meshes["sp"], pipe_mesh=meshes["pp"],
         )
     else:
         extract_kv_cache(args.model, args.seq_len, Path(args.output_dir), args.device)

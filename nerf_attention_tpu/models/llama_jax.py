@@ -362,17 +362,19 @@ def _causal_attention(
 
 def _layer_forward(
     config: LlamaConfig, h: jax.Array, lp: dict, cos, sin,
-    cos_local=None, sin_local=None, sp_axis: str | None = None, row_offset=0,
+    cos_local=None, sin_local=None, kv_join=None, row_offset=0,
 ):
     """One decoder layer. h: (S, hidden). Returns (h, (keys, values)).
 
-    With ``sp_axis`` set (sequence-parallel prefill under shard_map), h
-    holds this shard's slice of rows: K/V are all-gathered over the mesh
-    axis for attention — the one collective per layer; K/V are tiny next to
-    activations under GQA — while everything else (projections, MLP, norms)
-    stays local to the shard. ``row_offset`` is the slice's global row
-    origin, threaded into the causal/window mask. Returned keys/values stay
-    LOCAL (this shard's rows) so the stacked cache shards over the mesh.
+    ``kv_join``: optional hook mapping this slice's post-RoPE (k, v) —
+    each (n_kv, s_local, d) — to the (k, v) attention actually reads. The
+    sequence-parallel prefill passes an all-gather over the mesh axis (one
+    collective per layer, on the smallest tensor in the block under GQA);
+    the pipeline-parallel prefill passes a cache insert-and-return (queries
+    of chunk c attend over all rows filled so far). ``row_offset`` is the
+    slice's global row origin, threaded into the causal/window mask, which
+    is built in GLOBAL coordinates. Returned keys/values stay LOCAL (this
+    slice's rows) so the stacked cache shards over the mesh.
     """
     n_q, n_kv, d = (
         config.num_attention_heads,
@@ -405,15 +407,7 @@ def _layer_forward(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
 
-    # Sequence-parallel: gather the full-sequence K/V (pre-repeat — n_kv
-    # heads, the cheapest tensor to move) so each shard's queries attend
-    # over the whole prefix. Shards are laid out in axis-index order, so
-    # tiled concatenation along the row axis reconstructs global order.
-    if sp_axis is not None:
-        k_att = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
-        v_att = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
-    else:
-        k_att, v_att = k, v
+    k_att, v_att = (k, v) if kv_join is None else kv_join(k, v)
 
     # GQA: repeat kv heads up to the query head count.
     group = n_q // n_kv
@@ -574,11 +568,21 @@ def llama_prefill_kv_sp(
         if config.rope_local_theta is not None:
             cos_local, sin_local = rope_table(config.rope_local_theta)
 
+        def gather_kv(k, v):
+            # Gather the full-sequence K/V (pre-repeat — n_kv heads, the
+            # cheapest tensor to move). Shards are laid out in axis-index
+            # order, so tiled concatenation along the row axis reconstructs
+            # global order.
+            return (
+                jax.lax.all_gather(k, axis, axis=1, tiled=True),
+                jax.lax.all_gather(v, axis, axis=1, tiled=True),
+            )
+
         def scan_layer(h, lp):
             h, kv = _layer_forward(
                 config, h, lp, cos, sin,
                 cos_local=cos_local, sin_local=sin_local,
-                sp_axis=axis, row_offset=row0,
+                kv_join=gather_kv, row_offset=row0,
             )
             return h, kv
 
@@ -591,6 +595,146 @@ def llama_prefill_kv_sp(
         in_specs=(P(axis), P()), out_specs=(kv_spec, kv_spec),
     )
     return jax.jit(fn)(jnp.asarray(input_ids, dtype=jnp.int32), params)
+
+
+def llama_prefill_kv_pp(
+    config: LlamaConfig,
+    params: dict,
+    input_ids: jax.Array,
+    mesh,
+    axis: str = "pp",
+    n_chunks: int | None = None,
+):
+    """Pipeline-parallel prefill: the LAYER axis sharded over a mesh.
+
+    The third greenfield parallel mode (after TP ``shard_llama_params`` and
+    SP ``llama_prefill_kv_sp``): stage i owns layers [i*L/n, (i+1)*L/n) plus
+    a full-sequence KV cache for just those layers — the layout that fits a
+    model whose weights+cache overflow one chip even at S the SP path could
+    handle. The sequence is cut into ``n_chunks`` chunks that flow through
+    the stages chunked-prefill style: one ``lax.scan`` over
+    ``n_chunks + n - 1`` ticks, where at tick t stage s runs chunk t-s
+    through its layers (queries of chunk c attend over every cache row
+    filled so far, masks in GLOBAL coordinates via ``row_offset``) and
+    ``ppermute``s its activations to stage s+1 — the point-to-point
+    neighbor hop that rides ICI. Pipeline-bubble ratio is the classic
+    (n-1)/(n_chunks+n-1); inactive ticks compute on a clamped chunk and
+    their cache writes are masked out.
+
+    Chunk attention reads the full-S cache buffer (stale rows masked), so
+    attention FLOPs are ~2x the causal minimum — the correctness-first
+    trade; a production kernel would tile to the filled prefix.
+
+    Returns (keys, values), each (num_layers, num_kv_heads, S, head_dim),
+    LAYER-sharded over the mesh. Requires L % n == 0 and S % n_chunks == 0
+    (default n_chunks: 2n when divisible, else n).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
+
+    n = int(np.prod(mesh.devices.shape))
+    s = int(input_ids.shape[0])
+    n_l = config.num_hidden_layers
+    if n_l % n:
+        raise ValueError(f"num_hidden_layers {n_l} not divisible by mesh size {n}")
+    if n_chunks is None:
+        n_chunks = 2 * n if s % (2 * n) == 0 else n
+    if s % n_chunks:
+        raise ValueError(f"seq_len {s} not divisible by n_chunks {n_chunks}")
+    chunk = s // n_chunks
+    l_loc = n_l // n
+    n_kv, d = config.num_key_value_heads, config.head_dim
+
+    def per_stage(embed, layers, ids):
+        stage = jax.lax.axis_index(axis)
+        dtype = embed.dtype
+        cache_k = jnp.zeros((l_loc, n_kv, s, d), dtype=dtype)
+        cache_v = jnp.zeros((l_loc, n_kv, s, d), dtype=dtype)
+        h0 = jnp.zeros((chunk, config.hidden_size), dtype=dtype)
+
+        def rope_chunk(row0, theta=None):
+            inv_freq = jnp.asarray(_rope_frequencies(config, theta))
+            pos = (row0 + jnp.arange(chunk)).astype(jnp.float32)
+            angles = pos[:, None] * inv_freq[None, :]
+            angles = jnp.concatenate([angles, angles], axis=-1)
+            return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+        def tick(carry, t):
+            cache_k, cache_v, h_in = carry
+            c = t - stage
+            active = (c >= 0) & (c < n_chunks)
+            row0 = jnp.clip(c, 0, n_chunks - 1) * chunk
+            ids_c = jax.lax.dynamic_slice(ids, (row0,), (chunk,))
+            h_embed = embed[ids_c]
+            if config.scale_embeddings:
+                h_embed = h_embed * jnp.asarray(config.hidden_size**0.5, dtype)
+            h = jnp.where(stage == 0, h_embed, h_in)
+            cos, sin = rope_chunk(row0)
+            cos_local = sin_local = None
+            if config.rope_local_theta is not None:
+                cos_local, sin_local = rope_chunk(row0, config.rope_local_theta)
+
+            def layer_step(carry2, xs):
+                h, ck_all, cv_all = carry2
+                l, lp = xs
+                sizes = (1, n_kv, s, d)
+                ck = jax.lax.dynamic_slice(ck_all, (l, 0, 0, 0), sizes)[0]
+                cv = jax.lax.dynamic_slice(cv_all, (l, 0, 0, 0), sizes)[0]
+
+                def cache_join(k_c, v_c):
+                    # Insert this chunk's rows, attend over the whole
+                    # buffer; rows past the global query row are masked.
+                    return (
+                        jax.lax.dynamic_update_slice(ck, k_c, (0, row0, 0)),
+                        jax.lax.dynamic_update_slice(cv, v_c, (0, row0, 0)),
+                    )
+
+                h2, (k_c, v_c) = _layer_forward(
+                    config, h, lp, cos, sin,
+                    cos_local=cos_local, sin_local=sin_local,
+                    kv_join=cache_join, row_offset=row0,
+                )
+                # Same insert as cache_join (CSE'd), persisted to the carry.
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all,
+                    jax.lax.dynamic_update_slice(ck, k_c, (0, row0, 0))[None],
+                    (l, 0, 0, 0),
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all,
+                    jax.lax.dynamic_update_slice(cv, v_c, (0, row0, 0))[None],
+                    (l, 0, 0, 0),
+                )
+                return (h2, ck_all, cv_all), None
+
+            (h_out, ck2, cv2), _ = jax.lax.scan(
+                layer_step, (h, cache_k, cache_v),
+                (jnp.arange(l_loc), layers),
+            )
+            cache_k = jnp.where(active, ck2, cache_k)
+            cache_v = jnp.where(active, cv2, cache_v)
+            # Neighbor hop; stage 0 receives nothing (it embeds), the
+            # garbage an out-of-range tick emits is masked at the consumer.
+            h_next = jax.lax.ppermute(
+                h_out, axis, [(i, i + 1) for i in range(n - 1)]
+            )
+            return (cache_k, cache_v, h_next), None
+
+        (cache_k, cache_v, _), _ = jax.lax.scan(
+            tick, (cache_k, cache_v, h0), jnp.arange(n_chunks + n - 1)
+        )
+        return cache_k, cache_v
+
+    layers = _scanned_layers(config, params)
+    kv_spec = P(axis, None, None, None)
+    fn = shard_map_compat(
+        per_stage, mesh=mesh,
+        in_specs=(P(), P(axis), P()), out_specs=(kv_spec, kv_spec),
+    )
+    return jax.jit(fn)(
+        params["embed"], layers, jnp.asarray(input_ids, dtype=jnp.int32)
+    )
 
 
 def _layer_decode(
@@ -971,22 +1115,28 @@ def prefill_and_save_kv(
     output_dir: Path,
     model_name: str,
     seq_mesh=None,
+    pipe_mesh=None,
 ) -> KVMetadata:
     """Run one prefill and persist per-layer KV in the standard layout.
 
     ``seq_mesh``: run the prefill sequence-parallel over this mesh
-    (``llama_prefill_kv_sp``) instead of on one device. Tokenized text has
-    arbitrary length, so ids are END-padded up to a mesh multiple and the
-    cache sliced back — exact, because under a causal mask trailing pad
+    (``llama_prefill_kv_sp``); ``pipe_mesh``: pipeline-parallel instead
+    (``llama_prefill_kv_pp``). Tokenized text has arbitrary length, so ids
+    are END-padded up to a mesh multiple (2n for PP's default chunking) and
+    the cache sliced back — exact, because under a causal mask trailing pad
     rows cannot influence any earlier row's K/V.
     """
+    if seq_mesh is not None and pipe_mesh is not None:
+        raise ValueError("seq_mesh (SP) and pipe_mesh (PP) are mutually exclusive")
     actual = int(len(input_ids))
     ids = jnp.asarray(input_ids, dtype=jnp.int32)
-    if seq_mesh is not None:
-        n = int(np.prod(seq_mesh.devices.shape))
+    mesh = seq_mesh if seq_mesh is not None else pipe_mesh
+    if mesh is not None:
+        n = int(np.prod(mesh.devices.shape)) * (2 if pipe_mesh is not None else 1)
         padded = ((actual + n - 1) // n) * n
-        keys, values = llama_prefill_kv_sp(
-            config, params, jnp.pad(ids, (0, padded - actual)), seq_mesh
+        prefill = llama_prefill_kv_sp if seq_mesh is not None else llama_prefill_kv_pp
+        keys, values = prefill(
+            config, params, jnp.pad(ids, (0, padded - actual)), mesh
         )
         keys, values = keys[:, :, :actual], values[:, :, :actual]
     else:
@@ -1020,6 +1170,7 @@ def extract_kv_with_jax_llama(
     dtype=jnp.bfloat16,
     state: dict | None = None,
     seq_mesh=None,
+    pipe_mesh=None,
 ) -> KVMetadata:
     """Native extraction: tokenize, prefill on the TPU, persist per-layer KV.
 
@@ -1030,11 +1181,13 @@ def extract_kv_with_jax_llama(
     ``mesh`` shards the WEIGHTS (Megatron TP, ``shard_llama_params``);
     ``seq_mesh`` shards the TOKEN axis instead (``llama_prefill_kv_sp`` —
     the long-context answer to the reference's single-device OOM at 8192,
-    `/root/reference/nerf_attention/experiments/scaling.py:111-116`).
-    Mutually exclusive for now: SP replicates weights per shard.
+    `/root/reference/nerf_attention/experiments/scaling.py:111-116`);
+    ``pipe_mesh`` shards the LAYER axis (``llama_prefill_kv_pp`` — for
+    models whose weights+cache overflow one chip). Mutually exclusive for
+    now: SP/PP replicate what they don't shard.
     """
-    if mesh is not None and seq_mesh is not None:
-        raise ValueError("mesh (TP) and seq_mesh (SP) are mutually exclusive")
+    if sum(m is not None for m in (mesh, seq_mesh, pipe_mesh)) > 1:
+        raise ValueError("mesh (TP), seq_mesh (SP), pipe_mesh (PP) are mutually exclusive")
     from transformers import AutoTokenizer
 
     state = state if state is not None else {}
@@ -1064,7 +1217,8 @@ def extract_kv_with_jax_llama(
 
     print("Running prefill...")
     metadata = prefill_and_save_kv(
-        config, params, ids, output_dir, model_dir, seq_mesh=seq_mesh
+        config, params, ids, output_dir, model_dir,
+        seq_mesh=seq_mesh, pipe_mesh=pipe_mesh,
     )
     print(f"Saved {config.num_hidden_layers} layers to {output_dir}/")
     return metadata
