@@ -27,3 +27,7 @@ from nerf_attention_tpu.experiments.attention_error import (
     plot_attention_error,
     run_attention_error_experiment,
 )
+from nerf_attention_tpu.experiments.head_policy import (
+    plot_head_policy,
+    run_head_policy_experiment,
+)

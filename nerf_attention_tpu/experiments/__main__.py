@@ -91,7 +91,7 @@ def main() -> None:
         choices=[
             "scaling", "multi_prompt", "svd", "layer_profile",
             "aggregate_decode", "quantize", "incremental",
-            "attention_error", "all",
+            "attention_error", "head_policy", "all",
         ],
     )
     parser.add_argument("--model", type=str, default="unsloth/Llama-3.1-8B")
@@ -187,6 +187,22 @@ def main() -> None:
         help="attention_error: matched-query logit gains (the sharpness "
         "sweep; on the hard cache 1..64 spans ~8.1 -> ~1 nats of weight "
         "entropy)",
+    )
+    parser.add_argument(
+        "--hp_seq_len", type=int, default=512,
+        help="head_policy: cache length for the full-stack policy study "
+        "(its own flag — the study builds a hermetic random-init model, "
+        "not the sweep's cache, so --seq_len's checkpoint-matching default "
+        "does not apply)",
+    )
+    parser.add_argument(
+        "--hp_layers", type=int, default=8,
+        help="head_policy: transformer depth of the hermetic model",
+    )
+    parser.add_argument(
+        "--hp_gains", type=float, nargs=2, default=[1.0, 64.0],
+        metavar=("LO", "HI"),
+        help="head_policy: per-head K-gain range inducing the entropy spread",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -398,6 +414,32 @@ def main() -> None:
                 fm_mult=args.fm_mult,
             )
             plot_attention_error(attn, figures_dir)
+
+    if args.experiment == "head_policy":
+        # Opt-in like 'incremental'/'attention_error': trains 2*L*kv fits
+        # plus a full-stack prefill — minutes of device time on a first run.
+        print("\n" + "=" * 60)
+        print("EXPERIMENT 9: Head-Selection Policy at a Memory Budget")
+        print("=" * 60)
+        from nerf_attention_tpu.experiments.head_policy import (
+            plot_head_policy,
+            run_head_policy_experiment,
+        )
+
+        hp = run_head_policy_experiment(
+            root / "head_policy",
+            seq_len=args.hp_seq_len,
+            epochs=args.epochs,
+            num_layers=args.hp_layers,
+            gain_lo=args.hp_gains[0],
+            gain_hi=args.hp_gains[1],
+            schemes=(
+                tuple(s.strip() for s in args.schemes.split(",") if s.strip())
+                if args.schemes
+                else ("int8_g32_l0fp32",)
+            ),
+        )
+        plot_head_policy(hp, figures_dir)
 
     if args.experiment == "incremental":
         # Deliberately NOT part of 'all': each growth step compiles two

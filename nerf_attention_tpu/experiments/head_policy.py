@@ -1,0 +1,478 @@
+"""Head-selection policy: which heads to serve from parameters at a budget.
+
+Beyond-reference experiment (the reference has no serving layer; its
+closest surface is the per-tensor fit table,
+`/root/reference/nerf_attention/fit.py:20-118`). The r4 entropy law
+(`experiments/attention_error.py`, `benchmarks/r4/attention_error_entropy_law.json`)
+prices a K/V reconstruction at one attention output: error scales as
+(1 - proxy) * e^(-H) in the head's weight entropy H. The full-model
+end-metric study (`tools/model_end_metric_study.py`) showed the law
+survives depth but that PARTIAL cache swaps interact with layer position
+(early-layer-only swaps dip below the full swap). This experiment asks
+the operator's question those two findings set up: given a memory budget
+that lets only a FRACTION of (layer, kv-head) cache slices be served
+from SIREN parameters, which slices should they be — and is the entropy
+law's ranking actually optimal at the model output, or does depth
+override it?
+
+Protocol (hermetic — random-init model, no weights in this environment):
+
+* per-(layer, kv-head) gains, log-spaced and shuffled, scale each head's
+  K projection slice, inducing REAL per-head entropy diversity (the
+  thing random init lacks and real checkpoints have — this unblocks the
+  policy experiment the r4 roadmap marked degenerate);
+* per-head entropies are MEASURED from `llama_decode_step`'s entropy
+  output on the true cache, never assumed from the gains;
+* every (layer, kv-head, K|V) slice is fitted by one SIREN in a single
+  batched program (the sweep's exact trainer);
+* per-unit SOLO swaps (one head served from parameters, all others true)
+  measure each unit's standalone output cost and re-fit the entropy law
+  at the model output;
+* selection policies (entropy-ranked, law-priced, proxy-ranked,
+  layer-position, random, adversarial) are swept over the budget axis,
+  each point one masked decode, and compared at the final-hidden-state
+  cosine.
+
+Writes ``head_policy_results.json`` + a two-panel figure.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_POLICIES = (
+    "law",           # ascending predicted cost (1 - proxy) * e^(-H)
+    "entropy_desc",  # most-diffuse heads first (entropy law, quality-blind)
+    "proxy_desc",    # best-fit heads first (the table a reference user has)
+    "late_first",    # deepest layers first (the rollout-direction finding)
+    "entropy_asc",   # sharpest heads first (adversarial bound)
+)
+
+_DECODE_CHUNK = 32  # masks per jitted dispatch (one compile for the run)
+
+
+def assign_head_gains(
+    n_layers: int, n_kv: int, *, lo: float = 1.0, hi: float = 64.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Log-spaced per-(layer, kv-head) logit gains, shuffled across units.
+
+    Shuffling decorrelates gain from layer index so the entropy and
+    layer-position policies are genuinely distinct rankings.
+    """
+    n = n_layers * n_kv
+    gains = np.logspace(np.log10(lo), np.log10(hi), n)
+    np.random.RandomState(seed).shuffle(gains)
+    return gains.reshape(n_layers, n_kv).astype(np.float64)
+
+
+def apply_head_gains(config, params: dict, gains: np.ndarray) -> dict:
+    """Scale each (layer, kv-head)'s K projection slice by its gain.
+
+    RoPE is a rotation (linear), so a pre-RoPE K scale of g multiplies
+    that head's attention logits by g — a per-head sharpness knob. The
+    cache CONTENT changes too (scaled keys, drifted deeper activations);
+    the controlled comparisons are between policies on the same cache.
+    """
+    import jax.numpy as jnp
+
+    d = int(config.head_dim)
+    scale = np.repeat(np.asarray(gains, np.float32), d, axis=1)  # (L, kv*d)
+    layers = dict(params["layers"])
+    layers["k"] = layers["k"] * jnp.asarray(scale)[:, None, :]
+    layers["k_bias"] = layers["k_bias"] * jnp.asarray(scale)
+    return {**params, "layers": layers}
+
+
+def kv_head_entropy(ent: np.ndarray, n_kv: int) -> np.ndarray:
+    """Per-kv-head mean attention entropy from a (T, L, H) decode sample.
+
+    GQA maps kv head i to query heads [i*g, (i+1)*g) — `jnp.repeat`
+    order in the attention path (`models/llama_jax.py:412-415`).
+    """
+    t, n_l, n_h = ent.shape
+    group = n_h // n_kv
+    return ent.reshape(t, n_l, n_kv, group).mean(axis=(0, 3))
+
+
+def policy_orders(
+    entropy_u: np.ndarray,
+    proxy_u: np.ndarray,
+    *,
+    n_layers: int,
+    n_kv: int,
+    n_random: int = 3,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Unit orderings (first = first slice served from parameters)."""
+    n = entropy_u.size
+    pred_cost = (1.0 - proxy_u) * np.exp(-entropy_u)
+    layer_of = np.arange(n) // n_kv
+    orders = {
+        "law": np.argsort(pred_cost, kind="stable"),
+        "entropy_desc": np.argsort(-entropy_u, kind="stable"),
+        "proxy_desc": np.argsort(-proxy_u, kind="stable"),
+        # deepest layers first; entropy breaks ties within a layer
+        "late_first": np.lexsort((-entropy_u, -layer_of)),
+        "entropy_asc": np.argsort(entropy_u, kind="stable"),
+    }
+    rng = np.random.RandomState(seed)
+    for i in range(n_random):
+        orders[f"random_{i}"] = rng.permutation(n)
+    return orders
+
+
+def _masks_for(orders: dict[str, np.ndarray], budgets, n_units: int):
+    """All swap masks the study needs, deduplicated, as one (B, n) array.
+
+    Returns (masks, solo_idx (n_units,), curve_idx {policy: (len(budgets),)}).
+    """
+    mask_index: dict[bytes, int] = {}
+    masks: list[np.ndarray] = []
+
+    def intern(mask: np.ndarray) -> int:
+        key = np.packbits(mask).tobytes()
+        if key not in mask_index:
+            mask_index[key] = len(masks)
+            masks.append(mask)
+        return mask_index[key]
+
+    solo_idx = np.empty(n_units, dtype=np.int64)
+    for u in range(n_units):
+        m = np.zeros(n_units, dtype=bool)
+        m[u] = True
+        solo_idx[u] = intern(m)
+    curve_idx: dict[str, np.ndarray] = {}
+    for name, order in orders.items():
+        idx = np.empty(len(budgets), dtype=np.int64)
+        for j, m_units in enumerate(budgets):
+            m = np.zeros(n_units, dtype=bool)
+            m[order[:m_units]] = True
+            idx[j] = intern(m)
+        curve_idx[name] = idx
+    return np.stack(masks), solo_idx, curve_idx
+
+
+def run_head_policy_experiment(
+    output_dir: Path,
+    *,
+    seq_len: int = 512,
+    n_queries: int = 8,
+    epochs: int = 2000,
+    config_name: str = "small",
+    num_layers: int = 8,
+    num_heads: int = 8,
+    num_kv_heads: int = 4,
+    head_dim: int = 32,
+    hidden_size: int = 256,
+    intermediate_size: int = 512,
+    gain_lo: float = 1.0,
+    gain_hi: float = 64.0,
+    schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
+    budget_points: int = 8,
+    n_random: int = 3,
+    seed: int = 0,
+    impl: str = "auto",
+    verbose: bool = True,
+) -> dict:
+    """Run the policy sweep; returns (and writes) the results dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.experiments.attention_error import (
+        _quantized_view,
+        _reconstruct,
+    )
+    from nerf_attention_tpu.models.llama_jax import (
+        LlamaConfig,
+        init_random_llama,
+        llama_decode_step,
+        llama_prefill_kv,
+    )
+    from nerf_attention_tpu.ops.quantize import param_bytes, parse_scheme
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+    for s in schemes:  # fail fast before any device time (quantize contract)
+        parse_scheme(s[: -len("_qat")] if s.endswith("_qat") else s)
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    net = CONFIGS_BY_NAME[config_name]
+    t0 = time.perf_counter()
+
+    config = LlamaConfig(
+        vocab_size=512,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_hidden_layers=num_layers,
+        num_attention_heads=num_heads,
+        num_key_value_heads=num_kv_heads,
+        head_dim=head_dim,
+    )
+    n_l, n_kv, d, s = num_layers, num_kv_heads, head_dim, seq_len
+    n_units = n_l * n_kv
+
+    gains = assign_head_gains(n_l, n_kv, lo=gain_lo, hi=gain_hi, seed=seed)
+    params = apply_head_gains(config, init_random_llama(config, seed=seed), gains)
+
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + n_queries), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+    ck = jnp.asarray(keys[:, :, :s, :])
+    cv = jnp.asarray(values[:, :, :s, :])
+    tokens = ids[s - n_queries : s]
+    positions = jnp.arange(s - n_queries, s, dtype=jnp.int32)
+
+    @jax.jit
+    def decode_true(p, toks, pos, k_c, v_c):
+        fn = jax.vmap(
+            lambda t, q: llama_decode_step(config, p, t, q, k_c, v_c),
+            in_axes=(0, 0),
+        )
+        h, _, ent = fn(toks, pos)
+        return h, ent
+
+    @jax.jit
+    def decode_masked(p, toks, pos, k_c, v_c, k_hat, v_hat, unit_masks, h_ref):
+        """(B, n_units) bool -> (B, T) output cosine vs the h_ref decode."""
+
+        def one(mask):
+            m = mask.reshape(n_l, n_kv)[:, :, None, None]
+            ka = jnp.where(m, k_hat, k_c)
+            va = jnp.where(m, v_hat, v_c)
+            h, _, _ = jax.vmap(
+                lambda t, q: llama_decode_step(config, p, t, q, ka, va),
+                in_axes=(0, 0),
+            )(toks, pos)
+            return h
+
+        h = jax.vmap(one)(unit_masks)  # (B, T, hidden)
+        num = jnp.sum(h * h_ref[None], -1)
+        den = jnp.maximum(
+            jnp.linalg.norm(h, axis=-1) * jnp.linalg.norm(h_ref, axis=-1)[None],
+            1e-12,
+        )
+        return num / den
+
+    h_true, ent_true = decode_true(params, tokens, positions, ck, cv)
+    ent_u = kv_head_entropy(np.asarray(ent_true), n_kv).reshape(-1)  # (units,)
+
+    # --- fit every slice in one batched program (K rows then V rows) ---
+    targets = np.concatenate([np.asarray(ck), np.asarray(cv)]).reshape(
+        2 * n_units, s, d
+    )
+    fit = fit_batch(targets, net, epochs=epochs, seed=seed, impl=impl)
+    k_cos = np.asarray(fit.cosine_mean[:n_units], np.float64)
+    v_cos = np.asarray(fit.cosine_mean[n_units:], np.float64)
+    proxy_u = 0.5 * (k_cos + v_cos)
+    if verbose:
+        print(
+            f"Head policy: L={n_l} kv={n_kv} S={s} {net.name} x {epochs} ep | "
+            f"entropy {ent_u.min():.2f}-{ent_u.max():.2f} nats | "
+            f"fit K {k_cos.mean():.4f} V {v_cos.mean():.4f}"
+        )
+
+    orders = policy_orders(
+        ent_u, proxy_u, n_layers=n_l, n_kv=n_kv, n_random=n_random, seed=seed
+    )
+    step = max(1, n_units // budget_points)
+    budgets = list(range(0, n_units + 1, step))
+    if budgets[-1] != n_units:
+        budgets.append(n_units)
+    masks, solo_idx, curve_idx = _masks_for(orders, budgets, n_units)
+
+    def cosine_for_masks(k_hat, v_hat) -> np.ndarray:
+        """Mean-over-queries output cosine for every interned mask."""
+        out = np.empty(masks.shape[0], dtype=np.float64)
+        for lo_i in range(0, masks.shape[0], _DECODE_CHUNK):
+            chunk = masks[lo_i : lo_i + _DECODE_CHUNK]
+            pad = _DECODE_CHUNK - chunk.shape[0]
+            if pad:  # keep one compiled shape for every dispatch
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, n_units), dtype=bool)]
+                )
+            cos = np.asarray(
+                decode_masked(
+                    params, tokens, positions, ck, cv,
+                    jnp.asarray(k_hat), jnp.asarray(v_hat),
+                    jnp.asarray(chunk), h_true,
+                )
+            ).mean(axis=1)
+            out[lo_i : lo_i + _DECODE_CHUNK - pad] = cos[: _DECODE_CHUNK - pad]
+        return out
+
+    # --- payload views: master fit + each stored scheme ---
+    raw_slice_bytes = 2 * s * d * 2  # one unit's K+V at raw fp16
+    payloads: dict[str, dict] = {}
+    results_payloads: dict[str, dict] = {}
+    for scheme in ("master",) + tuple(schemes):
+        if scheme == "master":
+            view = fit
+        else:
+            view = _quantized_view(fit, scheme, targets=targets, config=net)
+        # stored bytes for ONE unit = its K net + V net under the scheme
+        # (the dequantized view keeps the stored layout's shapes)
+        one = [(np.asarray(w)[0], np.asarray(b)[0]) for w, b in view.params]
+        unit_bytes = 2 * param_bytes(
+            one, "fp32" if scheme == "master" else scheme
+        )
+        recon = _reconstruct(view, np.arange(2 * n_units), s, net, None)
+        k_hat = jnp.asarray(recon[:n_units].reshape(n_l, n_kv, s, d))
+        v_hat = jnp.asarray(recon[n_units:].reshape(n_l, n_kv, s, d))
+        cos_all = cosine_for_masks(k_hat, v_hat)
+        payloads[scheme] = {"cos_all": cos_all}
+        results_payloads[scheme] = {
+            "stored_bytes_per_unit": unit_bytes,
+            "raw_bytes_per_unit": raw_slice_bytes,
+            "policies": {
+                name: {
+                    "budgets": budgets,
+                    "fraction": [m / n_units for m in budgets],
+                    "output_cosine": [float(cos_all[i]) for i in curve_idx[name]],
+                }
+                for name in orders
+            },
+        }
+        if verbose:
+            half = budgets[len(budgets) // 2]
+            j = len(budgets) // 2
+            print(
+                f"  {scheme}: full swap {cos_all[curve_idx['law'][-1]]:.4f} | "
+                f"@{half}/{n_units} " + " ".join(
+                    f"{n}={cos_all[curve_idx[n][j]]:.4f}"
+                    for n in DEFAULT_POLICIES
+                )
+            )
+
+    # --- per-unit solo costs + model-level entropy law (master payload) ---
+    solo_cos = payloads["master"]["cos_all"][solo_idx]
+    solo_cost = np.maximum(1.0 - solo_cos, 0.0)
+    fit_mask = solo_cost > 1e-9  # diffuse heads cost ~0; log needs support
+    law = None
+    if fit_mask.sum() >= 3:
+        x, y = ent_u[fit_mask], np.log(solo_cost[fit_mask])
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+        law = {
+            "slope": float(slope),
+            "intercept": float(intercept),
+            "r2": r2,
+            "n_points": int(fit_mask.sum()),
+            "n_excluded_below_1e-9": int((~fit_mask).sum()),
+        }
+        if verbose:
+            print(
+                f"  model-level entropy law: log(cost) = {intercept:.2f} "
+                f"{slope:+.3f}*H  R^2={r2:.3f}  ({int(fit_mask.sum())} units)"
+            )
+
+    units = [
+        {
+            "layer": int(u // n_kv),
+            "kv_head": int(u % n_kv),
+            "gain": float(gains.reshape(-1)[u]),
+            "entropy_nats": float(ent_u[u]),
+            "key_fit_cosine": float(k_cos[u]),
+            "value_fit_cosine": float(v_cos[u]),
+            "solo_output_cosine": float(solo_cos[u]),
+            "solo_cost": float(solo_cost[u]),
+        }
+        for u in range(n_units)
+    ]
+
+    results = {
+        "model": {
+            "num_hidden_layers": n_l,
+            "num_attention_heads": num_heads,
+            "num_key_value_heads": n_kv,
+            "head_dim": d,
+            "hidden_size": hidden_size,
+            "seq_len": s,
+            "n_queries": n_queries,
+        },
+        "net": net.name,
+        "epochs": epochs,
+        "seed": seed,
+        "gain_lo": gain_lo,
+        "gain_hi": gain_hi,
+        "n_random": n_random,
+        "uniform_entropy_nats": float(np.log(s)),
+        "units": units,
+        "entropy_law_solo": law,
+        "payloads": results_payloads,
+        "wall_seconds": time.perf_counter() - t0,
+    }
+    with open(output_dir / "head_policy_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    if verbose:
+        print(
+            f"Head policy done in {results['wall_seconds']:.0f}s -> "
+            f"{output_dir / 'head_policy_results.json'}"
+        )
+    return results
+
+
+def plot_head_policy(results: dict, figures_dir: Path) -> None:
+    """Two panels: solo cost vs entropy (the law), policy budget curves."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    figures_dir = Path(figures_dir)
+    figures_dir.mkdir(parents=True, exist_ok=True)
+    units = results["units"]
+    fig, (ax_law, ax_pol) = plt.subplots(1, 2, figsize=(12.5, 4.8))
+
+    h = np.array([u["entropy_nats"] for u in units])
+    cost = np.array([u["solo_cost"] for u in units])
+    ax_law.scatter(h, np.maximum(cost, 1e-12), s=22, alpha=0.8, zorder=3)
+    law = results.get("entropy_law_solo")
+    if law:
+        xs = np.linspace(h.min(), h.max(), 50)
+        ax_law.plot(
+            xs,
+            np.exp(law["intercept"] + law["slope"] * xs),
+            "--",
+            color="0.35",
+            label=(
+                f"slope {law['slope']:.2f}, $R^2$ {law['r2']:.2f}"
+            ),
+            zorder=2,
+        )
+        ax_law.legend(fontsize=8)
+    ax_law.set_yscale("log")
+    ax_law.set_xlabel("measured head entropy (nats)")
+    ax_law.set_ylabel("solo-swap output cost (1 − cosine)")
+    ax_law.set_title("Per-head cost at the model output")
+    ax_law.grid(alpha=0.3)
+
+    master = results["payloads"]["master"]["policies"]
+    randoms = np.array(
+        [v["output_cosine"] for k, v in master.items() if k.startswith("random")]
+    )
+    frac = master[next(iter(master))]["fraction"]
+    if randoms.size:
+        ax_pol.fill_between(
+            frac, randoms.min(axis=0), randoms.max(axis=0),
+            color="0.8", label=f"random (n={randoms.shape[0]})",
+        )
+    for name in DEFAULT_POLICIES:
+        if name in master:
+            ax_pol.plot(frac, master[name]["output_cosine"], "-o", ms=3.5,
+                        label=name)
+    ax_pol.set_xlabel("fraction of (layer, kv-head) slices served from params")
+    ax_pol.set_ylabel("output cosine vs true-cache decode")
+    ax_pol.set_title("Selection policies over the budget axis")
+    ax_pol.grid(alpha=0.3)
+    ax_pol.legend(fontsize=8)
+
+    fig.tight_layout()
+    fig.savefig(figures_dir / "head_policy.png", dpi=130)
+    plt.close(fig)
+    print(f"  Saved {figures_dir / 'head_policy.png'}")

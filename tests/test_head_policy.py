@@ -1,0 +1,109 @@
+"""Head-selection policy experiment (`experiments/head_policy.py`).
+
+Pure-function units run instantly; one tiny end-to-end run (2 layers,
+S=48, 10 epochs) exercises the full protocol on the CPU mesh conftest
+pins.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.experiments.head_policy import (
+    assign_head_gains,
+    kv_head_entropy,
+    policy_orders,
+    run_head_policy_experiment,
+)
+
+
+def test_assign_head_gains_shape_range_determinism():
+    g1 = assign_head_gains(8, 4, lo=1.0, hi=64.0, seed=3)
+    g2 = assign_head_gains(8, 4, lo=1.0, hi=64.0, seed=3)
+    assert g1.shape == (8, 4)
+    np.testing.assert_array_equal(g1, g2)
+    assert g1.min() == pytest.approx(1.0)
+    assert g1.max() == pytest.approx(64.0)
+    # shuffled: the log-spaced ladder must not survive in raster order
+    assert not np.all(np.diff(g1.reshape(-1)) > 0)
+
+
+def test_kv_head_entropy_grouping():
+    # 1 query, 2 layers, 4 query heads, 2 kv heads: GQA repeat order maps
+    # query heads (0,1)->kv0 and (2,3)->kv1 (jnp.repeat semantics).
+    ent = np.array([[[1.0, 3.0, 5.0, 7.0], [2.0, 4.0, 6.0, 8.0]]])
+    out = kv_head_entropy(ent, n_kv=2)
+    np.testing.assert_allclose(out, [[2.0, 6.0], [3.0, 7.0]])
+
+
+def test_policy_orders_are_permutations_and_ranked():
+    rng = np.random.RandomState(0)
+    n_l, n_kv = 4, 2
+    ent = rng.uniform(1.0, 7.0, n_l * n_kv)
+    proxy = rng.uniform(0.4, 0.99, n_l * n_kv)
+    orders = policy_orders(
+        ent, proxy, n_layers=n_l, n_kv=n_kv, n_random=2, seed=0
+    )
+    n = n_l * n_kv
+    for name, order in orders.items():
+        assert sorted(order.tolist()) == list(range(n)), name
+    assert ent[orders["entropy_desc"][0]] == ent.max()
+    assert ent[orders["entropy_asc"][0]] == ent.min()
+    assert proxy[orders["proxy_desc"][0]] == proxy.max()
+    # law = ascending (1-proxy)e^-H
+    cost = (1 - proxy) * np.exp(-ent)
+    assert cost[orders["law"][0]] == cost.min()
+    # late_first serves the deepest layer's units before any earlier layer
+    layer_of = orders["late_first"] // n_kv
+    assert list(layer_of[:n_kv]) == [n_l - 1] * n_kv
+
+
+def test_run_head_policy_experiment_tiny(tmp_path: Path):
+    res = run_head_policy_experiment(
+        tmp_path,
+        seq_len=48,
+        n_queries=4,
+        epochs=10,
+        config_name="tiny",
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        hidden_size=64,
+        intermediate_size=128,
+        schemes=("fp16",),
+        budget_points=2,
+        n_random=1,
+        seed=0,
+        verbose=False,
+    )
+    on_disk = json.loads((tmp_path / "head_policy_results.json").read_text())
+    assert on_disk["net"] == res["net"] == "tiny"
+
+    n_units = 2 * 2
+    assert len(res["units"]) == n_units
+    for u in res["units"]:
+        assert 0.0 <= u["solo_cost"] <= 2.0
+        assert u["entropy_nats"] > 0.0
+    # induced diversity: the gains must spread measured entropy
+    ents = [u["entropy_nats"] for u in res["units"]]
+    assert max(ents) - min(ents) > 0.05
+
+    assert set(res["payloads"]) == {"master", "fp16"}
+    for payload in res["payloads"].values():
+        assert payload["stored_bytes_per_unit"] > 0
+        curves = payload["policies"]
+        full = None
+        for name, curve in curves.items():
+            cos = curve["output_cosine"]
+            assert len(cos) == len(curve["budgets"])
+            # zero budget = true cache: exactly the reference decode
+            assert cos[0] == pytest.approx(1.0, abs=1e-6)
+            # full budget is policy-independent (same final mask)
+            full = cos[-1] if full is None else full
+            assert cos[-1] == pytest.approx(full, abs=1e-9)
+        assert {"law", "entropy_desc", "entropy_asc", "random_0"} <= set(curves)
