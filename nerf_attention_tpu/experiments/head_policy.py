@@ -353,8 +353,8 @@ def run_head_policy_experiment(
     solo_cos = payloads["master"]["cos_all"][solo_idx]
     solo_cost = np.maximum(1.0 - solo_cos, 0.0)
     fit_mask = solo_cost > 1e-9  # diffuse heads cost ~0; log needs support
-    law = None
-    if fit_mask.sum() >= 3:
+    law = law2 = None
+    if fit_mask.sum() >= 4:
         x, y = ent_u[fit_mask], np.log(solo_cost[fit_mask])
         slope, intercept = np.polyfit(x, y, 1)
         r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
@@ -365,10 +365,28 @@ def run_head_policy_experiment(
             "n_points": int(fit_mask.sum()),
             "n_excluded_below_1e-9": int((~fit_mask).sum()),
         }
+        # Two-factor law — what the 'law' policy actually prices:
+        # log(cost) = a + b*H + c*log(1 - proxy)
+        lq = np.log(np.maximum(1.0 - proxy_u[fit_mask], 1e-12))
+        design = np.stack([np.ones_like(x), x, lq], axis=1)
+        coef, *_ = np.linalg.lstsq(design, y, rcond=None)
+        resid = y - design @ coef
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        law2 = {
+            "intercept": float(coef[0]),
+            "entropy_slope": float(coef[1]),
+            "log1mproxy_slope": float(coef[2]),
+            "r2": 1.0 - float((resid**2).sum()) / ss_tot if ss_tot else 1.0,
+            "n_points": int(fit_mask.sum()),
+        }
         if verbose:
             print(
                 f"  model-level entropy law: log(cost) = {intercept:.2f} "
                 f"{slope:+.3f}*H  R^2={r2:.3f}  ({int(fit_mask.sum())} units)"
+            )
+            print(
+                f"  two-factor law: log(cost) = {coef[0]:.2f} {coef[1]:+.3f}*H "
+                f"{coef[2]:+.3f}*log(1-proxy)  R^2={law2['r2']:.3f}"
             )
 
     units = [
@@ -404,6 +422,7 @@ def run_head_policy_experiment(
         "uniform_entropy_nats": float(np.log(s)),
         "units": units,
         "entropy_law_solo": law,
+        "entropy_law_solo_2factor": law2,
         "payloads": results_payloads,
         "wall_seconds": time.perf_counter() - t0,
     }

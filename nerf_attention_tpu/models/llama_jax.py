@@ -791,12 +791,21 @@ def _layer_decode(
         cap = config.attn_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
     cols = jnp.arange(k_full.shape[1])
-    keep = cols <= position
+    # Cache rows are the tokens BEFORE ``position``; the new token's own key
+    # is the concatenated last column, always visible (also past any sliding
+    # window's reach — a token is always within the window of itself). Row
+    # ``position`` itself is the current token's (unfilled) slot: masking it
+    # avoids double-counting self when the cache is a full-S buffer the
+    # query sits inside (the end-metric protocols), and makes decoding
+    # correct over a PRE-ALLOCATED buffer longer than the filled prefix —
+    # the static-cache serving pattern the rollout-drift study scans over.
+    keep = cols < position
     window = lp["window"] if "window" in lp else config.sliding_window
     if isinstance(window, jax.Array):
         keep &= (window <= 0) | (cols > position - window)
     elif window is not None:
         keep &= cols > position - window
+    keep |= cols == k_full.shape[1] - 1
     logits = jnp.where(keep[None, None, :], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
     # Per-head attention entropy (nats) of the new token — the sharpness

@@ -779,3 +779,51 @@ def test_decode_step_from_siren_reconstructed_cache():
         / (jnp.linalg.norm(h_hat) * jnp.linalg.norm(h_true))
     )
     assert cos > 0.9, (cos, float(batch.cosine_mean.mean()))
+
+
+def test_decode_step_padded_buffer_matches_exact_length():
+    """Static-cache serving pattern: decoding at position p over a
+    PRE-ALLOCATED buffer (filled prefix + zero rows) must equal decoding
+    over the exact-length cache — rows past ``position`` are masked and
+    the new token's own (concatenated) key stays visible. This is the
+    surface the rollout-drift study's lax.scan writes appends into."""
+    import jax
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+
+    config = _DECODE_CONFIGS["base_gqa"]
+    params = _spiced_params(config, seed=9)
+    rng = np.random.RandomState(17)
+    s, pad = 12, 6
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + 1), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+    ck, cv = keys[:, :, :s, :], values[:, :, :s, :]
+
+    h_exact, (k_exact, v_exact), ent_exact = llama_decode_step(
+        config, params, ids[s], s, ck, cv
+    )
+    zeros = jnp.zeros(ck.shape[:2] + (pad, ck.shape[3]), ck.dtype)
+    h_pad, (k_pad, v_pad), ent_pad = llama_decode_step(
+        config, params, ids[s], s,
+        jnp.concatenate([ck, zeros], axis=2),
+        jnp.concatenate([cv, zeros], axis=2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_pad), np.asarray(h_exact), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_pad), np.asarray(k_exact), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ent_pad), np.asarray(ent_exact), atol=1e-5, rtol=1e-5
+    )
+
+    # Garbage (not zeros) past the prefix must be equally invisible.
+    junk = jnp.asarray(rng.randn(*zeros.shape) * 100, ck.dtype)
+    h_junk, _, _ = llama_decode_step(
+        config, params, ids[s], s,
+        jnp.concatenate([ck, junk], axis=2),
+        jnp.concatenate([cv, junk], axis=2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_junk), np.asarray(h_exact), atol=1e-6, rtol=1e-6
+    )
