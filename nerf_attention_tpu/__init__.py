@@ -30,6 +30,7 @@ from nerf_attention_tpu.extract import (
     get_sample_text,
 )
 from nerf_attention_tpu.models.llama_jax import (
+    llama_decode_rollout,
     llama_decode_step,
     llama_prefill_kv,
     llama_prefill_kv_pp,
@@ -103,6 +104,7 @@ __all__ = [
     "siren_decode_batch",
     "siren_attention_decode",
     "siren_attention_decode_fused",
+    "llama_decode_rollout",
     "llama_decode_step",
     "llama_prefill_kv",
     "llama_prefill_kv_pp",

@@ -898,6 +898,71 @@ def llama_decode_step(
     return h[0], (k_new, v_new), entropy
 
 
+@partial(jax.jit, static_argnames=("config",))
+def llama_decode_rollout(
+    config: LlamaConfig,
+    params: dict,
+    token_ids: jax.Array,
+    start_position: jax.Array,
+    cache_keys: jax.Array,
+    cache_values: jax.Array,
+    forced_keys: jax.Array | None = None,
+    forced_values: jax.Array | None = None,
+):
+    """T autoregressive decode steps in ONE jitted scan — the serving loop.
+
+    Token t decodes at position ``start_position + t`` and APPENDS its
+    per-layer K/V into the cache at that position, so later tokens attend
+    earlier generated ones: multi-token decode in one dispatch instead of
+    T (the per-step alternative pays the dispatch/tunnel round trip T
+    times). ``cache_keys``/``cache_values`` are (num_layers, num_kv_heads,
+    S_buf, head_dim) PRE-ALLOCATED buffers: rows [0, start_position) hold
+    the filled prefix (true cache or any reconstruction — the same swap
+    surface as `llama_decode_step`), rows at and past a step's position
+    are invisible to it (`_layer_decode`'s mask), and S_buf must be >=
+    start_position + T so every append has a slot.
+
+    ``forced_keys``/``forced_values`` (T, num_layers, num_kv_heads, 1,
+    head_dim), if given, are written instead of each step's own K/V —
+    the rollout-drift study's contamination-control arm
+    (`tools/rollout_drift_study.py`; measured: self-appends are
+    indistinguishable from exact ones, `FINDINGS_TPU.md` "Rollout
+    drift").
+
+    Returns (h (T, hidden) final hidden states, (keys, values) the
+    filled buffers, (k_new, v_new) (T, num_layers, num_kv_heads, 1,
+    head_dim) each step's own computed rows, entropy (T, num_layers,
+    num_attention_heads)).
+    """
+    t_steps = token_ids.shape[0]
+    positions = jnp.asarray(start_position, jnp.int32) + jnp.arange(
+        t_steps, dtype=jnp.int32
+    )
+
+    def step(carry, xs):
+        kb, vb = carry
+        if forced_keys is None:
+            tok, pos = xs
+            h, (kn, vn), ent = llama_decode_step(config, params, tok, pos, kb, vb)
+            ak, av = kn, vn
+        else:
+            tok, pos, ak, av = xs
+            h, (kn, vn), ent = llama_decode_step(config, params, tok, pos, kb, vb)
+        kb = jax.lax.dynamic_update_slice(kb, ak, (0, 0, pos, 0))
+        vb = jax.lax.dynamic_update_slice(vb, av, (0, 0, pos, 0))
+        return (kb, vb), (h, kn, vn, ent)
+
+    xs = (
+        (token_ids, positions)
+        if forced_keys is None
+        else (token_ids, positions, forced_keys, forced_values)
+    )
+    (k_buf, v_buf), (hs, k_new, v_new, ents) = jax.lax.scan(
+        step, (cache_keys, cache_values), xs
+    )
+    return hs, (k_buf, v_buf), (k_new, v_new), ents
+
+
 # ---------------------------------------------------------------------------
 # Weight loading (safetensors / torch .bin) and random init
 # ---------------------------------------------------------------------------

@@ -827,3 +827,69 @@ def test_decode_step_padded_buffer_matches_exact_length():
     np.testing.assert_allclose(
         np.asarray(h_junk), np.asarray(h_exact), atol=1e-6, rtol=1e-6
     )
+
+
+def test_decode_rollout_matches_sequential_steps():
+    """`llama_decode_rollout` (one jitted scan) must equal T sequential
+    `llama_decode_step` calls with manual buffer writes — hidden states,
+    appended rows, buffers, and entropies."""
+    import jax
+    from nerf_attention_tpu.models.llama_jax import (
+        llama_decode_rollout,
+        llama_decode_step,
+    )
+
+    config = _DECODE_CONFIGS["base_gqa"]
+    params = _spiced_params(config, seed=21)
+    rng = np.random.RandomState(23)
+    s, t_steps = 10, 4
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + t_steps), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids)
+    zeros = jnp.zeros(keys.shape[:2] + (t_steps, keys.shape[3]), keys.dtype)
+    k_buf0 = jnp.concatenate([keys[:, :, :s, :], zeros], axis=2)
+    v_buf0 = jnp.concatenate([values[:, :, :s, :], zeros], axis=2)
+
+    hs, (k_buf, v_buf), (k_new, v_new), ents = llama_decode_rollout(
+        config, params, ids[s:], s, k_buf0, v_buf0
+    )
+    assert hs.shape == (t_steps, config.hidden_size)
+    assert k_buf.shape == k_buf0.shape
+
+    kb, vb = k_buf0, v_buf0
+    for t in range(t_steps):
+        h, (kn, vn), ent = llama_decode_step(
+            config, params, ids[s + t], s + t, kb, vb
+        )
+        np.testing.assert_allclose(
+            np.asarray(hs[t]), np.asarray(h), atol=1e-6, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_new[t]), np.asarray(kn), atol=1e-6, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ents[t]), np.asarray(ent), atol=1e-5, rtol=1e-5
+        )
+        kb = jax.lax.dynamic_update_slice(kb, kn, (0, 0, s + t, 0))
+        vb = jax.lax.dynamic_update_slice(vb, vn, (0, 0, s + t, 0))
+    np.testing.assert_allclose(
+        np.asarray(k_buf), np.asarray(kb), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_buf), np.asarray(vb), atol=1e-6, rtol=1e-6
+    )
+
+    # The rollout's appended rows equal prefill's rows at those positions
+    # (autoregressive consistency extended over the generated span).
+    np.testing.assert_allclose(
+        np.asarray(k_buf), np.asarray(keys[:, :, : s + t_steps, :]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # Forcing the self-computed rows reproduces self-append exactly.
+    hs_f, _, _, _ = llama_decode_rollout(
+        config, params, ids[s:], s, k_buf0, v_buf0,
+        forced_keys=k_new, forced_values=v_new,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs_f), np.asarray(hs), atol=1e-7, rtol=1e-7
+    )

@@ -43,7 +43,6 @@ import argparse
 import json
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -85,7 +84,7 @@ def main() -> None:
     from nerf_attention_tpu.models.llama_jax import (
         LlamaConfig,
         init_random_llama,
-        llama_decode_step,
+        llama_decode_rollout,
         llama_prefill_kv,
     )
     from nerf_attention_tpu.parallel.sweep import fit_batch
@@ -107,34 +106,6 @@ def main() -> None:
         f"S={s} T={t_steps}  net={net.name}  epochs={args.epochs}"
     )
     np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))  # warm the client
-
-    positions_t = jnp.arange(s, s + t_steps, dtype=jnp.int32)
-
-    @partial(jax.jit, static_argnames=("mode",))
-    def rollout(params, toks, k_buf, v_buf, app_k, app_v, mode):
-        """T sequential decode steps over a pre-allocated (S+T)-row cache.
-
-        mode='self': append each step's own K/V (serving reality).
-        mode='exact': append the provided rows (the contamination-free
-        control). Returns (h (T, hidden), k_app, v_app (T, L, kv, 1, d),
-        ent (T, L, H)).
-        """
-
-        def step(carry, xs):
-            kb, vb = carry
-            tok, pos, ek, ev = xs
-            h, (kn, vn), ent = llama_decode_step(
-                config, params, tok, pos, kb, vb
-            )
-            ak, av = (ek, ev) if mode == "exact" else (kn, vn)
-            kb = jax.lax.dynamic_update_slice(kb, ak, (0, 0, pos, 0))
-            vb = jax.lax.dynamic_update_slice(vb, av, (0, 0, pos, 0))
-            return (kb, vb), (h, kn, vn, ent)
-
-        (_, _), (hs, ks, vs, ents) = jax.lax.scan(
-            step, (k_buf, v_buf), (toks, positions_t, app_k, app_v)
-        )
-        return hs, ks, vs, ents
 
     cos_rows = jax.jit(
         lambda a, b: jnp.sum(a * b, -1)
@@ -177,12 +148,10 @@ def main() -> None:
         ck = jnp.asarray(keys[:, :, :s, :])
         cv = jnp.asarray(values[:, :, :s, :])
         toks = ids[s:]
-        zeros_app = jnp.zeros((t_steps, n_l, n_kv, 1, d), jnp.float32)
 
         # (a) reference: true prefix, self appends (== exact appends)
-        h_ref, k_app, v_app, ent_ref = rollout(
-            params, toks, pad_buffer(ck), pad_buffer(cv),
-            zeros_app, zeros_app, "self",
+        h_ref, _, (k_app, v_app), ent_ref = llama_decode_rollout(
+            config, params, toks, s, pad_buffer(ck), pad_buffer(cv)
         )
         ent = np.asarray(ent_ref)
 
@@ -199,14 +168,13 @@ def main() -> None:
         v_cos = float(batch.cosine_mean[n_half:].mean())
 
         # (b) drift: reconstructed prefix, self appends
-        h_drift, kd_app, _, _ = rollout(
-            params, toks, pad_buffer(ck_hat), pad_buffer(cv_hat),
-            zeros_app, zeros_app, "self",
+        h_drift, _, (kd_app, _), _ = llama_decode_rollout(
+            config, params, toks, s, pad_buffer(ck_hat), pad_buffer(cv_hat)
         )
         # (c) control: reconstructed prefix, exact appends
-        h_ctrl, _, _, _ = rollout(
-            params, toks, pad_buffer(ck_hat), pad_buffer(cv_hat),
-            k_app, v_app, "exact",
+        h_ctrl, _, _, _ = llama_decode_rollout(
+            config, params, toks, s, pad_buffer(ck_hat), pad_buffer(cv_hat),
+            forced_keys=k_app, forced_values=v_app,
         )
 
         cos_drift = np.asarray(cos_rows(h_drift, h_ref), np.float64)
