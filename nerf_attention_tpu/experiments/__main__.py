@@ -438,6 +438,7 @@ def main() -> None:
                 if args.schemes
                 else ("int8_g32_l0fp32",)
             ),
+            qat_epochs=args.qat_epochs,
         )
         plot_head_policy(hp, figures_dir)
 

@@ -173,6 +173,7 @@ def run_head_policy_experiment(
     gain_lo: float = 1.0,
     gain_hi: float = 64.0,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
+    qat_epochs: int = 300,
     budget_points: int = 8,
     n_random: int = 3,
     seed: int = 0,
@@ -198,7 +199,12 @@ def run_head_policy_experiment(
     from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
     for s in schemes:  # fail fast before any device time (quantize contract)
-        parse_scheme(s[: -len("_qat")] if s.endswith("_qat") else s)
+        base = s[: -len("_qat")] if s.endswith("_qat") else s
+        kind, _, group = parse_scheme(base)
+        if s.endswith("_qat") and (kind != "int" or group is None):
+            raise ValueError(
+                f"QAT needs a group-wise integer base scheme, got {s!r}"
+            )
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -221,7 +227,11 @@ def run_head_policy_experiment(
     params = apply_head_gains(config, init_random_llama(config, seed=seed), gains)
 
     rng = np.random.RandomState(seed)
-    ids = jnp.asarray(rng.randint(0, config.vocab_size, s + n_queries), jnp.int32)
+    # Queries are the last n_queries IN-PREFIX tokens (each re-decoded at
+    # its own position over the swappable cache), so exactly s tokens are
+    # ever needed. randint draws sequentially, so this stream equals the
+    # first s values of any longer draw — artifact-stable across sizings.
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s), jnp.int32)
     keys, values = llama_prefill_kv(config, params, ids)
     ck = jnp.asarray(keys[:, :, :s, :])
     cv = jnp.asarray(values[:, :, :s, :])
@@ -286,11 +296,19 @@ def run_head_policy_experiment(
         budgets.append(n_units)
     masks, solo_idx, curve_idx = _masks_for(orders, budgets, n_units)
 
-    def cosine_for_masks(k_hat, v_hat) -> np.ndarray:
-        """Mean-over-queries output cosine for every interned mask."""
-        out = np.empty(masks.shape[0], dtype=np.float64)
-        for lo_i in range(0, masks.shape[0], _DECODE_CHUNK):
-            chunk = masks[lo_i : lo_i + _DECODE_CHUNK]
+    def cosine_for_masks(k_hat, v_hat, idx=None) -> np.ndarray:
+        """Mean-over-queries output cosine, indexed like the interned masks.
+
+        ``idx`` restricts the decode to a subset of masks (entries outside
+        it come back NaN) — the stored schemes only ever read the policy
+        CURVE masks, so they skip the n_units solo decodes the master
+        payload pays for the entropy-law fit.
+        """
+        sel = np.arange(masks.shape[0]) if idx is None else np.asarray(idx)
+        sub = masks[sel]
+        vals = np.empty(sel.shape[0], dtype=np.float64)
+        for lo_i in range(0, sub.shape[0], _DECODE_CHUNK):
+            chunk = sub[lo_i : lo_i + _DECODE_CHUNK]
             pad = _DECODE_CHUNK - chunk.shape[0]
             if pad:  # keep one compiled shape for every dispatch
                 chunk = np.concatenate(
@@ -303,28 +321,40 @@ def run_head_policy_experiment(
                     jnp.asarray(chunk), h_true,
                 )
             ).mean(axis=1)
-            out[lo_i : lo_i + _DECODE_CHUNK - pad] = cos[: _DECODE_CHUNK - pad]
+            vals[lo_i : lo_i + _DECODE_CHUNK - pad] = cos[: _DECODE_CHUNK - pad]
+        out = np.full(masks.shape[0], np.nan)
+        out[sel] = vals
         return out
 
     # --- payload views: master fit + each stored scheme ---
     raw_slice_bytes = 2 * s * d * 2  # one unit's K+V at raw fp16
+    curve_mask_idx = np.unique(np.concatenate(list(curve_idx.values())))
     payloads: dict[str, dict] = {}
     results_payloads: dict[str, dict] = {}
     for scheme in ("master",) + tuple(schemes):
         if scheme == "master":
             view = fit
         else:
-            view = _quantized_view(fit, scheme, targets=targets, config=net)
+            view = _quantized_view(
+                fit, scheme, targets=targets, config=net,
+                qat_epochs=qat_epochs,
+            )
         # stored bytes for ONE unit = its K net + V net under the scheme
-        # (the dequantized view keeps the stored layout's shapes)
+        # (the dequantized view keeps the stored layout's shapes; a _qat
+        # payload ships in its base scheme's layout)
         one = [(np.asarray(w)[0], np.asarray(b)[0]) for w, b in view.params]
-        unit_bytes = 2 * param_bytes(
-            one, "fp32" if scheme == "master" else scheme
+        price_scheme = (
+            "fp32" if scheme == "master"
+            else scheme[: -len("_qat")] if scheme.endswith("_qat")
+            else scheme
         )
+        unit_bytes = 2 * param_bytes(one, price_scheme)
         recon = _reconstruct(view, np.arange(2 * n_units), s, net, None)
         k_hat = jnp.asarray(recon[:n_units].reshape(n_l, n_kv, s, d))
         v_hat = jnp.asarray(recon[n_units:].reshape(n_l, n_kv, s, d))
-        cos_all = cosine_for_masks(k_hat, v_hat)
+        cos_all = cosine_for_masks(
+            k_hat, v_hat, idx=None if scheme == "master" else curve_mask_idx
+        )
         payloads[scheme] = {"cos_all": cos_all}
         results_payloads[scheme] = {
             "stored_bytes_per_unit": unit_bytes,

@@ -943,11 +943,12 @@ def llama_decode_rollout(
         kb, vb = carry
         if forced_keys is None:
             tok, pos = xs
-            h, (kn, vn), ent = llama_decode_step(config, params, tok, pos, kb, vb)
-            ak, av = kn, vn
+            ak = av = None
         else:
             tok, pos, ak, av = xs
-            h, (kn, vn), ent = llama_decode_step(config, params, tok, pos, kb, vb)
+        h, (kn, vn), ent = llama_decode_step(config, params, tok, pos, kb, vb)
+        if ak is None:
+            ak, av = kn, vn
         kb = jax.lax.dynamic_update_slice(kb, ak, (0, 0, pos, 0))
         vb = jax.lax.dynamic_update_slice(vb, av, (0, 0, pos, 0))
         return (kb, vb), (h, kn, vn, ent)

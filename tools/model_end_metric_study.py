@@ -138,7 +138,10 @@ def main() -> None:
         "net": net.name,
         "epochs": args.epochs,
         "schemes": schemes,
-        "uniform_entropy_nats": float(np.log(s + 1)),
+        # A query at position p attends its p cache rows + its own key;
+        # the deepest in-prefix query sees s tokens (decode-mask semantics,
+        # `models/llama_jax.py:_layer_decode`).
+        "uniform_entropy_nats": float(np.log(s)),
         "gains": [],
     }
 

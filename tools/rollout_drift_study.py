@@ -188,7 +188,7 @@ def main() -> None:
             np.float64,
         )
 
-        q = t_steps // 4
+        q = max(1, t_steps // 4)
         row = {
             "gain": gain,
             "attn_entropy_nats_mean": float(ent.mean()),
