@@ -107,3 +107,56 @@ def test_run_head_policy_experiment_tiny(tmp_path: Path):
             full = cos[-1] if full is None else full
             assert cos[-1] == pytest.approx(full, abs=1e-9)
         assert {"law", "entropy_desc", "entropy_asc", "random_0"} <= set(curves)
+
+
+def test_head_policy_cli_wiring(tmp_path, monkeypatch):
+    """Subcommand reaches the runner with CLI args threaded through
+    (the --qat_epochs thread is the regression a self-review caught)."""
+    import sys
+
+    import nerf_attention_tpu.experiments.__main__ as cli
+
+    calls = {}
+
+    def fake_run(out_dir, **kw):
+        calls.update(kw, out_dir=out_dir)
+        return {"units": [], "payloads": {}}
+
+    monkeypatch.setattr(
+        "nerf_attention_tpu.experiments.head_policy."
+        "run_head_policy_experiment",
+        fake_run,
+    )
+    monkeypatch.setattr(
+        "nerf_attention_tpu.experiments.head_policy.plot_head_policy",
+        lambda *a, **k: None,
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "experiments", "head_policy",
+            "--results_root", str(tmp_path / "root"),
+            "--hp_seq_len", "96",
+            "--hp_layers", "3",
+            "--hp_gains", "2", "32",
+            "--epochs", "9",
+            "--qat_epochs", "17",
+            "--schemes", "fp16,int8_g32",
+        ],
+    )
+    cli.main()
+    assert calls["out_dir"] == tmp_path / "root" / "head_policy"
+    assert calls["seq_len"] == 96
+    assert calls["num_layers"] == 3
+    assert calls["gain_lo"] == 2.0 and calls["gain_hi"] == 32.0
+    assert calls["epochs"] == 9
+    assert calls["qat_epochs"] == 17
+    assert calls["schemes"] == ("fp16", "int8_g32")
+
+
+def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):
+    with pytest.raises(ValueError, match="QAT needs a group-wise"):
+        run_head_policy_experiment(
+            tmp_path, seq_len=16, epochs=1, num_layers=1,
+            schemes=("fp16_qat",), verbose=False,
+        )
