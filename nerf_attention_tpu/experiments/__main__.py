@@ -439,6 +439,7 @@ def main() -> None:
                 else ("int8_g32_l0fp32",)
             ),
             qat_epochs=args.qat_epochs,
+            fm_mult=args.fm_mult,
         )
         plot_head_policy(hp, figures_dir)
 

@@ -178,6 +178,7 @@ def run_head_policy_experiment(
     n_random: int = 3,
     seed: int = 0,
     impl: str = "auto",
+    fm_mult: float | None = None,
     verbose: bool = True,
 ) -> dict:
     """Run the policy sweep; returns (and writes) the results dict."""
@@ -276,7 +277,9 @@ def run_head_policy_experiment(
     targets = np.concatenate([np.asarray(ck), np.asarray(cv)]).reshape(
         2 * n_units, s, d
     )
-    fit = fit_batch(targets, net, epochs=epochs, seed=seed, impl=impl)
+    fit = fit_batch(
+        targets, net, epochs=epochs, seed=seed, impl=impl, fm_mult=fm_mult
+    )
     k_cos = np.asarray(fit.cosine_mean[:n_units], np.float64)
     v_cos = np.asarray(fit.cosine_mean[n_units:], np.float64)
     proxy_u = 0.5 * (k_cos + v_cos)
@@ -337,7 +340,7 @@ def run_head_policy_experiment(
         else:
             view = _quantized_view(
                 fit, scheme, targets=targets, config=net,
-                qat_epochs=qat_epochs,
+                fm_mult=fm_mult, qat_epochs=qat_epochs,
             )
         # stored bytes for ONE unit = its K net + V net under the scheme
         # (the dequantized view keeps the stored layout's shapes; a _qat
@@ -349,7 +352,7 @@ def run_head_policy_experiment(
             else scheme
         )
         unit_bytes = 2 * param_bytes(one, price_scheme)
-        recon = _reconstruct(view, np.arange(2 * n_units), s, net, None)
+        recon = _reconstruct(view, np.arange(2 * n_units), s, net, fm_mult)
         k_hat = jnp.asarray(recon[:n_units].reshape(n_l, n_kv, s, d))
         v_hat = jnp.asarray(recon[n_units:].reshape(n_l, n_kv, s, d))
         cos_all = cosine_for_masks(
@@ -446,6 +449,7 @@ def run_head_policy_experiment(
         "net": net.name,
         "epochs": epochs,
         "seed": seed,
+        "fm_mult": fm_mult,
         "gain_lo": gain_lo,
         "gain_hi": gain_hi,
         "n_random": n_random,
