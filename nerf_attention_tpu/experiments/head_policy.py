@@ -422,6 +422,22 @@ def run_head_policy_experiment(
                 f"{coef[2]:+.3f}*log(1-proxy)  R^2={law2['r2']:.3f}"
             )
 
+    # Calibration: is the budget curve the SUM of its served units' solo
+    # costs? Additivity is what lets an operator pick a budget from the
+    # solo table alone (serve greedily while sum of predicted costs stays
+    # under the output-cost target); sub-additivity means the sum is a
+    # conservative bound.
+    law_order = orders["law"]
+    law_curve = payloads["master"]["cos_all"][curve_idx["law"]]
+    additivity = [
+        {
+            "budget": int(m),
+            "sum_solo_cost": float(solo_cost[law_order[:m]].sum()),
+            "measured_cost": float(max(1.0 - law_curve[j], 0.0)),
+        }
+        for j, m in enumerate(budgets)
+    ]
+
     units = [
         {
             "layer": int(u // n_kv),
@@ -457,6 +473,7 @@ def run_head_policy_experiment(
         "units": units,
         "entropy_law_solo": law,
         "entropy_law_solo_2factor": law2,
+        "law_curve_additivity": additivity,
         "payloads": results_payloads,
         "wall_seconds": time.perf_counter() - t0,
     }
