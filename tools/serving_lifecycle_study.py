@@ -55,6 +55,83 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def plot_serving_lifecycle(json_paths, out_png) -> None:
+    """Two panels over cycles: (left) rollout output cosine — the loop's
+    serving quality — and (right) reconstruction vs the true trajectory,
+    first-region (the fixed-point evidence) vs whole-cache mean. Color
+    carries the gain regime (blue diffuse / orange sharp), linestyle the
+    metric, so identity never rides color alone. Seeds faint, mean bold.
+    Full 0-1 axes: the flatness claims are only honest unzoomed."""
+    import json as _json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    per_gain = {}  # gain -> list over seeds of cycle-rows
+    for p in json_paths:
+        data = _json.loads(Path(p).read_text())
+        for row in data["gains"]:
+            per_gain.setdefault(row["gain"], []).append(row["cycles"])
+
+    blue, orange = "#3b6fb6", "#d9762b"
+    styles = {
+        min(per_gain): (blue, "o", "diffuse"),
+        max(per_gain): (orange, "s", "sharp"),
+    }
+    fig, (ax, axr) = plt.subplots(1, 2, figsize=(11.0, 4.2))
+    for gain, seeds in sorted(per_gain.items()):
+        color, marker, regime = styles[gain]
+        ent = np.mean(
+            [c["attn_entropy_nats_mean"] for cycs in seeds for c in cycs]
+        )
+        cyc_x = np.array([c["cycle"] for c in seeds[0]])
+        out = np.array(
+            [[c["rollout_output_cosine_mean"] for c in cycs] for cycs in seeds]
+        )
+        for s in out:
+            ax.plot(cyc_x, s, color=color, lw=0.7, alpha=0.3)
+        ax.plot(
+            cyc_x, out.mean(0), color=color, marker=marker, lw=2.2,
+            label=f"gain {gain:g} ({regime}, ~{ent:.1f} nats)",
+        )
+        for key, ls, name in (
+            ("recon_vs_true_cosine_first_region", "-", "first region"),
+            ("recon_vs_true_cosine_mean", ":", "whole cache"),
+        ):
+            arr = np.array([[c[key] for c in cycs] for cycs in seeds])
+            for s in arr:
+                axr.plot(cyc_x, s, color=color, ls=ls, lw=0.7, alpha=0.3)
+            axr.plot(
+                cyc_x, arr.mean(0), color=color, ls=ls, marker=marker,
+                lw=2.2, label=f"gain {gain:g} {name}",
+            )
+
+    ax.set_xlabel("lifecycle cycle")
+    ax.set_ylabel("rollout output cosine vs true-cache decode")
+    ax.set_title(
+        "Serving quality across compress→serve→absorb cycles\n"
+        "seed mean bold, seeds faint", fontsize=10,
+    )
+    axr.set_xlabel("lifecycle cycle (= re-encodes of the first region)")
+    axr.set_ylabel("reconstruction cosine vs true trajectory")
+    axr.set_title(
+        "Self-distillation is a fixed point\n"
+        "first region flat; sharp-regime decline is absorbed rollouts",
+        fontsize=10,
+    )
+    for a in (ax, axr):
+        a.set_ylim(0.0, 1.05)
+        a.set_xticks(cyc_x)
+        a.grid(alpha=0.25)
+        a.legend(fontsize=8, loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    log(f"wrote {out_png}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=str, default="benchmarks/r4")
@@ -70,7 +147,20 @@ def main() -> None:
     parser.add_argument("--layers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tag", type=str, default="")
+    parser.add_argument(
+        "--plot", type=str, default=None,
+        help="comma-separated serving_lifecycle*.json paths: render the "
+        "figure from existing artifacts and exit (no chip needed)",
+    )
     args = parser.parse_args()
+    if args.plot:
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        plot_serving_lifecycle(
+            [s.strip() for s in args.plot.split(",")],
+            out_dir / "serving_lifecycle.png",
+        )
+        return
     gains = (
         [float(x) for x in args.gains.split(",")]
         if args.gains
