@@ -68,6 +68,12 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
     siren_attention_decode,
     siren_attention_decode_fused,
 )
+from nerf_attention_tpu.serve_plan import (
+    build_plan,
+    law_cost,
+    units_from_fits,
+    units_from_policy_json,
+)
 
 __all__ = [
     "CONFIGS_FULL",
@@ -118,6 +124,10 @@ __all__ = [
     "parse_scheme",
     "split_scheme",
     "qat_finetune_batch",
+    "build_plan",
+    "law_cost",
+    "units_from_fits",
+    "units_from_policy_json",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,407 @@
+"""Greedy head-serving planner: SERVING.md §4's deployment recipe as a tool.
+
+Beyond-reference CLI (round 4): the reference has no serving layer — its
+closest surface is the per-tensor fit table
+(`/root/reference/nerf_attention/fit.py:95-118`), which this tool consumes
+directly in ``--fits`` mode. Given per-(layer, kv-head) SOLO output costs,
+it emits the greedy serving plan: the ordered list of cache slices to
+serve from SIREN parameters, each with its cumulative predicted output
+cost and the bytes it moves, cut at the operator's output-cost target.
+
+Two cost sources:
+
+* **measured** (``--policy_json``): a ``head_policy_results.json`` from
+  ``experiments head_policy`` — or any JSON with the same ``units``
+  schema, measured on real traffic — supplies each unit's measured
+  ``solo_cost`` (1 − output cosine with only that unit swapped).
+* **predicted** (``--fits`` + ``--entropy_json``): a fit sweep's
+  ``fit_results.json`` supplies per-unit fit quality (the proxy); the
+  operator supplies per-(layer, kv-head) attention entropies measured on
+  real traffic (``llama_decode_step`` returns them; aggregate with
+  ``experiments.head_policy.kv_head_entropy``). Costs come from the
+  two-factor law ``log(cost) = a + b·H + c·log(1 − proxy)`` — pass the
+  coefficients fitted on YOUR model (``--law_json``, any
+  ``head_policy_results.json``), or fall back to the hermetic-study
+  prior (3-seed mean, flagged in the plan's caveats).
+
+Why a running sum of solo costs is a valid budget rule (measured,
+``benchmarks/r4/head_policy/`` at 3 seeds): ranking by predicted cost
+held 0.9996 output cosine with half the cache served from parameters,
+and solo costs are ADDITIVE — the measured curve is 0.73–1.02× the sum
+through 3/4 of the cache and conservatively sub-additive beyond, so the
+sum is a calibrated, tail-conservative bound and no budget sweep is
+needed. ``--safety`` scales the sum before the cut for operators who
+want margin against the 1.02× edge of that band.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+# Hermetic-study prior for the two-factor law: mean over the three seeds
+# of benchmarks/r4/head_policy/seed{0,1,2} (R^2 0.83-0.91, 32 units each,
+# 8L x 4kv random-init model with induced entropy diversity). A real
+# deployment should refit on its own model (--law_json); the prior's
+# entropy slope matched the single-attention law (~ -1 per nat) in sign
+# and the fit-error amplification (c ~ 3-4) across all three seeds.
+DEFAULT_LAW = {
+    "intercept": 4.370,
+    "entropy_slope": -1.712,
+    "log1mproxy_slope": 3.447,
+    "source": "hermetic prior: mean of benchmarks/r4/head_policy/seed0-2",
+}
+
+
+def law_cost(entropy_nats, proxy, law: dict) -> np.ndarray:
+    """Predicted solo output cost from the two-factor law (clamped to [0, 2]).
+
+    2.0 is the cosine-distance ceiling (output anti-parallel to the true
+    decode) — the law can extrapolate past it at extreme (H, proxy) inputs.
+    """
+    h = np.asarray(entropy_nats, np.float64)
+    q = np.log(np.maximum(1.0 - np.asarray(proxy, np.float64), 1e-12))
+    log_cost = (
+        law["intercept"]
+        + law["entropy_slope"] * h
+        + law["log1mproxy_slope"] * q
+    )
+    return np.clip(np.exp(log_cost), 0.0, 2.0)
+
+
+def load_entropy_json(path: Path) -> dict[tuple[int, int], float]:
+    """(layer, kv_head) -> entropy_nats from either accepted layout.
+
+    ``{"entropy_nats": [[...], ...]}`` — dense (n_layers, n_kv) array — or
+    ``{"units": [{"layer": l, "kv_head": h, "entropy_nats": e}, ...]}``
+    (the head_policy results schema is a superset of the sparse form).
+    """
+    with open(path) as f:
+        data = json.load(f)
+    out: dict[tuple[int, int], float] = {}
+    if "entropy_nats" in data:
+        arr = np.asarray(data["entropy_nats"], np.float64)
+        if arr.ndim != 2:
+            raise ValueError(
+                f"entropy_nats must be (n_layers, n_kv_heads), got {arr.shape}"
+            )
+        for l in range(arr.shape[0]):
+            for h in range(arr.shape[1]):
+                out[(l, h)] = float(arr[l, h])
+    elif "units" in data:
+        for u in data["units"]:
+            out[(int(u["layer"]), int(u["kv_head"]))] = float(u["entropy_nats"])
+    else:
+        raise ValueError(
+            f"{path} has neither 'entropy_nats' nor 'units'"
+        )
+    return out
+
+
+def units_from_policy_json(data: dict, scheme: str = "master") -> list[dict]:
+    """Plan units with MEASURED solo costs from a head_policy results dict."""
+    payloads = data.get("payloads", {})
+    if scheme not in payloads:
+        raise ValueError(
+            f"scheme {scheme!r} not in the policy artifact's payloads "
+            f"({sorted(payloads)}); re-run head_policy with --schemes, or "
+            f"plan at 'master' and price storage separately"
+        )
+    stored = int(payloads[scheme]["stored_bytes_per_unit"])
+    raw = int(payloads[scheme]["raw_bytes_per_unit"])
+    return [
+        {
+            "layer": int(u["layer"]),
+            "kv_head": int(u["kv_head"]),
+            "entropy_nats": float(u["entropy_nats"]),
+            "proxy": 0.5
+            * (float(u["key_fit_cosine"]) + float(u["value_fit_cosine"])),
+            "cost": max(float(u["solo_cost"]), 0.0),
+            "cost_source": "measured_solo",
+            "raw_bytes": raw,
+            "stored_bytes": stored,
+        }
+        for u in data["units"]
+    ]
+
+
+def _stored_bytes_for_record(rec: dict, scheme: str) -> int:
+    """Exact stored bytes of one record's network under ``scheme``.
+
+    Builds the checkpoint's parameter layout (shapes are all
+    ``param_bytes`` reads) from the record's own architecture fields.
+    """
+    from nerf_attention_tpu.models.siren import layer_dims
+    from nerf_attention_tpu.ops.quantize import param_bytes
+    from nerf_attention_tpu.types import SIRENConfig
+
+    config = SIRENConfig(
+        hidden_features=int(rec["hidden_features"]),
+        hidden_layers=int(rec["hidden_layers"]),
+        omega_0=float(rec["omega_0"]),
+        name=str(rec["config_name"]),
+    )
+    params = [
+        (np.zeros((d_in, d_out), np.float32), np.zeros((d_out,), np.float32))
+        for d_in, d_out in layer_dims(config, int(rec["d_head"]))
+    ]
+    return param_bytes(params, scheme)
+
+
+def units_from_fits(
+    records: list[dict],
+    entropy: dict[tuple[int, int], float],
+    *,
+    config_name: str = "medium",
+    law: dict | None = None,
+    scheme: str = "fp32",
+) -> list[dict]:
+    """Plan units with LAW-PREDICTED costs from fit records + entropies.
+
+    Each (layer, head) needs both its key and value record at
+    ``config_name`` (the sweep always fits K and V together —
+    `fit.py`'s L{l}_H{h}_{kv}_{config} grid); proxy is their mean.
+    """
+    law = DEFAULT_LAW if law is None else law
+    by_unit: dict[tuple[int, int], dict[str, dict]] = {}
+    for rec in records:
+        if rec["config_name"] != config_name:
+            continue
+        by_unit.setdefault((int(rec["layer"]), int(rec["head"])), {})[
+            rec["kv_type"]
+        ] = rec
+    if not by_unit:
+        raise ValueError(f"no fit records with config_name={config_name!r}")
+    missing_kv = [k for k, v in by_unit.items() if len(v) != 2]
+    if missing_kv:
+        raise ValueError(
+            f"units missing a key or value record at {config_name!r}: "
+            f"{sorted(missing_kv)}"
+        )
+    missing_ent = sorted(set(by_unit) - set(entropy))
+    if missing_ent:
+        raise ValueError(
+            f"entropy_json lacks measured entropies for fitted units "
+            f"{missing_ent}"
+        )
+    units = []
+    for (layer, head), recs in sorted(by_unit.items()):
+        proxy = 0.5 * (
+            float(recs["key"]["final_cosine_mean"])
+            + float(recs["value"]["final_cosine_mean"])
+        )
+        h_nats = entropy[(layer, head)]
+        units.append(
+            {
+                "layer": layer,
+                "kv_head": head,
+                "entropy_nats": h_nats,
+                "proxy": proxy,
+                "cost": float(law_cost(h_nats, proxy, law)[()]),
+                "cost_source": "law_predicted",
+                "raw_bytes": int(recs["key"]["raw_size_bytes"])
+                + int(recs["value"]["raw_size_bytes"]),
+                "stored_bytes": _stored_bytes_for_record(recs["key"], scheme)
+                + _stored_bytes_for_record(recs["value"], scheme),
+            }
+        )
+    return units
+
+
+def build_plan(
+    units: list[dict],
+    *,
+    cost_target: float = 0.01,
+    safety: float = 1.0,
+) -> dict:
+    """Greedy ascending-cost plan cut where safety·(running sum) > target."""
+    order = sorted(
+        range(len(units)),
+        key=lambda i: (units[i]["cost"], units[i]["layer"], units[i]["kv_head"]),
+    )
+    plan_rows = []
+    cum = 0.0
+    n_served = 0
+    raw_served = stored_served = 0
+    for rank, i in enumerate(order):
+        u = units[i]
+        cum += u["cost"]
+        serve = safety * cum <= cost_target
+        if serve:
+            n_served = rank + 1
+            raw_served += u["raw_bytes"]
+            stored_served += u["stored_bytes"]
+        plan_rows.append(
+            {
+                "rank": rank,
+                **u,
+                "cumulative_cost": cum,
+                "serve": serve,
+            }
+        )
+    caveats = [
+        "cumulative_cost sums solo costs; measured totals were 0.73-1.02x "
+        "the sum through 3/4 of the cache and below it beyond "
+        "(benchmarks/r4/head_policy/, law_curve_additivity)",
+    ]
+    if any(r["cost_source"] == "law_predicted" for r in plan_rows):
+        caveats.append(
+            "costs are law-predicted from fit quality + entropy; measure "
+            "solo costs on your model (experiments head_policy protocol) "
+            "to calibrate before trusting the absolute cut"
+        )
+    return {
+        "cost_target": cost_target,
+        "safety": safety,
+        "n_units": len(units),
+        "n_served": n_served,
+        "predicted_cost_at_cut": float(
+            sum(r["cost"] for r in plan_rows[:n_served])
+        ),
+        "predicted_output_cosine_at_cut": float(
+            1.0 - sum(r["cost"] for r in plan_rows[:n_served])
+        ),
+        "raw_bytes_served": int(raw_served),
+        "stored_bytes_served": int(stored_served),
+        "net_bytes_saved": int(raw_served - stored_served),
+        "plan": plan_rows,
+        "caveats": caveats,
+    }
+
+
+def _print_plan(plan: dict, top: int = 12) -> None:
+    print(
+        f"Serve {plan['n_served']}/{plan['n_units']} cache slices from "
+        f"parameters at cost target {plan['cost_target']:g} "
+        f"(safety {plan['safety']:g}):"
+    )
+    print(
+        f"  predicted output cosine >= "
+        f"{plan['predicted_output_cosine_at_cut']:.4f} | raw KV freed "
+        f"{plan['raw_bytes_served'] / 1e6:.2f} MB, parameters added "
+        f"{plan['stored_bytes_served'] / 1e6:.2f} MB (net "
+        f"{plan['net_bytes_saved'] / 1e6:+.2f} MB)"
+    )
+    if plan["net_bytes_saved"] < 0 and plan["n_served"]:
+        print(
+            "  NOTE: parameters outweigh the raw slices at this geometry — "
+            "serving from parameters only saves memory when S*d_head is "
+            "large relative to the network (SERVING.md section 5 trade)"
+        )
+    header = (
+        f"  {'rank':>4} {'L':>3} {'kv':>3} {'H(nats)':>8} {'proxy':>7} "
+        f"{'cost':>10} {'cum':>10} serve"
+    )
+    print(header)
+    for row in plan["plan"][:top]:
+        print(
+            f"  {row['rank']:>4} {row['layer']:>3} {row['kv_head']:>3} "
+            f"{row['entropy_nats']:>8.2f} {row['proxy']:>7.4f} "
+            f"{row['cost']:>10.2e} {row['cumulative_cost']:>10.2e} "
+            f"{'yes' if row['serve'] else 'no'}"
+        )
+    if len(plan["plan"]) > top:
+        print(f"  ... {len(plan['plan']) - top} more rows in the plan JSON")
+    for c in plan["caveats"]:
+        print(f"  caveat: {c}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Plan which (layer, kv-head) cache slices to serve from "
+        "SIREN parameters at an output-cost target (SERVING.md section 4)"
+    )
+    src = parser.add_argument_group("cost source (pick one)")
+    src.add_argument(
+        "--policy_json", type=str, default=None,
+        help="head_policy_results.json with MEASURED per-unit solo costs",
+    )
+    src.add_argument(
+        "--fits", type=str, default=None,
+        help="fit_results.json — costs PREDICTED via the two-factor law "
+        "(requires --entropy_json)",
+    )
+    parser.add_argument(
+        "--entropy_json", type=str, default=None,
+        help="measured per-(layer, kv-head) attention entropies: "
+        '{"entropy_nats": [[...]]} dense or {"units": [...]} sparse',
+    )
+    parser.add_argument(
+        "--law_json", type=str, default=None,
+        help="head_policy_results.json whose entropy_law_solo_2factor "
+        "coefficients replace the hermetic prior (fits mode)",
+    )
+    parser.add_argument(
+        "--config", type=str, default="medium",
+        help="architecture whose fit records to plan over (fits mode)",
+    )
+    parser.add_argument(
+        "--scheme", type=str, default=None,
+        help="storage scheme for the byte accounting: a payload name from "
+        "the policy artifact (policy mode, default master) or a quantize "
+        "scheme like int4_g128 / int8_g32_l0fp32 (fits mode, default fp32)",
+    )
+    parser.add_argument("--cost_target", type=float, default=0.01)
+    parser.add_argument(
+        "--safety", type=float, default=1.0,
+        help="multiply the running cost sum before the cut (margin against "
+        "the measured 1.02x additivity edge)",
+    )
+    parser.add_argument("--top", type=int, default=12)
+    parser.add_argument(
+        "--out", type=str, default=None, help="write the plan JSON here"
+    )
+    args = parser.parse_args(argv)
+
+    if (args.policy_json is None) == (args.fits is None):
+        parser.error("pass exactly one of --policy_json / --fits")
+    if args.fits is not None and args.entropy_json is None:
+        parser.error("--fits mode requires --entropy_json")
+
+    if args.policy_json is not None:
+        with open(args.policy_json) as f:
+            data = json.load(f)
+        units = units_from_policy_json(data, scheme=args.scheme or "master")
+    else:
+        with open(args.fits) as f:
+            records = json.load(f)
+        entropy = load_entropy_json(Path(args.entropy_json))
+        law = None
+        if args.law_json is not None:
+            with open(args.law_json) as f:
+                law_src = json.load(f)
+            law = law_src.get("entropy_law_solo_2factor") or law_src
+            missing = {
+                "intercept", "entropy_slope", "log1mproxy_slope"
+            } - set(law)
+            if missing:
+                parser.error(f"--law_json lacks coefficients: {sorted(missing)}")
+            law = {**law, "source": args.law_json}
+        units = units_from_fits(
+            records, entropy, config_name=args.config, law=law,
+            scheme=args.scheme or "fp32",
+        )
+
+    plan = build_plan(
+        units, cost_target=args.cost_target, safety=args.safety
+    )
+    if args.fits is not None:
+        plan["law"] = (
+            {**DEFAULT_LAW} if args.law_json is None
+            else {k: v for k, v in law.items()}
+        )
+    _print_plan(plan, top=args.top)
+    if args.out:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(plan, f, indent=2)
+        print(f"  plan -> {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,261 @@
+"""serve_plan: the greedy head-serving planner (SERVING.md section 4).
+
+Hermetic — synthetic policy artifacts and fit records only; the planner's
+math is checked against the two-factor law formula and the exact
+``param_bytes`` storage accounting.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.serve_plan import (
+    DEFAULT_LAW,
+    build_plan,
+    law_cost,
+    load_entropy_json,
+    main,
+    units_from_fits,
+    units_from_policy_json,
+)
+
+
+def _unit(layer, head, cost, raw=1000, stored=100):
+    return {
+        "layer": layer,
+        "kv_head": head,
+        "entropy_nats": 5.0,
+        "proxy": 0.9,
+        "cost": cost,
+        "cost_source": "measured_solo",
+        "raw_bytes": raw,
+        "stored_bytes": stored,
+    }
+
+
+def test_build_plan_orders_by_cost_and_cuts_at_target():
+    units = [
+        _unit(0, 0, 0.004),
+        _unit(0, 1, 0.001),
+        _unit(1, 0, 0.1),
+        _unit(1, 1, 0.002),
+    ]
+    plan = build_plan(units, cost_target=0.01)
+    got = [(r["layer"], r["kv_head"]) for r in plan["plan"]]
+    assert got == [(0, 1), (1, 1), (0, 0), (1, 0)]
+    # 0.001 + 0.002 + 0.004 = 0.007 <= 0.01; adding 0.1 crosses
+    assert plan["n_served"] == 3
+    assert plan["predicted_cost_at_cut"] == pytest.approx(0.007)
+    assert plan["predicted_output_cosine_at_cut"] == pytest.approx(0.993)
+    assert plan["raw_bytes_served"] == 3000
+    assert plan["stored_bytes_served"] == 300
+    assert plan["net_bytes_saved"] == 2700
+    cums = [r["cumulative_cost"] for r in plan["plan"]]
+    assert cums == sorted(cums)
+    assert [r["serve"] for r in plan["plan"]] == [True, True, True, False]
+
+
+def test_build_plan_safety_tightens_the_cut():
+    units = [_unit(0, 0, 0.004), _unit(0, 1, 0.004), _unit(0, 2, 0.004)]
+    assert build_plan(units, cost_target=0.01)["n_served"] == 2
+    assert build_plan(units, cost_target=0.01, safety=2.0)["n_served"] == 1
+
+
+def test_law_cost_matches_formula_and_clamps():
+    h, proxy = 4.0, 0.8
+    expect = np.exp(
+        DEFAULT_LAW["intercept"]
+        + DEFAULT_LAW["entropy_slope"] * h
+        + DEFAULT_LAW["log1mproxy_slope"] * np.log(1 - proxy)
+    )
+    assert law_cost(h, proxy, DEFAULT_LAW) == pytest.approx(expect)
+    # extreme inputs clamp to the cosine-distance ceiling, never explode
+    assert law_cost(0.0, 0.0, DEFAULT_LAW) <= 2.0
+    assert law_cost(20.0, 1.0, DEFAULT_LAW) == pytest.approx(0.0, abs=1e-12)
+
+
+def _fit_records():
+    recs = []
+    for layer, head, kc, vc in [(0, 0, 0.95, 0.70), (8, 1, 0.90, 0.60)]:
+        for kv, cos in (("key", kc), ("value", vc)):
+            recs.append(
+                {
+                    "name": f"L{layer}_H{head}_{kv}_medium",
+                    "layer": layer,
+                    "head": head,
+                    "kv_type": kv,
+                    "config_name": "medium",
+                    "hidden_features": 256,
+                    "hidden_layers": 2,
+                    "omega_0": 30.0,
+                    "final_cosine_mean": cos,
+                    "raw_size_bytes": 2048 * 128 * 2,
+                    "d_head": 128,
+                }
+            )
+    # a decoy config the planner must ignore
+    recs.append({**recs[0], "name": "L0_H0_key_tiny", "config_name": "tiny",
+                 "hidden_features": 64, "hidden_layers": 1})
+    return recs
+
+
+def test_units_from_fits_prices_by_the_law():
+    entropy = {(0, 0): 6.0, (8, 1): 2.0}
+    units = units_from_fits(_fit_records(), entropy)
+    assert len(units) == 2
+    by = {(u["layer"], u["kv_head"]): u for u in units}
+    u0 = by[(0, 0)]
+    assert u0["proxy"] == pytest.approx(0.825)
+    assert u0["cost"] == pytest.approx(
+        float(law_cost(6.0, 0.825, DEFAULT_LAW))
+    )
+    assert u0["cost_source"] == "law_predicted"
+    assert u0["raw_bytes"] == 2 * 2048 * 128 * 2
+    # fp32 storage = (1*256+256 + 2*(256*256+256) + 256*128+128) * 4 * 2 nets
+    n_params = (256 + 256) + 2 * (256 * 256 + 256) + (256 * 128 + 128)
+    assert u0["stored_bytes"] == 2 * n_params * 4
+    # the sharp low-proxy unit must be priced strictly more expensive
+    assert by[(8, 1)]["cost"] > u0["cost"]
+
+
+def test_units_from_fits_rejects_missing_inputs():
+    with pytest.raises(ValueError, match="lacks measured entropies"):
+        units_from_fits(_fit_records(), {(0, 0): 6.0})
+    half = [r for r in _fit_records() if r["kv_type"] == "key"]
+    with pytest.raises(ValueError, match="missing a key or value"):
+        units_from_fits(half, {(0, 0): 6.0, (8, 1): 2.0})
+    with pytest.raises(ValueError, match="no fit records"):
+        units_from_fits(_fit_records(), {}, config_name="deep")
+
+
+def _policy_artifact():
+    units = []
+    rng = np.random.RandomState(0)
+    for layer in range(2):
+        for head in range(2):
+            units.append(
+                {
+                    "layer": layer,
+                    "kv_head": head,
+                    "entropy_nats": float(rng.uniform(2, 8)),
+                    "key_fit_cosine": 0.9,
+                    "value_fit_cosine": 0.7,
+                    "solo_cost": float(rng.uniform(0, 0.02)),
+                    "solo_output_cosine": 1.0,
+                }
+            )
+    return {
+        "units": units,
+        "payloads": {
+            "master": {
+                "stored_bytes_per_unit": 500,
+                "raw_bytes_per_unit": 4000,
+            },
+            "int8_g32": {
+                "stored_bytes_per_unit": 150,
+                "raw_bytes_per_unit": 4000,
+            },
+        },
+    }
+
+
+def test_units_from_policy_json_reads_measured_costs_and_schemes():
+    art = _policy_artifact()
+    units = units_from_policy_json(art)
+    assert [u["cost"] for u in units] == [
+        max(u["solo_cost"], 0.0) for u in art["units"]
+    ]
+    assert units[0]["stored_bytes"] == 500
+    q = units_from_policy_json(art, scheme="int8_g32")
+    assert q[0]["stored_bytes"] == 150
+    with pytest.raises(ValueError, match="not in the policy artifact"):
+        units_from_policy_json(art, scheme="int4_g128")
+
+
+def test_load_entropy_json_both_layouts(tmp_path):
+    dense = tmp_path / "dense.json"
+    dense.write_text(json.dumps({"entropy_nats": [[1.0, 2.0], [3.0, 4.0]]}))
+    sparse = tmp_path / "sparse.json"
+    sparse.write_text(
+        json.dumps({"units": [{"layer": 5, "kv_head": 1, "entropy_nats": 6.5}]})
+    )
+    assert load_entropy_json(dense)[(1, 0)] == 3.0
+    assert load_entropy_json(sparse)[(5, 1)] == 6.5
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"entropy_nats": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="n_layers, n_kv_heads"):
+        load_entropy_json(bad)
+
+
+def test_cli_policy_mode_writes_plan(tmp_path, capsys):
+    policy = tmp_path / "head_policy_results.json"
+    policy.write_text(json.dumps(_policy_artifact()))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--policy_json", str(policy),
+            "--cost_target", "0.02",
+            "--out", str(out),
+        ]
+    )
+    plan = json.loads(out.read_text())
+    assert plan["n_units"] == 4
+    assert 0 <= plan["n_served"] <= 4
+    assert len(plan["plan"]) == 4
+    assert plan["plan"][0]["cost"] <= plan["plan"][-1]["cost"]
+    assert "Serve" in capsys.readouterr().out
+
+
+def test_cli_fits_mode_uses_law_json(tmp_path):
+    fits = tmp_path / "fit_results.json"
+    fits.write_text(json.dumps(_fit_records()))
+    ent = tmp_path / "entropy.json"
+    ent.write_text(
+        json.dumps(
+            {
+                "units": [
+                    {"layer": 0, "kv_head": 0, "entropy_nats": 6.0},
+                    {"layer": 8, "kv_head": 1, "entropy_nats": 2.0},
+                ]
+            }
+        )
+    )
+    law = tmp_path / "law.json"
+    law.write_text(
+        json.dumps(
+            {
+                "entropy_law_solo_2factor": {
+                    "intercept": 1.0,
+                    "entropy_slope": -1.0,
+                    "log1mproxy_slope": 2.0,
+                }
+            }
+        )
+    )
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--fits", str(fits),
+            "--entropy_json", str(ent),
+            "--law_json", str(law),
+            "--scheme", "int8_g32",
+            "--out", str(out),
+        ]
+    )
+    plan = json.loads(out.read_text())
+    assert plan["law"]["intercept"] == 1.0
+    u0 = next(
+        r for r in plan["plan"] if (r["layer"], r["kv_head"]) == (0, 0)
+    )
+    assert u0["cost"] == pytest.approx(
+        float(np.exp(1.0 - 1.0 * 6.0 + 2.0 * np.log(1 - 0.825)))
+    )
+    assert any("law-predicted" in c for c in plan["caveats"])
+
+
+def test_cli_rejects_ambiguous_sources(tmp_path):
+    with pytest.raises(SystemExit):
+        main([])
+    with pytest.raises(SystemExit):
+        main(["--fits", "x.json"])  # no --entropy_json
