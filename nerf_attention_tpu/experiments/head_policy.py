@@ -31,7 +31,12 @@ Protocol (hermetic — random-init model, no weights in this environment):
 * selection policies (entropy-ranked, law-priced, proxy-ranked,
   layer-position, random, adversarial) are swept over the budget axis,
   each point one masked decode, and compared at the final-hidden-state
-  cosine.
+  cosine;
+* the serve-plan ranking (measured solo cost ascending — exactly what
+  ``serve_plan.build_plan`` emits in ``--policy_json`` mode) is decoded
+  as its own curve for every payload, and ``serve_plan_validation``
+  records cumulative-sum-vs-measured cost along it, pricing the plan
+  tool's cut rule against ground truth.
 
 Writes ``head_policy_results.json`` + a two-panel figure.
 """
@@ -299,17 +304,9 @@ def run_head_policy_experiment(
         budgets.append(n_units)
     masks, solo_idx, curve_idx = _masks_for(orders, budgets, n_units)
 
-    def cosine_for_masks(k_hat, v_hat, idx=None) -> np.ndarray:
-        """Mean-over-queries output cosine, indexed like the interned masks.
-
-        ``idx`` restricts the decode to a subset of masks (entries outside
-        it come back NaN) — the stored schemes only ever read the policy
-        CURVE masks, so they skip the n_units solo decodes the master
-        payload pays for the entropy-law fit.
-        """
-        sel = np.arange(masks.shape[0]) if idx is None else np.asarray(idx)
-        sub = masks[sel]
-        vals = np.empty(sel.shape[0], dtype=np.float64)
+    def decode_cosines(k_hat, v_hat, sub: np.ndarray) -> np.ndarray:
+        """Mean-over-queries output cosine for each (n_units,) mask in sub."""
+        vals = np.empty(sub.shape[0], dtype=np.float64)
         for lo_i in range(0, sub.shape[0], _DECODE_CHUNK):
             chunk = sub[lo_i : lo_i + _DECODE_CHUNK]
             pad = _DECODE_CHUNK - chunk.shape[0]
@@ -325,8 +322,19 @@ def run_head_policy_experiment(
                 )
             ).mean(axis=1)
             vals[lo_i : lo_i + _DECODE_CHUNK - pad] = cos[: _DECODE_CHUNK - pad]
+        return vals
+
+    def cosine_for_masks(k_hat, v_hat, idx=None) -> np.ndarray:
+        """Mean-over-queries output cosine, indexed like the interned masks.
+
+        ``idx`` restricts the decode to a subset of masks (entries outside
+        it come back NaN) — the stored schemes only ever read the policy
+        CURVE masks, so they skip the n_units solo decodes the master
+        payload pays for the entropy-law fit.
+        """
+        sel = np.arange(masks.shape[0]) if idx is None else np.asarray(idx)
         out = np.full(masks.shape[0], np.nan)
-        out[sel] = vals
+        out[sel] = decode_cosines(k_hat, v_hat, masks[sel])
         return out
 
     # --- payload views: master fit + each stored scheme ---
@@ -359,16 +367,40 @@ def run_head_policy_experiment(
             k_hat, v_hat, idx=None if scheme == "master" else curve_mask_idx
         )
         payloads[scheme] = {"cos_all": cos_all}
+        if scheme == "master":
+            # The serve-plan ranking: MEASURED solo cost ascending, the
+            # exact order `serve_plan.build_plan` emits in --policy_json
+            # mode (its (cost, layer, kv_head) tie-break equals stable
+            # argsort here because units are layer-major). Only knowable
+            # after the master solo decodes, hence built mid-loop and
+            # decoded as a second pass for every payload.
+            solo_cos = cos_all[solo_idx]
+            solo_cost = np.maximum(1.0 - solo_cos, 0.0)
+            solo_asc = np.argsort(solo_cost, kind="stable")
+            serve_masks = np.zeros((len(budgets), n_units), dtype=bool)
+            for j, m in enumerate(budgets):
+                serve_masks[j, solo_asc[:m]] = True
+        serve_cos = decode_cosines(k_hat, v_hat, serve_masks)
+        payloads[scheme]["serve_cos"] = serve_cos
         results_payloads[scheme] = {
             "stored_bytes_per_unit": unit_bytes,
             "raw_bytes_per_unit": raw_slice_bytes,
             "policies": {
-                name: {
+                **{
+                    name: {
+                        "budgets": budgets,
+                        "fraction": [m / n_units for m in budgets],
+                        "output_cosine": [
+                            float(cos_all[i]) for i in curve_idx[name]
+                        ],
+                    }
+                    for name in orders
+                },
+                "solo_asc": {
                     "budgets": budgets,
                     "fraction": [m / n_units for m in budgets],
-                    "output_cosine": [float(cos_all[i]) for i in curve_idx[name]],
-                }
-                for name in orders
+                    "output_cosine": [float(c) for c in serve_cos],
+                },
             },
         }
         if verbose:
@@ -379,12 +411,11 @@ def run_head_policy_experiment(
                 f"@{half}/{n_units} " + " ".join(
                     f"{n}={cos_all[curve_idx[n][j]]:.4f}"
                     for n in DEFAULT_POLICIES
-                )
+                ) + f" solo_asc={serve_cos[j]:.4f}"
             )
 
-    # --- per-unit solo costs + model-level entropy law (master payload) ---
-    solo_cos = payloads["master"]["cos_all"][solo_idx]
-    solo_cost = np.maximum(1.0 - solo_cos, 0.0)
+    # --- model-level entropy law from the master solo costs (computed in
+    # the payload loop, where the serve-plan order also comes from) ---
     fit_mask = solo_cost > 1e-9  # diffuse heads cost ~0; log needs support
     law = law2 = None
     if fit_mask.sum() >= 4:
@@ -437,6 +468,18 @@ def run_head_policy_experiment(
         }
         for j, m in enumerate(budgets)
     ]
+    # The same calibration for the serve-plan's own ranking: does the plan
+    # tool's cumulative_cost (running sum of measured solo costs, ascending)
+    # bound the measured cost of actually serving that prefix?
+    serve_curve = payloads["master"]["serve_cos"]
+    serve_validation = [
+        {
+            "budget": int(m),
+            "sum_solo_cost": float(solo_cost[solo_asc[:m]].sum()),
+            "measured_cost": float(max(1.0 - serve_curve[j], 0.0)),
+        }
+        for j, m in enumerate(budgets)
+    ]
 
     units = [
         {
@@ -474,6 +517,7 @@ def run_head_policy_experiment(
         "entropy_law_solo": law,
         "entropy_law_solo_2factor": law2,
         "law_curve_additivity": additivity,
+        "serve_plan_validation": serve_validation,
         "payloads": results_payloads,
         "wall_seconds": time.perf_counter() - t0,
     }
@@ -532,7 +576,7 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
             frac, randoms.min(axis=0), randoms.max(axis=0),
             color="0.8", label=f"random (n={randoms.shape[0]})",
         )
-    for name in DEFAULT_POLICIES:
+    for name in DEFAULT_POLICIES + ("solo_asc",):
         if name in master:
             ax_pol.plot(frac, master[name]["output_cosine"], "-o", ms=3.5,
                         label=name)

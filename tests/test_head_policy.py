@@ -107,6 +107,39 @@ def test_run_head_policy_experiment_tiny(tmp_path: Path):
             full = cos[-1] if full is None else full
             assert cos[-1] == pytest.approx(full, abs=1e-9)
         assert {"law", "entropy_desc", "entropy_asc", "random_0"} <= set(curves)
+        # the serve-plan ranking is measured as its own curve per payload
+        assert "solo_asc" in curves
+
+    # serve_plan_validation: cumulative solo sums in the plan's own order
+    spv = res["serve_plan_validation"]
+    master_solo = res["payloads"]["master"]["policies"]["solo_asc"]
+    assert [row["budget"] for row in spv] == master_solo["budgets"]
+    sums = [row["sum_solo_cost"] for row in spv]
+    assert sums == sorted(sums) and sums[0] == 0.0
+    assert sums[-1] == pytest.approx(
+        sum(u["solo_cost"] for u in res["units"]), rel=1e-6
+    )
+    for row, cos in zip(spv, master_solo["output_cosine"]):
+        assert row["measured_cost"] == pytest.approx(
+            max(1.0 - cos, 0.0), abs=1e-9
+        )
+
+    # build_plan's serving order IS the measured solo_asc prefix order
+    # (the tool and the experiment must rank identically for the
+    # validation curve to price the tool's plan)
+    from nerf_attention_tpu.serve_plan import build_plan, units_from_policy_json
+
+    plan = build_plan(
+        units_from_policy_json(on_disk, scheme="fp16"), cost_target=1e9
+    )
+    assert plan["n_served"] == n_units
+    plan_order = [(r["layer"], r["kv_head"]) for r in plan["plan"]]
+    costs = [u["solo_cost"] for u in on_disk["units"]]
+    exp_order = [
+        (on_disk["units"][i]["layer"], on_disk["units"][i]["kv_head"])
+        for i in np.argsort(costs, kind="stable")
+    ]
+    assert plan_order == exp_order
 
 
 def test_head_policy_cli_wiring(tmp_path, monkeypatch):
