@@ -205,6 +205,11 @@ def main() -> None:
         help="head_policy: per-head K-gain range inducing the entropy spread",
     )
     parser.add_argument(
+        "--hp_seed", type=int, default=0,
+        help="head_policy: model init / gain-shuffle / fit seed (the "
+        "3-seed replication in benchmarks/r4/head_policy uses 0, 1, 2)",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run scaling + layer_profile on FM-SIRENs (per-unit first-layer "
         "frequency multipliers up to this value, equal parameter count); "
@@ -433,6 +438,7 @@ def main() -> None:
             num_layers=args.hp_layers,
             gain_lo=args.hp_gains[0],
             gain_hi=args.hp_gains[1],
+            seed=args.hp_seed,
             schemes=(
                 tuple(s.strip() for s in args.schemes.split(",") if s.strip())
                 if args.schemes

@@ -175,6 +175,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
             "--epochs", "9",
             "--qat_epochs", "17",
             "--schemes", "fp16,int8_g32",
+            "--hp_seed", "2",
         ],
     )
     cli.main()
@@ -185,6 +186,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
     assert calls["epochs"] == 9
     assert calls["qat_epochs"] == 17
     assert calls["schemes"] == ("fp16", "int8_g32")
+    assert calls["seed"] == 2
 
 
 def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):
