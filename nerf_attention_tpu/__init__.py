@@ -70,7 +70,9 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
 )
 from nerf_attention_tpu.serve_plan import (
     build_plan,
+    build_tiered_plan,
     law_cost,
+    tiered_units_from_policy_json,
     units_from_fits,
     units_from_policy_json,
 )
@@ -125,7 +127,9 @@ __all__ = [
     "split_scheme",
     "qat_finetune_batch",
     "build_plan",
+    "build_tiered_plan",
     "law_cost",
+    "tiered_units_from_policy_json",
     "units_from_fits",
     "units_from_policy_json",
 ]

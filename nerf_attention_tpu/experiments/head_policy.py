@@ -339,7 +339,13 @@ def run_head_policy_experiment(
 
     # --- payload views: master fit + each stored scheme ---
     raw_slice_bytes = 2 * s * d * 2  # one unit's K+V at raw fp16
-    curve_mask_idx = np.unique(np.concatenate(list(curve_idx.values())))
+    # Stored schemes decode their policy-curve masks AND the n_units solo
+    # masks: per-(unit, scheme) solo costs are what lets a TIERED serving
+    # plan assign each unit its cheapest-bytes scheme under a shared
+    # output-cost budget (serve_plan --tiered).
+    curve_mask_idx = np.unique(
+        np.concatenate([solo_idx] + list(curve_idx.values()))
+    )
     payloads: dict[str, dict] = {}
     results_payloads: dict[str, dict] = {}
     for scheme in ("master",) + tuple(schemes):
@@ -382,9 +388,11 @@ def run_head_policy_experiment(
                 serve_masks[j, solo_asc[:m]] = True
         serve_cos = decode_cosines(k_hat, v_hat, serve_masks)
         payloads[scheme]["serve_cos"] = serve_cos
+        scheme_solo_cost = np.maximum(1.0 - cos_all[solo_idx], 0.0)
         results_payloads[scheme] = {
             "stored_bytes_per_unit": unit_bytes,
             "raw_bytes_per_unit": raw_slice_bytes,
+            "solo_cost": [float(c) for c in scheme_solo_cost],
             "policies": {
                 **{
                     name: {

@@ -14,6 +14,13 @@ Two cost sources:
   ``experiments head_policy`` — or any JSON with the same ``units``
   schema, measured on real traffic — supplies each unit's measured
   ``solo_cost`` (1 − output cosine with only that unit swapped).
+* **measured, tiered** (``--policy_json --tiered``): artifacts whose
+  payloads carry per-scheme ``solo_cost`` arrays let the plan assign
+  each unit its smallest-bytes storage scheme that still fits the
+  shared budget — degrading a unit's tier before dropping it. (Flat
+  mode prices every scheme at the MASTER-measured solo costs; storage
+  quantization is output-transparent for the shipped schemes, but
+  tiered mode is the calibrated path when schemes trade quality.)
 * **predicted** (``--fits`` + ``--entropy_json``): a fit sweep's
   ``fit_results.json`` supplies per-unit fit quality (the proxy); the
   operator supplies per-(layer, kv-head) attention entropies measured on
@@ -127,6 +134,132 @@ def units_from_policy_json(data: dict, scheme: str = "master") -> list[dict]:
         }
         for u in data["units"]
     ]
+
+
+def tiered_units_from_policy_json(
+    data: dict, schemes: list[str] | None = None
+) -> list[dict]:
+    """Per-unit scheme OPTIONS with measured per-(unit, scheme) solo costs.
+
+    Needs a policy artifact whose payloads carry ``solo_cost`` arrays
+    (per-scheme solo decodes) — artifacts written before that leg landed
+    only measured solo costs for the master payload.
+    """
+    payloads = data.get("payloads", {})
+    names = list(payloads) if schemes is None else list(schemes)
+    missing = [s for s in names if s not in payloads]
+    if missing:
+        raise ValueError(
+            f"schemes {missing} not in the policy artifact's payloads "
+            f"({sorted(payloads)})"
+        )
+    no_solo = [s for s in names if "solo_cost" not in payloads[s]]
+    if no_solo:
+        raise ValueError(
+            f"payloads {no_solo} lack per-scheme solo costs — re-run "
+            f"'experiments head_policy' (older artifacts only measured "
+            f"solo costs at the master payload)"
+        )
+    units = []
+    for i, u in enumerate(data["units"]):
+        options = [
+            {
+                "scheme": name,
+                "cost": max(float(payloads[name]["solo_cost"][i]), 0.0),
+                "stored_bytes": int(payloads[name]["stored_bytes_per_unit"]),
+            }
+            for name in names
+        ]
+        units.append(
+            {
+                "layer": int(u["layer"]),
+                "kv_head": int(u["kv_head"]),
+                "entropy_nats": float(u["entropy_nats"]),
+                "proxy": 0.5
+                * (float(u["key_fit_cosine"]) + float(u["value_fit_cosine"])),
+                "raw_bytes": int(payloads[names[0]]["raw_bytes_per_unit"]),
+                "options": options,
+            }
+        )
+    return units
+
+
+def build_tiered_plan(
+    units: list[dict],
+    *,
+    cost_target: float = 0.01,
+    safety: float = 1.0,
+) -> dict:
+    """Greedy TIERED plan: each unit gets its smallest-bytes scheme that
+    still fits the shared output-cost budget, or stays raw.
+
+    Units are visited in ascending best-case (cheapest-option) cost — the
+    same serve order as the flat plan at its most permissive tier. Within
+    a unit, schemes are tried most-compressed first, so the plan degrades
+    a unit's storage tier (fewer bytes saved) before dropping it from
+    serving entirely. Additivity of solo costs across units is the same
+    measured 0.73–1.02× band the flat plan relies on.
+    """
+    order = sorted(
+        range(len(units)),
+        key=lambda i: (
+            min(o["cost"] for o in units[i]["options"]),
+            units[i]["layer"],
+            units[i]["kv_head"],
+        ),
+    )
+    plan_rows = []
+    cum = 0.0
+    n_served = 0
+    raw_served = stored_served = 0
+    for rank, i in enumerate(order):
+        u = units[i]
+        chosen = None
+        for o in sorted(
+            u["options"], key=lambda o: (o["stored_bytes"], o["cost"])
+        ):
+            if safety * (cum + o["cost"]) <= cost_target:
+                chosen = o
+                break
+        if chosen is not None:
+            cum += chosen["cost"]
+            n_served += 1
+            raw_served += u["raw_bytes"]
+            stored_served += chosen["stored_bytes"]
+        plan_rows.append(
+            {
+                "rank": rank,
+                "layer": u["layer"],
+                "kv_head": u["kv_head"],
+                "entropy_nats": u["entropy_nats"],
+                "proxy": u["proxy"],
+                "scheme": chosen["scheme"] if chosen else None,
+                "cost": chosen["cost"] if chosen else None,
+                "cost_source": "measured_solo",
+                "raw_bytes": u["raw_bytes"],
+                "stored_bytes": chosen["stored_bytes"] if chosen else None,
+                "cumulative_cost": cum,
+                "serve": chosen is not None,
+            }
+        )
+    return {
+        "tiered": True,
+        "cost_target": cost_target,
+        "safety": safety,
+        "n_units": len(units),
+        "n_served": n_served,
+        "predicted_cost_at_cut": float(cum),
+        "predicted_output_cosine_at_cut": float(1.0 - cum),
+        "raw_bytes_served": int(raw_served),
+        "stored_bytes_served": int(stored_served),
+        "net_bytes_saved": int(raw_served - stored_served),
+        "plan": plan_rows,
+        "caveats": [
+            "cumulative_cost sums measured per-(unit, scheme) solo costs; "
+            "the additivity band is the measured 0.73-1.02x "
+            "(benchmarks/r4/head_policy/, law_curve_additivity)",
+        ],
+    }
 
 
 def _stored_bytes_for_record(rec: dict, scheme: str) -> int:
@@ -292,17 +425,21 @@ def _print_plan(plan: dict, top: int = 12) -> None:
             "serving from parameters only saves memory when S*d_head is "
             "large relative to the network (SERVING.md section 5 trade)"
         )
+    tiered = plan.get("tiered", False)
     header = (
         f"  {'rank':>4} {'L':>3} {'kv':>3} {'H(nats)':>8} {'proxy':>7} "
         f"{'cost':>10} {'cum':>10} serve"
+        + (f" {'scheme':>16}" if tiered else "")
     )
     print(header)
     for row in plan["plan"][:top]:
+        cost = f"{row['cost']:>10.2e}" if row["cost"] is not None else " " * 10
         print(
             f"  {row['rank']:>4} {row['layer']:>3} {row['kv_head']:>3} "
             f"{row['entropy_nats']:>8.2f} {row['proxy']:>7.4f} "
-            f"{row['cost']:>10.2e} {row['cumulative_cost']:>10.2e} "
-            f"{'yes' if row['serve'] else 'no'}"
+            f"{cost} {row['cumulative_cost']:>10.2e} "
+            f"{'yes' if row['serve'] else 'no '}"
+            + (f" {row['scheme'] or '(raw)':>16}" if tiered else "")
         )
     if len(plan["plan"]) > top:
         print(f"  ... {len(plan['plan']) - top} more rows in the plan JSON")
@@ -345,6 +482,12 @@ def main(argv: list[str] | None = None) -> None:
         "the policy artifact (policy mode, default master) or a quantize "
         "scheme like int4_g128 / int8_g32_l0fp32 (fits mode, default fp32)",
     )
+    parser.add_argument(
+        "--tiered", action="store_true",
+        help="policy mode: assign each unit its smallest-bytes scheme that "
+        "fits the budget (needs per-scheme solo costs in the artifact); "
+        "--scheme then takes a comma-separated subset of payload names",
+    )
     parser.add_argument("--cost_target", type=float, default=0.01)
     parser.add_argument(
         "--safety", type=float, default=1.0,
@@ -362,10 +505,21 @@ def main(argv: list[str] | None = None) -> None:
     if args.fits is not None and args.entropy_json is None:
         parser.error("--fits mode requires --entropy_json")
 
+    if args.tiered and args.policy_json is None:
+        parser.error("--tiered needs --policy_json (measured per-scheme costs)")
+
     if args.policy_json is not None:
         with open(args.policy_json) as f:
             data = json.load(f)
-        units = units_from_policy_json(data, scheme=args.scheme or "master")
+        if args.tiered:
+            subset = (
+                [s.strip() for s in args.scheme.split(",") if s.strip()]
+                if args.scheme
+                else None
+            )
+            units = tiered_units_from_policy_json(data, schemes=subset)
+        else:
+            units = units_from_policy_json(data, scheme=args.scheme or "master")
     else:
         with open(args.fits) as f:
             records = json.load(f)
@@ -386,7 +540,8 @@ def main(argv: list[str] | None = None) -> None:
             scheme=args.scheme or "fp32",
         )
 
-    plan = build_plan(
+    builder = build_tiered_plan if args.tiered else build_plan
+    plan = builder(
         units, cost_target=args.cost_target, safety=args.safety
     )
     if args.fits is not None:

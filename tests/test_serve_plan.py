@@ -13,9 +13,11 @@ import pytest
 from nerf_attention_tpu.serve_plan import (
     DEFAULT_LAW,
     build_plan,
+    build_tiered_plan,
     law_cost,
     load_entropy_json,
     main,
+    tiered_units_from_policy_json,
     units_from_fits,
     units_from_policy_json,
 )
@@ -171,6 +173,92 @@ def test_units_from_policy_json_reads_measured_costs_and_schemes():
     assert q[0]["stored_bytes"] == 150
     with pytest.raises(ValueError, match="not in the policy artifact"):
         units_from_policy_json(art, scheme="int4_g128")
+
+
+def _tiered_artifact():
+    """4 units; int8 tier costs 10x the master tier's solo cost."""
+    art = _policy_artifact()
+    master_costs = [0.0005, 0.001, 0.002, 0.1]
+    for u, c in zip(art["units"], master_costs):
+        u["solo_cost"] = c
+    art["payloads"]["master"]["solo_cost"] = master_costs
+    art["payloads"]["int8_g32"]["solo_cost"] = [10 * c for c in master_costs]
+    return art
+
+
+def test_tiered_units_need_per_scheme_solo_costs():
+    art = _policy_artifact()  # no per-scheme solo_cost arrays
+    with pytest.raises(ValueError, match="lack per-scheme solo costs"):
+        tiered_units_from_policy_json(art)
+    with pytest.raises(ValueError, match="not in the policy artifact"):
+        tiered_units_from_policy_json(_tiered_artifact(), schemes=["int4"])
+    units = tiered_units_from_policy_json(_tiered_artifact())
+    assert len(units) == 4
+    assert {o["scheme"] for o in units[0]["options"]} == {"master", "int8_g32"}
+    assert units[0]["options"][1]["cost"] == pytest.approx(0.005)
+
+
+def test_build_tiered_plan_degrades_tier_before_dropping():
+    units = tiered_units_from_policy_json(_tiered_artifact())
+    # target 0.02: int8 fits units 0+1 (0.005+0.01=0.015); unit 2's int8
+    # (0.02) would cross, but its master tier (0.002) fits; unit 3 (0.1)
+    # stays raw even at master.
+    plan = build_tiered_plan(units, cost_target=0.02)
+    assert plan["tiered"] is True
+    schemes = [r["scheme"] for r in plan["plan"]]
+    assert schemes == ["int8_g32", "int8_g32", "master", None]
+    assert plan["n_served"] == 3
+    assert plan["predicted_cost_at_cut"] == pytest.approx(0.017)
+    assert plan["raw_bytes_served"] == 3 * 4000
+    assert plan["stored_bytes_served"] == 150 + 150 + 500
+    # vs the flat MASTER plan at the same target: same units served, but
+    # tiered ships two of them compressed — strictly more bytes saved
+    flat_master = build_plan(
+        units_from_policy_json(_tiered_artifact(), scheme="master"),
+        cost_target=0.02,
+    )
+    assert flat_master["n_served"] == plan["n_served"] == 3
+    assert plan["net_bytes_saved"] > flat_master["net_bytes_saved"]
+    # the flat int8 plan UNDERPRICES its payload (flat mode reuses the
+    # master-measured solo costs): it also serves 3, but the true int8
+    # cost of that prefix (0.035) exceeds the target — the measured
+    # per-scheme costs in tiered mode are what catch this
+    flat_int8 = build_plan(
+        units_from_policy_json(_tiered_artifact(), scheme="int8_g32"),
+        cost_target=0.02,
+    )
+    true_int8_cost = sum(
+        10 * r["cost"] for r in flat_int8["plan"] if r["serve"]
+    )
+    assert flat_int8["n_served"] == 3 and true_int8_cost > 0.02
+
+
+def test_cli_tiered_mode(tmp_path):
+    policy = tmp_path / "head_policy_results.json"
+    policy.write_text(json.dumps(_tiered_artifact()))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--policy_json", str(policy), "--tiered",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    plan = json.loads(out.read_text())
+    assert plan["tiered"] is True
+    assert plan["n_served"] == 3
+    # --scheme subsets the tiers in tiered mode
+    main(
+        [
+            "--policy_json", str(policy), "--tiered", "--scheme", "master",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    only_master = json.loads(out.read_text())
+    assert {r["scheme"] for r in only_master["plan"] if r["serve"]} == {
+        "master"
+    }
+    with pytest.raises(SystemExit):  # tiered needs measured costs
+        main(["--fits", "x.json", "--entropy_json", "y.json", "--tiered"])
 
 
 def test_load_entropy_json_both_layouts(tmp_path):
