@@ -388,6 +388,8 @@ def run_head_policy_experiment(
                 serve_masks[j, solo_asc[:m]] = True
         serve_cos = decode_cosines(k_hat, v_hat, serve_masks)
         payloads[scheme]["serve_cos"] = serve_cos
+        payloads[scheme]["k_hat"] = k_hat  # retained for the tiered mix
+        payloads[scheme]["v_hat"] = v_hat
         scheme_solo_cost = np.maximum(1.0 - cos_all[solo_idx], 0.0)
         results_payloads[scheme] = {
             "stored_bytes_per_unit": unit_bytes,
@@ -489,6 +491,74 @@ def run_head_policy_experiment(
         for j, m in enumerate(budgets)
     ]
 
+    # --- tiered-plan EXECUTION: compose the mixed payload a tiered plan
+    # actually ships (per-unit scheme choice) and measure it end-to-end.
+    # The tiered planner assumes solo costs stay additive ACROSS schemes;
+    # this is the measurement of that assumption.
+    from nerf_attention_tpu.serve_plan import (
+        build_tiered_plan,
+        tiered_units_from_policy_json,
+    )
+
+    tiered_units = tiered_units_from_policy_json(
+        {
+            "units": [
+                {
+                    "layer": int(u // n_kv),
+                    "kv_head": int(u % n_kv),
+                    "entropy_nats": float(ent_u[u]),
+                    "key_fit_cosine": float(k_cos[u]),
+                    "value_fit_cosine": float(v_cos[u]),
+                }
+                for u in range(n_units)
+            ],
+            "payloads": results_payloads,
+        }
+    )
+    total_master_cost = float(solo_cost.sum())
+    tiered_validation = []
+    for frac in (0.02, 0.1, 0.5):
+        target = frac * total_master_cost
+        plan = build_tiered_plan(tiered_units, cost_target=target)
+        served = [r for r in plan["plan"] if r["serve"]]
+        mask = np.zeros(n_units, dtype=bool)
+        k_mix = np.array(np.asarray(ck), copy=True)
+        v_mix = np.array(np.asarray(cv), copy=True)
+        counts: dict[str, int] = {}
+        for r in served:
+            u = r["layer"] * n_kv + r["kv_head"]
+            mask[u] = True
+            counts[r["scheme"]] = counts.get(r["scheme"], 0) + 1
+            pk = payloads[r["scheme"]]
+            k_mix[r["layer"], r["kv_head"]] = np.asarray(
+                pk["k_hat"][r["layer"], r["kv_head"]]
+            )
+            v_mix[r["layer"], r["kv_head"]] = np.asarray(
+                pk["v_hat"][r["layer"], r["kv_head"]]
+            )
+        cos = decode_cosines(
+            jnp.asarray(k_mix), jnp.asarray(v_mix), mask[None]
+        )[0]
+        tiered_validation.append(
+            {
+                "cost_target": target,
+                "target_frac_of_total": frac,
+                "n_served": plan["n_served"],
+                "scheme_counts": counts,
+                "stored_bytes_served": plan["stored_bytes_served"],
+                "predicted_cost": plan["predicted_cost_at_cut"],
+                "measured_cost": float(max(1.0 - cos, 0.0)),
+            }
+        )
+    if verbose:
+        for row in tiered_validation:
+            print(
+                f"  tiered@{row['target_frac_of_total']:g}: "
+                f"{row['n_served']}/{n_units} served {row['scheme_counts']} | "
+                f"predicted {row['predicted_cost']:.2e} measured "
+                f"{row['measured_cost']:.2e}"
+            )
+
     units = [
         {
             "layer": int(u // n_kv),
@@ -526,6 +596,7 @@ def run_head_policy_experiment(
         "entropy_law_solo_2factor": law2,
         "law_curve_additivity": additivity,
         "serve_plan_validation": serve_validation,
+        "tiered_plan_validation": tiered_validation,
         "payloads": results_payloads,
         "wall_seconds": time.perf_counter() - t0,
     }

@@ -124,6 +124,16 @@ def test_run_head_policy_experiment_tiny(tmp_path: Path):
             max(1.0 - cos, 0.0), abs=1e-9
         )
 
+    # tiered-plan execution: the mixed payload was actually decoded
+    tpv = res["tiered_plan_validation"]
+    assert [row["target_frac_of_total"] for row in tpv] == [0.02, 0.1, 0.5]
+    for row in tpv:
+        assert row["n_served"] <= n_units
+        assert 0.0 <= row["measured_cost"] <= 2.0
+        assert sum(row["scheme_counts"].values()) == row["n_served"]
+        assert set(row["scheme_counts"]) <= {"master", "fp16"}
+        assert row["predicted_cost"] <= row["cost_target"]
+
     # build_plan's serving order IS the measured solo_asc prefix order
     # (the tool and the experiment must rank identically for the
     # validation curve to price the tool's plan)
