@@ -328,9 +328,9 @@ def run_head_policy_experiment(
         """Mean-over-queries output cosine, indexed like the interned masks.
 
         ``idx`` restricts the decode to a subset of masks (entries outside
-        it come back NaN) — the stored schemes only ever read the policy
-        CURVE masks, so they skip the n_units solo decodes the master
-        payload pays for the entropy-law fit.
+        it come back NaN) — stored schemes read the policy CURVE masks
+        plus the n_units SOLO masks (per-scheme solo costs feed the
+        tiered planner), skipping any leftover interned masks.
         """
         sel = np.arange(masks.shape[0]) if idx is None else np.asarray(idx)
         out = np.full(masks.shape[0], np.nan)

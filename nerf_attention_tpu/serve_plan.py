@@ -109,8 +109,24 @@ def load_entropy_json(path: Path) -> dict[tuple[int, int], float]:
     return out
 
 
+def _unit_base(u: dict) -> dict:
+    """Identity + ranking features shared by the flat and tiered loaders."""
+    return {
+        "layer": int(u["layer"]),
+        "kv_head": int(u["kv_head"]),
+        "entropy_nats": float(u["entropy_nats"]),
+        "proxy": 0.5
+        * (float(u["key_fit_cosine"]) + float(u["value_fit_cosine"])),
+    }
+
+
 def units_from_policy_json(data: dict, scheme: str = "master") -> list[dict]:
-    """Plan units with MEASURED solo costs from a head_policy results dict."""
+    """Plan units with MEASURED solo costs from a head_policy results dict.
+
+    The costs are always the MASTER-payload solo costs; ``scheme`` only
+    selects the stored-bytes accounting. ``build_plan`` flags this with a
+    caveat for lossy schemes — tiered mode is the calibrated path there.
+    """
     payloads = data.get("payloads", {})
     if scheme not in payloads:
         raise ValueError(
@@ -122,15 +138,12 @@ def units_from_policy_json(data: dict, scheme: str = "master") -> list[dict]:
     raw = int(payloads[scheme]["raw_bytes_per_unit"])
     return [
         {
-            "layer": int(u["layer"]),
-            "kv_head": int(u["kv_head"]),
-            "entropy_nats": float(u["entropy_nats"]),
-            "proxy": 0.5
-            * (float(u["key_fit_cosine"]) + float(u["value_fit_cosine"])),
+            **_unit_base(u),
             "cost": max(float(u["solo_cost"]), 0.0),
             "cost_source": "measured_solo",
             "raw_bytes": raw,
             "stored_bytes": stored,
+            "bytes_scheme": scheme,
         }
         for u in data["units"]
     ]
@@ -147,6 +160,11 @@ def tiered_units_from_policy_json(
     """
     payloads = data.get("payloads", {})
     names = list(payloads) if schemes is None else list(schemes)
+    if not names:
+        raise ValueError(
+            "no storage schemes selected (empty scheme subset, or the "
+            "artifact has no payloads)"
+        )
     missing = [s for s in names if s not in payloads]
     if missing:
         raise ValueError(
@@ -172,11 +190,7 @@ def tiered_units_from_policy_json(
         ]
         units.append(
             {
-                "layer": int(u["layer"]),
-                "kv_head": int(u["kv_head"]),
-                "entropy_nats": float(u["entropy_nats"]),
-                "proxy": 0.5
-                * (float(u["key_fit_cosine"]) + float(u["value_fit_cosine"])),
+                **_unit_base(u),
                 "raw_bytes": int(payloads[names[0]]["raw_bytes_per_unit"]),
                 "options": options,
             }
@@ -190,16 +204,20 @@ def build_tiered_plan(
     cost_target: float = 0.01,
     safety: float = 1.0,
 ) -> dict:
-    """Greedy TIERED plan: each unit gets its smallest-bytes scheme that
-    still fits the shared output-cost budget, or stays raw.
+    """Greedy TIERED plan: serve first, then compress with leftover budget.
 
-    Units are visited in ascending best-case (cheapest-option) cost — the
-    same serve order as the flat plan at its most permissive tier. Within
-    a unit, schemes are tried most-compressed first, so the plan degrades
-    a unit's storage tier (fewer bytes saved) before dropping it from
-    serving entirely. Additivity of solo costs across units is the same
-    measured 0.73–1.02× band the flat plan relies on.
+    Phase 1 serves units at their CHEAPEST-cost tier, ascending — each
+    unit's raw slice usually dwarfs any inter-tier stored-bytes delta,
+    so serving one more unit beats compressing an already-served one.
+    Phase 2 spends whatever budget remains upgrading served units to
+    smaller-bytes tiers, best bytes-saved-per-extra-cost first. (A
+    smallest-bytes-first greedy is myopic here: it can burn the shared
+    budget on a compressed tier and strand later units raw.) Additivity
+    of solo costs across units — including across DIFFERENT schemes —
+    is the measured band (``tiered_plan_validation`` in the artifacts).
     """
+    choice: dict[int, dict] = {}
+    cum = 0.0
     order = sorted(
         range(len(units)),
         key=lambda i: (
@@ -208,21 +226,39 @@ def build_tiered_plan(
             units[i]["kv_head"],
         ),
     )
+    for i in order:
+        best = min(
+            units[i]["options"], key=lambda o: (o["cost"], o["stored_bytes"])
+        )
+        if safety * (cum + best["cost"]) <= cost_target:
+            choice[i] = best
+            cum += best["cost"]
+    while True:  # phase 2: tier upgrades, best ratio first
+        best_up = None
+        for i, cur in choice.items():
+            for o in units[i]["options"]:
+                saved = cur["stored_bytes"] - o["stored_bytes"]
+                extra = o["cost"] - cur["cost"]
+                if saved <= 0 or safety * (cum + extra) > cost_target:
+                    continue
+                ratio = saved / max(extra, 1e-30)
+                if best_up is None or ratio > best_up[0]:
+                    best_up = (ratio, i, o)
+        if best_up is None:
+            break
+        _, i, o = best_up
+        cum += o["cost"] - choice[i]["cost"]
+        choice[i] = o
+
     plan_rows = []
-    cum = 0.0
+    running = 0.0
     n_served = 0
     raw_served = stored_served = 0
     for rank, i in enumerate(order):
         u = units[i]
-        chosen = None
-        for o in sorted(
-            u["options"], key=lambda o: (o["stored_bytes"], o["cost"])
-        ):
-            if safety * (cum + o["cost"]) <= cost_target:
-                chosen = o
-                break
+        chosen = choice.get(i)
         if chosen is not None:
-            cum += chosen["cost"]
+            running += chosen["cost"]
             n_served += 1
             raw_served += u["raw_bytes"]
             stored_served += chosen["stored_bytes"]
@@ -238,10 +274,11 @@ def build_tiered_plan(
                 "cost_source": "measured_solo",
                 "raw_bytes": u["raw_bytes"],
                 "stored_bytes": chosen["stored_bytes"] if chosen else None,
-                "cumulative_cost": cum,
+                "cumulative_cost": running,
                 "serve": chosen is not None,
             }
         )
+    cum = running
     return {
         "tiered": True,
         "cost_target": cost_target,
@@ -387,6 +424,18 @@ def build_plan(
             "solo costs on your model (experiments head_policy protocol) "
             "to calibrate before trusting the absolute cut"
         )
+    lossy = {
+        r["bytes_scheme"]
+        for r in plan_rows
+        if r.get("bytes_scheme") not in (None, "master")
+    }
+    if lossy:
+        caveats.append(
+            f"stored bytes priced at {sorted(lossy)} but costs are the "
+            f"MASTER-measured solo costs; a lossy tier can cost more at "
+            f"the output than this plan predicts — use --tiered for "
+            f"measured per-scheme costs"
+        )
     return {
         "cost_target": cost_target,
         "safety": safety,
@@ -504,6 +553,13 @@ def main(argv: list[str] | None = None) -> None:
         parser.error("pass exactly one of --policy_json / --fits")
     if args.fits is not None and args.entropy_json is None:
         parser.error("--fits mode requires --entropy_json")
+    if args.policy_json is not None and (
+        args.entropy_json is not None or args.law_json is not None
+    ):
+        parser.error(
+            "--entropy_json/--law_json only apply in --fits mode; "
+            "--policy_json plans use the artifact's measured solo costs"
+        )
 
     if args.tiered and args.policy_json is None:
         parser.error("--tiered needs --policy_json (measured per-scheme costs)")
@@ -528,6 +584,16 @@ def main(argv: list[str] | None = None) -> None:
         if args.law_json is not None:
             with open(args.law_json) as f:
                 law_src = json.load(f)
+            if (
+                "entropy_law_solo_2factor" in law_src
+                and law_src["entropy_law_solo_2factor"] is None
+            ):
+                parser.error(
+                    f"{args.law_json}: entropy_law_solo_2factor is null — "
+                    f"that head_policy run had too few units with "
+                    f"measurable cost to fit the law; use another "
+                    f"artifact or omit --law_json for the hermetic prior"
+                )
             law = law_src.get("entropy_law_solo_2factor") or law_src
             missing = {
                 "intercept", "entropy_slope", "log1mproxy_slope"

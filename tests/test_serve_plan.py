@@ -192,6 +192,8 @@ def test_tiered_units_need_per_scheme_solo_costs():
         tiered_units_from_policy_json(art)
     with pytest.raises(ValueError, match="not in the policy artifact"):
         tiered_units_from_policy_json(_tiered_artifact(), schemes=["int4"])
+    with pytest.raises(ValueError, match="no storage schemes selected"):
+        tiered_units_from_policy_json(_tiered_artifact(), schemes=[])
     units = tiered_units_from_policy_json(_tiered_artifact())
     assert len(units) == 4
     assert {o["scheme"] for o in units[0]["options"]} == {"master", "int8_g32"}
@@ -222,7 +224,8 @@ def test_build_tiered_plan_degrades_tier_before_dropping():
     # the flat int8 plan UNDERPRICES its payload (flat mode reuses the
     # master-measured solo costs): it also serves 3, but the true int8
     # cost of that prefix (0.035) exceeds the target — the measured
-    # per-scheme costs in tiered mode are what catch this
+    # per-scheme costs in tiered mode are what catch this, and the flat
+    # plan must at least carry the warning
     flat_int8 = build_plan(
         units_from_policy_json(_tiered_artifact(), scheme="int8_g32"),
         cost_target=0.02,
@@ -231,6 +234,39 @@ def test_build_tiered_plan_degrades_tier_before_dropping():
         10 * r["cost"] for r in flat_int8["plan"] if r["serve"]
     )
     assert flat_int8["n_served"] == 3 and true_int8_cost > 0.02
+    assert any("MASTER-measured" in c for c in flat_int8["caveats"])
+    assert not any("MASTER-measured" in c for c in flat_master["caveats"])
+
+
+def test_build_tiered_plan_serves_before_compressing():
+    """A smallest-bytes-first greedy would spend the budget on unit A's
+    compressed tier (0.009) and strand unit B raw; serve-first must take
+    both at their cheap tiers instead (more raw bytes freed)."""
+    units = [
+        {
+            "layer": 0, "kv_head": 0, "entropy_nats": 5.0, "proxy": 0.9,
+            "raw_bytes": 4000,
+            "options": [
+                {"scheme": "int8", "cost": 0.009, "stored_bytes": 150},
+                {"scheme": "master", "cost": 0.001, "stored_bytes": 500},
+            ],
+        },
+        {
+            "layer": 0, "kv_head": 1, "entropy_nats": 5.0, "proxy": 0.9,
+            "raw_bytes": 4000,
+            "options": [
+                {"scheme": "master", "cost": 0.002, "stored_bytes": 500},
+            ],
+        },
+    ]
+    plan = build_tiered_plan(units, cost_target=0.01)
+    assert plan["n_served"] == 2
+    assert [r["scheme"] for r in plan["plan"]] == ["master", "master"]
+    assert plan["net_bytes_saved"] == 2 * 4000 - 2 * 500
+    # with head-room the upgrade phase compresses unit A after serving both
+    roomy = build_tiered_plan(units, cost_target=0.02)
+    assert [r["scheme"] for r in roomy["plan"]] == ["int8", "master"]
+    assert roomy["predicted_cost_at_cut"] == pytest.approx(0.011)
 
 
 def test_cli_tiered_mode(tmp_path):
@@ -347,3 +383,31 @@ def test_cli_rejects_ambiguous_sources(tmp_path):
         main([])
     with pytest.raises(SystemExit):
         main(["--fits", "x.json"])  # no --entropy_json
+    # fits-mode-only flags are an error with --policy_json, not ignored
+    with pytest.raises(SystemExit):
+        main(["--policy_json", "p.json", "--law_json", "l.json"])
+    with pytest.raises(SystemExit):
+        main(["--policy_json", "p.json", "--entropy_json", "e.json"])
+
+
+def test_cli_rejects_null_law_fit(tmp_path):
+    fits = tmp_path / "fit_results.json"
+    fits.write_text(json.dumps(_fit_records()))
+    ent = tmp_path / "entropy.json"
+    ent.write_text(
+        json.dumps(
+            {
+                "units": [
+                    {"layer": 0, "kv_head": 0, "entropy_nats": 6.0},
+                    {"layer": 8, "kv_head": 1, "entropy_nats": 2.0},
+                ]
+            }
+        )
+    )
+    law = tmp_path / "law.json"
+    law.write_text(json.dumps({"entropy_law_solo_2factor": None}))
+    with pytest.raises(SystemExit):  # targeted error, not a schema complaint
+        main(
+            ["--fits", str(fits), "--entropy_json", str(ent),
+             "--law_json", str(law)]
+        )
