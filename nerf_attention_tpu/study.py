@@ -27,6 +27,10 @@ Stages (each skippable via --skip, resumable where the stage supports it):
   6. compress  — opt-in (--compress SCHEME): ship the sweep as bit-packed
                  quantized checkpoints under <root>/fits_<scheme>, QAT
                  repair included for _qat schemes (compress.py)
+  7. serving   — opt-in (--serving): the head-selection policy study
+                 (experiments/head_policy.py) plus the greedy and tiered
+                 serving plans emitted from its measured artifact
+                 (serve_plan.py) at --cost_target
 """
 
 from __future__ import annotations
@@ -35,7 +39,10 @@ import argparse
 import sys
 from pathlib import Path
 
-STAGES = ("extract", "fit", "evaluate", "experiments", "attention", "compress")
+STAGES = (
+    "extract", "fit", "evaluate", "experiments", "attention", "compress",
+    "serving",
+)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -88,6 +95,16 @@ def main(argv: list[str] | None = None) -> None:
         help="after the experiments, run the attention-output end-metric "
         "(experiments attention_error): what the sweep's K/V CosSim "
         "actually costs at softmax(qK^T/sqrt(d))V",
+    )
+    parser.add_argument(
+        "--serving", action="store_true",
+        help="after the experiments, run the head-selection policy study "
+        "(experiments head_policy, hermetic model) and emit the greedy + "
+        "tiered serving plans from its measured solo costs (serve-plan)",
+    )
+    parser.add_argument(
+        "--cost_target", type=float, default=0.01,
+        help="serving: output-cost target for the emitted plans",
     )
     parser.add_argument(
         "--fm_mult", type=float, default=None,
@@ -225,6 +242,51 @@ def main(argv: list[str] | None = None) -> None:
             experiments_main()
         finally:
             sys.argv = saved_argv
+
+    if args.serving and "serving" not in args.skip:
+        banner("serving", f"head policy + serving plans -> {root}/head_policy")
+        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
+
+        saved_argv = sys.argv
+        sys.argv = [
+            "experiments", "head_policy",
+            "--results_root", str(root),
+            "--kv_dir", str(kv_dir),
+            "--siren_dir", str(fits_dir),
+            "--epochs", str(args.epochs),
+            *(
+                ["--fm_mult", str(args.fm_mult)]
+                if args.fm_mult is not None
+                else []
+            ),
+            *(
+                ["--schemes", args.schemes]
+                if args.schemes is not None
+                else []
+            ),
+        ]
+        try:
+            experiments_main()
+        finally:
+            sys.argv = saved_argv
+
+        from nerf_attention_tpu.serve_plan import main as serve_plan_main
+
+        policy_json = root / "head_policy" / "head_policy_results.json"
+        serve_plan_main(
+            [
+                "--policy_json", str(policy_json),
+                "--cost_target", str(args.cost_target),
+                "--out", str(root / "serve_plan.json"),
+            ]
+        )
+        serve_plan_main(
+            [
+                "--policy_json", str(policy_json), "--tiered",
+                "--cost_target", str(args.cost_target),
+                "--out", str(root / "serve_plan_tiered.json"),
+            ]
+        )
 
     if args.compress is not None and "compress" not in args.skip:
         scheme = args.compress
