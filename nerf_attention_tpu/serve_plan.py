@@ -32,13 +32,17 @@ Two cost sources:
   prior (3-seed mean, flagged in the plan's caveats).
 
 Why a running sum of solo costs is a valid budget rule (measured,
-``benchmarks/r4/head_policy/`` at 3 seeds): ranking by predicted cost
-held 0.9996 output cosine with half the cache served from parameters,
-and solo costs are ADDITIVE — the measured curve is 0.73–1.02× the sum
-through 3/4 of the cache and conservatively sub-additive beyond, so the
-sum is a calibrated, tail-conservative bound and no budget sweep is
-needed. ``--safety`` scales the sum before the cut for operators who
-want margin against the 1.02× edge of that band.
+``benchmarks/r4/head_policy/``, 5 artifacts): ranking by measured solo
+cost held 0.9995–0.9999 output cosine with half the cache served from
+parameters (``solo_asc`` curves), and solo costs are ADDITIVE — the
+measured cost of serving each prefix is 0.62–1.23× the running sum
+through 3/4 of the cache (``serve_plan_validation``) and strongly
+sub-additive beyond, so the sum is a calibrated bound and no budget
+sweep is needed. ``--safety`` scales the sum before the cut;
+``--safety 1.25`` covers the measured upper edge for tight targets.
+Tiered plans were additionally executed end-to-end: cross-scheme
+cumulative costs measured 0.86–1.09× predicted at the practical target
+(``tiered_plan_validation``).
 """
 
 from __future__ import annotations
@@ -293,8 +297,9 @@ def build_tiered_plan(
         "plan": plan_rows,
         "caveats": [
             "cumulative_cost sums measured per-(unit, scheme) solo costs; "
-            "the additivity band is the measured 0.73-1.02x "
-            "(benchmarks/r4/head_policy/, law_curve_additivity)",
+            "executed tiered plans measured 0.86-1.09x the sum at the "
+            "practical target, sub-additive deeper "
+            "(benchmarks/r4/head_policy/, tiered_plan_validation)",
         ],
     }
 
@@ -414,9 +419,10 @@ def build_plan(
             }
         )
     caveats = [
-        "cumulative_cost sums solo costs; measured totals were 0.73-1.02x "
+        "cumulative_cost sums solo costs; measured totals were 0.62-1.23x "
         "the sum through 3/4 of the cache and below it beyond "
-        "(benchmarks/r4/head_policy/, law_curve_additivity)",
+        "(benchmarks/r4/head_policy/, serve_plan_validation) — "
+        "--safety 1.25 covers the upper edge",
     ]
     if any(r["cost_source"] == "law_predicted" for r in plan_rows):
         caveats.append(
@@ -540,8 +546,8 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--cost_target", type=float, default=0.01)
     parser.add_argument(
         "--safety", type=float, default=1.0,
-        help="multiply the running cost sum before the cut (margin against "
-        "the measured 1.02x additivity edge)",
+        help="multiply the running cost sum before the cut (1.25 covers "
+        "the measured 1.23x additivity upper edge on tight targets)",
     )
     parser.add_argument("--top", type=int, default=12)
     parser.add_argument(
