@@ -68,6 +68,7 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
     siren_attention_decode,
     siren_attention_decode_fused,
 )
+from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
     build_plan,
     build_tiered_plan,
@@ -128,6 +129,7 @@ __all__ = [
     "qat_finetune_batch",
     "build_plan",
     "build_tiered_plan",
+    "measure_model_entropy",
     "law_cost",
     "tiered_units_from_policy_json",
     "units_from_fits",

@@ -1,0 +1,184 @@
+"""Measure per-(layer, kv-head) attention entropies from a model.
+
+Beyond-reference CLI (round 4): produces the ``--entropy_json`` input of
+``serve-plan --fits`` — the predicted serving-plan mode — so the full
+real-weights workflow is three commands (extract + fit, measure-entropy,
+serve-plan). The reference has no serving layer; its closest surface is
+the per-tensor fit table (`/root/reference/nerf_attention/fit.py:95-118`),
+which supplies the OTHER input of that mode.
+
+Protocol (the head-policy experiment's measurement, productized —
+``experiments/head_policy.py``): prefill the model on the text, re-decode
+the last ``--queries`` in-prefix tokens over the full cache
+(``llama_decode_step`` returns each token's per-head attention entropy in
+nats), and average per (layer, kv-head) with GQA grouping
+(``kv_head_entropy``). Works on any of the 8 supported HF checkpoint
+families (``--model``) or on a hermetic random-init model
+(``--random_init``, for demos and tests — random init has near-uniform
+entropies; real checkpoints are the point).
+
+Output schema is the dense layout ``serve_plan.load_entropy_json``
+accepts: ``{"entropy_nats": [[...per kv-head...], ...per layer]}`` plus
+provenance fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def measure_model_entropy(config, params, token_ids, *, n_queries: int = 8):
+    """(num_layers, num_kv_heads) mean attention entropy in nats.
+
+    ``token_ids`` (S,) is the prefix; the last ``n_queries`` tokens are
+    re-decoded at their own positions over the full prefill cache (each
+    sees only rows strictly before itself plus its own concat column —
+    the decode-mask contract of ``llama_decode_step``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.experiments.head_policy import kv_head_entropy
+    from nerf_attention_tpu.models.llama_jax import (
+        llama_decode_step,
+        llama_prefill_kv,
+    )
+
+    ids = jnp.asarray(token_ids, jnp.int32)
+    s = int(ids.shape[0])
+    if not 0 < n_queries <= s:
+        raise ValueError(f"n_queries must be in [1, {s}], got {n_queries}")
+    keys, values = llama_prefill_kv(config, params, ids)
+    ck = jnp.asarray(keys[:, :, :s, :])
+    cv = jnp.asarray(values[:, :, :s, :])
+    toks = ids[s - n_queries : s]
+    pos = jnp.arange(s - n_queries, s, dtype=jnp.int32)
+
+    @jax.jit
+    def decode_all(toks, pos):
+        fn = jax.vmap(
+            lambda t, q: llama_decode_step(config, params, t, q, ck, cv),
+            in_axes=(0, 0),
+        )
+        _, _, ent = fn(toks, pos)
+        return ent  # (n_queries, num_layers, num_attention_heads)
+
+    ent = np.asarray(decode_all(toks, pos))
+    return kv_head_entropy(ent, config.num_key_value_heads)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    parser = argparse.ArgumentParser(
+        description="Measure per-(layer, kv-head) attention entropies — "
+        "the --entropy_json input of serve-plan --fits"
+    )
+    parser.add_argument(
+        "--model", type=str, default=None,
+        help="HF checkpoint directory (any of the 8 supported families)",
+    )
+    parser.add_argument(
+        "--random_init", action="store_true",
+        help="hermetic random-init model instead of a checkpoint (demo/test "
+        "path; random init has near-uniform entropies)",
+    )
+    parser.add_argument("--seq_len", type=int, default=512)
+    parser.add_argument(
+        "--queries", type=int, default=8,
+        help="how many tail in-prefix tokens to re-decode and average over",
+    )
+    parser.add_argument(
+        "--text", type=str, default=None,
+        help="path to a prompt file (default: the built-in sample text)",
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    # Hermetic-model geometry (--random_init only).
+    parser.add_argument("--layers", type=int, default=8)
+    parser.add_argument("--heads", type=int, default=8)
+    parser.add_argument("--kv_heads", type=int, default=4)
+    parser.add_argument("--head_dim", type=int, default=32)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--intermediate", type=int, default=512)
+    parser.add_argument("--vocab", type=int, default=512)
+    parser.add_argument(
+        "--out", type=str, default="results/entropy.json",
+        help="where to write the entropy JSON",
+    )
+    args = parser.parse_args(argv)
+
+    if (args.model is None) == (not args.random_init):
+        parser.error("pass exactly one of --model / --random_init")
+
+    if args.random_init:
+        from nerf_attention_tpu.models.llama_jax import (
+            LlamaConfig,
+            init_random_llama,
+        )
+
+        config = LlamaConfig(
+            vocab_size=args.vocab,
+            hidden_size=args.hidden,
+            intermediate_size=args.intermediate,
+            num_hidden_layers=args.layers,
+            num_attention_heads=args.heads,
+            num_key_value_heads=args.kv_heads,
+            head_dim=args.head_dim,
+        )
+        params = init_random_llama(config, seed=args.seed)
+        ids = np.random.RandomState(args.seed).randint(
+            0, config.vocab_size, args.seq_len
+        )
+        source = f"random_init(seed={args.seed})"
+    else:
+        from transformers import AutoTokenizer
+
+        from nerf_attention_tpu.extract import get_sample_text
+        from nerf_attention_tpu.models.llama_jax import load_llama_params
+
+        config, params = load_llama_params(Path(args.model))
+        text = (
+            Path(args.text).read_text()
+            if args.text is not None
+            else get_sample_text()
+        )
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+        ids = np.asarray(
+            tokenizer(text, return_tensors="np").input_ids[0][: args.seq_len]
+        )
+        if ids.shape[0] < args.seq_len:
+            print(
+                f"note: text tokenizes to {ids.shape[0]} < --seq_len "
+                f"{args.seq_len}; measuring at {ids.shape[0]}"
+            )
+        source = str(args.model)
+
+    ent = measure_model_entropy(config, params, ids, n_queries=args.queries)
+    result = {
+        "entropy_nats": [[float(e) for e in row] for row in ent],
+        "model": source,
+        "num_hidden_layers": int(config.num_hidden_layers),
+        "num_key_value_heads": int(config.num_key_value_heads),
+        "seq_len": int(ids.shape[0]),
+        "n_queries": int(args.queries),
+        "uniform_entropy_nats": float(np.log(ids.shape[0])),
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(
+        f"Measured entropies over {args.queries} queries at S={ids.shape[0]}: "
+        f"{ent.min():.2f}-{ent.max():.2f} nats "
+        f"(uniform = {np.log(ids.shape[0]):.2f}) -> {out}"
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
