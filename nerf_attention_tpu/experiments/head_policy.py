@@ -611,7 +611,8 @@ def run_head_policy_experiment(
 
 
 def plot_head_policy(results: dict, figures_dir: Path) -> None:
-    """Two panels: solo cost vs entropy (the law), policy budget curves."""
+    """Three panels: the entropy law, policy budget curves, and the
+    plan cut-rule calibration (running solo sum vs measured cost)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -620,7 +621,12 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
     figures_dir = Path(figures_dir)
     figures_dir.mkdir(parents=True, exist_ok=True)
     units = results["units"]
-    fig, (ax_law, ax_pol) = plt.subplots(1, 2, figsize=(12.5, 4.8))
+    has_validation = "serve_plan_validation" in results
+    fig, axes = plt.subplots(
+        1, 3 if has_validation else 2,
+        figsize=(18.0 if has_validation else 12.5, 4.8),
+    )
+    ax_law, ax_pol = axes[0], axes[1]
 
     h = np.array([u["entropy_nats"] for u in units])
     cost = np.array([u["solo_cost"] for u in units])
@@ -664,6 +670,35 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
     ax_pol.set_title("Selection policies over the budget axis")
     ax_pol.grid(alpha=0.3)
     ax_pol.legend(fontsize=8)
+
+    if has_validation:
+        ax_cal = axes[2]
+        tables = [
+            ("serve-plan order", results["serve_plan_validation"], "o"),
+            ("law order", results.get("law_curve_additivity", []), "s"),
+        ]
+        lo = hi = None
+        for label, rows, marker in tables:
+            xs = np.array([r["sum_solo_cost"] for r in rows if r["budget"]])
+            ys = np.array([r["measured_cost"] for r in rows if r["budget"]])
+            keep = (xs > 0) & (ys > 0)
+            if not keep.any():
+                continue
+            ax_cal.plot(
+                xs[keep], ys[keep], marker, ms=5, alpha=0.85, label=label
+            )
+            lo = min(xs[keep].min(), ys[keep].min(), lo or np.inf)
+            hi = max(xs[keep].max(), ys[keep].max(), hi or 0.0)
+        if lo is not None:
+            grid = np.geomspace(lo, hi, 8)
+            ax_cal.plot(grid, grid, "--", color="0.5", lw=1, label="y = x")
+        ax_cal.set_xscale("log")
+        ax_cal.set_yscale("log")
+        ax_cal.set_xlabel("running sum of solo costs (the plan's cut rule)")
+        ax_cal.set_ylabel("measured cost of serving that prefix")
+        ax_cal.set_title("Cut-rule calibration")
+        ax_cal.grid(alpha=0.3, which="both")
+        ax_cal.legend(fontsize=8)
 
     fig.tight_layout()
     fig.savefig(figures_dir / "head_policy.png", dpi=130)
