@@ -98,15 +98,16 @@ def main(argv: list[str] | None = None) -> None:
         "--text", type=str, default=None,
         help="path to a prompt file (default: the built-in sample text)",
     )
-    parser.add_argument("--seed", type=int, default=0)
-    # Hermetic-model geometry (--random_init only).
-    parser.add_argument("--layers", type=int, default=8)
-    parser.add_argument("--heads", type=int, default=8)
-    parser.add_argument("--kv_heads", type=int, default=4)
-    parser.add_argument("--head_dim", type=int, default=32)
-    parser.add_argument("--hidden", type=int, default=256)
-    parser.add_argument("--intermediate", type=int, default=512)
-    parser.add_argument("--vocab", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=None)
+    # Hermetic-model geometry (--random_init only; None sentinels let the
+    # CLI reject these under --model instead of silently ignoring them).
+    parser.add_argument("--layers", type=int, default=None)
+    parser.add_argument("--heads", type=int, default=None)
+    parser.add_argument("--kv_heads", type=int, default=None)
+    parser.add_argument("--head_dim", type=int, default=None)
+    parser.add_argument("--hidden", type=int, default=None)
+    parser.add_argument("--intermediate", type=int, default=None)
+    parser.add_argument("--vocab", type=int, default=None)
     parser.add_argument(
         "--out", type=str, default="results/entropy.json",
         help="where to write the entropy JSON",
@@ -115,6 +116,26 @@ def main(argv: list[str] | None = None) -> None:
 
     if (args.model is None) == (not args.random_init):
         parser.error("pass exactly one of --model / --random_init")
+    geometry = {
+        "layers": args.layers, "heads": args.heads,
+        "kv_heads": args.kv_heads, "head_dim": args.head_dim,
+        "hidden": args.hidden, "intermediate": args.intermediate,
+        "vocab": args.vocab, "seed": args.seed,
+    }
+    if args.model is not None:
+        set_flags = [f"--{k}" for k, v in geometry.items() if v is not None]
+        if set_flags:
+            parser.error(
+                f"{' '.join(set_flags)} only apply to --random_init; a "
+                f"checkpoint supplies its own geometry"
+            )
+    elif args.text is not None:
+        parser.error(
+            "--text only applies to --model; --random_init measures over "
+            "random token ids (random init has no meaningful vocabulary)"
+        )
+    if not 0 < args.queries <= args.seq_len:
+        parser.error(f"--queries must be in [1, --seq_len={args.seq_len}]")
 
     if args.random_init:
         from nerf_attention_tpu.models.llama_jax import (
@@ -122,32 +143,34 @@ def main(argv: list[str] | None = None) -> None:
             init_random_llama,
         )
 
+        seed = 0 if args.seed is None else args.seed
         config = LlamaConfig(
-            vocab_size=args.vocab,
-            hidden_size=args.hidden,
-            intermediate_size=args.intermediate,
-            num_hidden_layers=args.layers,
-            num_attention_heads=args.heads,
-            num_key_value_heads=args.kv_heads,
-            head_dim=args.head_dim,
+            vocab_size=args.vocab or 512,
+            hidden_size=args.hidden or 256,
+            intermediate_size=args.intermediate or 512,
+            num_hidden_layers=args.layers or 8,
+            num_attention_heads=args.heads or 8,
+            num_key_value_heads=args.kv_heads or 4,
+            head_dim=args.head_dim or 32,
         )
-        params = init_random_llama(config, seed=args.seed)
-        ids = np.random.RandomState(args.seed).randint(
+        params = init_random_llama(config, seed=seed)
+        ids = np.random.RandomState(seed).randint(
             0, config.vocab_size, args.seq_len
         )
-        source = f"random_init(seed={args.seed})"
+        source = f"random_init(seed={seed})"
     else:
         from transformers import AutoTokenizer
 
         from nerf_attention_tpu.extract import get_sample_text
         from nerf_attention_tpu.models.llama_jax import load_llama_params
 
-        config, params = load_llama_params(Path(args.model))
         text = (
             Path(args.text).read_text()
             if args.text is not None
             else get_sample_text()
         )
+        # Tokenize BEFORE the (expensive) checkpoint load so a too-short
+        # prompt fails in milliseconds, not after minutes of weight IO.
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         ids = np.asarray(
             tokenizer(text, return_tensors="np").input_ids[0][: args.seq_len]
@@ -157,6 +180,12 @@ def main(argv: list[str] | None = None) -> None:
                 f"note: text tokenizes to {ids.shape[0]} < --seq_len "
                 f"{args.seq_len}; measuring at {ids.shape[0]}"
             )
+        if args.queries > ids.shape[0]:
+            parser.error(
+                f"--queries {args.queries} > the {ids.shape[0]} tokens the "
+                f"text provides"
+            )
+        config, params = load_llama_params(Path(args.model))
         source = str(args.model)
 
     ent = measure_model_entropy(config, params, ids, n_queries=args.queries)

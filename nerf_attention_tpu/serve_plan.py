@@ -15,9 +15,10 @@ Two cost sources:
   schema, measured on real traffic — supplies each unit's measured
   ``solo_cost`` (1 − output cosine with only that unit swapped).
 * **measured, tiered** (``--policy_json --tiered``): artifacts whose
-  payloads carry per-scheme ``solo_cost`` arrays let the plan assign
-  each unit its smallest-bytes storage scheme that still fits the
-  shared budget — degrading a unit's tier before dropping it. (Flat
+  payloads carry per-scheme ``solo_cost`` arrays let the plan pick a
+  storage scheme per unit — serve-first-then-upgrade: every unit that
+  fits is served at its cheapest-cost tier, then leftover budget buys
+  tier upgrades to smaller bytes, best bytes-per-cost first. (Flat
   mode prices every scheme at the MASTER-measured solo costs; storage
   quantization is output-transparent for the shipped schemes, but
   tiered mode is the calibrated path when schemes trade quality.)
@@ -539,8 +540,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument(
         "--tiered", action="store_true",
-        help="policy mode: assign each unit its smallest-bytes scheme that "
-        "fits the budget (needs per-scheme solo costs in the artifact); "
+        help="policy mode: per-unit storage schemes, serve-first-then-"
+        "upgrade (needs per-scheme solo costs in the artifact); "
         "--scheme then takes a comma-separated subset of payload names",
     )
     parser.add_argument("--cost_target", type=float, default=0.01)

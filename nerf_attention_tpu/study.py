@@ -45,6 +45,57 @@ STAGES = (
 )
 
 
+def _delegate_experiments(argv: list[str]) -> None:
+    """Run the experiments CLI in-process with a temporary sys.argv."""
+    from nerf_attention_tpu.experiments.__main__ import main as experiments_main
+
+    saved_argv = sys.argv
+    sys.argv = ["experiments", *argv]
+    try:
+        experiments_main()
+    finally:
+        sys.argv = saved_argv
+
+
+def _experiments_argv(
+    subcommand: str,
+    args,
+    root: Path,
+    kv_dir: Path,
+    fits_dir: Path,
+    *,
+    model: bool = False,
+    geometry: bool = True,
+) -> list[str]:
+    """The shared flag tail every delegated experiments stage threads.
+
+    ``geometry`` carries the backend/value-recipe/cache-shape flags (a
+    study at --seq_len != 2048 must not regenerate its cache at 2048
+    mid-run); head_policy builds its own hermetic model and skips them.
+    """
+    argv = [
+        subcommand,
+        "--results_root", str(root),
+        "--kv_dir", str(kv_dir),
+        "--siren_dir", str(fits_dir),
+        "--epochs", str(args.epochs),
+    ]
+    if model:
+        argv += ["--model", args.model]
+    if geometry:
+        argv += [
+            "--backend", args.backend,
+            "--values_mode", args.values_mode,
+            "--synth_layers", str(args.synth_layers),
+            "--seq_len", str(args.seq_len),
+        ]
+    if args.fm_mult is not None:
+        argv += ["--fm_mult", str(args.fm_mult)]
+    if args.schemes is not None:
+        argv += ["--schemes", args.schemes]
+    return argv
+
+
 def main(argv: list[str] | None = None) -> None:
     from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
 
@@ -181,111 +232,15 @@ def main(argv: list[str] | None = None) -> None:
 
     if "experiments" not in args.skip:
         banner("experiments", f"all follow-ups -> {root}")
-        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
-
-        saved_argv = sys.argv
-        sys.argv = [
-            "experiments", "all",
-            "--model", args.model,
-            "--backend", args.backend,
-            "--values_mode", args.values_mode,
-            "--results_root", str(root),
-            "--kv_dir", str(kv_dir),
-            "--siren_dir", str(fits_dir),
-            "--epochs", str(args.epochs),
-            "--synth_layers", str(args.synth_layers),
-            "--seq_len", str(args.seq_len),
-            *(
-                ["--fm_mult", str(args.fm_mult)]
-                if args.fm_mult is not None
-                else []
-            ),
-            *(
-                ["--schemes", args.schemes]
-                if args.schemes is not None
-                else []
-            ),
-        ]
-        try:
-            experiments_main()
-        finally:
-            sys.argv = saved_argv
+        _delegate_experiments(
+            _experiments_argv("all", args, root, kv_dir, fits_dir, model=True)
+        )
 
     if args.attention and "attention" not in args.skip:
         banner("attention", f"output end-metric -> {root}/attention_error")
-        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
-
-        saved_argv = sys.argv
-        sys.argv = [
-            "experiments", "attention_error",
-            "--backend", args.backend,
-            "--values_mode", args.values_mode,
-            "--results_root", str(root),
-            "--kv_dir", str(kv_dir),
-            "--siren_dir", str(fits_dir),
-            "--epochs", str(args.epochs),
-            "--synth_layers", str(args.synth_layers),
-            "--seq_len", str(args.seq_len),
-            *(
-                ["--fm_mult", str(args.fm_mult)]
-                if args.fm_mult is not None
-                else []
-            ),
-            *(
-                # Price the stored payloads at the output too.
-                ["--schemes", args.schemes]
-                if args.schemes is not None
-                else []
-            ),
-        ]
-        try:
-            experiments_main()
-        finally:
-            sys.argv = saved_argv
-
-    if args.serving and "serving" not in args.skip:
-        banner("serving", f"head policy + serving plans -> {root}/head_policy")
-        from nerf_attention_tpu.experiments.__main__ import main as experiments_main
-
-        saved_argv = sys.argv
-        sys.argv = [
-            "experiments", "head_policy",
-            "--results_root", str(root),
-            "--kv_dir", str(kv_dir),
-            "--siren_dir", str(fits_dir),
-            "--epochs", str(args.epochs),
-            *(
-                ["--fm_mult", str(args.fm_mult)]
-                if args.fm_mult is not None
-                else []
-            ),
-            *(
-                ["--schemes", args.schemes]
-                if args.schemes is not None
-                else []
-            ),
-        ]
-        try:
-            experiments_main()
-        finally:
-            sys.argv = saved_argv
-
-        from nerf_attention_tpu.serve_plan import main as serve_plan_main
-
-        policy_json = root / "head_policy" / "head_policy_results.json"
-        serve_plan_main(
-            [
-                "--policy_json", str(policy_json),
-                "--cost_target", str(args.cost_target),
-                "--out", str(root / "serve_plan.json"),
-            ]
-        )
-        serve_plan_main(
-            [
-                "--policy_json", str(policy_json), "--tiered",
-                "--cost_target", str(args.cost_target),
-                "--out", str(root / "serve_plan_tiered.json"),
-            ]
+        # --schemes prices the stored payloads at the output too.
+        _delegate_experiments(
+            _experiments_argv("attention_error", args, root, kv_dir, fits_dir)
         )
 
     if args.compress is not None and "compress" not in args.skip:
@@ -304,6 +259,32 @@ def main(argv: list[str] | None = None) -> None:
                 "--scheme", scheme,
                 "--kv_dir", str(kv_dir),
                 *(["--qat"] if qat else []),
+            ]
+        )
+
+    if args.serving and "serving" not in args.skip:
+        banner("serving", f"head policy + serving plans -> {root}/head_policy")
+        _delegate_experiments(
+            _experiments_argv(
+                "head_policy", args, root, kv_dir, fits_dir, geometry=False
+            )
+        )
+
+        from nerf_attention_tpu.serve_plan import main as serve_plan_main
+
+        policy_json = root / "head_policy" / "head_policy_results.json"
+        serve_plan_main(
+            [
+                "--policy_json", str(policy_json),
+                "--cost_target", str(args.cost_target),
+                "--out", str(root / "serve_plan.json"),
+            ]
+        )
+        serve_plan_main(
+            [
+                "--policy_json", str(policy_json), "--tiered",
+                "--cost_target", str(args.cost_target),
+                "--out", str(root / "serve_plan_tiered.json"),
             ]
         )
 

@@ -64,3 +64,16 @@ def test_cli_rejects_ambiguous_source():
         main(["--out", "x.json"])  # neither --model nor --random_init
     with pytest.raises(SystemExit):
         main(["--model", "m", "--random_init", "--out", "x.json"])
+
+
+def test_cli_rejects_cross_mode_flags():
+    # geometry flags belong to --random_init; --text belongs to --model
+    with pytest.raises(SystemExit):
+        main(["--model", "m", "--layers", "4", "--out", "x.json"])
+    with pytest.raises(SystemExit):
+        main(["--model", "m", "--seed", "1", "--out", "x.json"])
+    with pytest.raises(SystemExit):
+        main(["--random_init", "--text", "t.txt", "--out", "x.json"])
+    with pytest.raises(SystemExit):  # queries must fit the prefix
+        main(["--random_init", "--seq_len", "8", "--queries", "9",
+              "--out", "x.json"])

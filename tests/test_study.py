@@ -59,18 +59,19 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
     stages = [name for name, _ in calls]
     assert stages == [
         "extract", "analyze", "fit", "experiments", "experiments",
-        "experiments", "serve_plan", "serve_plan", "compress",
+        "compress", "experiments", "serve_plan", "serve_plan",
     ]
     # The opt-in serving stage runs head_policy with the study's epochs +
     # fm_mult, then emits both plan flavors at the study's cost target.
-    hp_argv = calls[5][1]["argv"]
+    hp_argv = calls[6][1]["argv"]
     assert hp_argv[1] == "head_policy"
     assert hp_argv[hp_argv.index("--epochs") + 1] == "7"
     assert hp_argv[hp_argv.index("--fm_mult") + 1] == "64.0"
-    flat_argv = calls[6][1]["argv"]
+    assert "--seq_len" not in hp_argv  # hermetic model: no cache geometry
+    flat_argv = calls[7][1]["argv"]
     assert flat_argv[flat_argv.index("--cost_target") + 1] == "0.03"
     assert "--tiered" not in flat_argv
-    tiered_argv = calls[7][1]["argv"]
+    tiered_argv = calls[8][1]["argv"]
     assert "--tiered" in tiered_argv
     assert tiered_argv[tiered_argv.index("--out") + 1].endswith(
         "serve_plan_tiered.json"
@@ -84,7 +85,7 @@ def test_study_skip_controls_stages(tmp_path, monkeypatch):
     assert "--schemes" not in attn_argv  # only passed when the user sets it
     # A _qat compress scheme splits into the base grid + the --qat flag,
     # and the stage targets the study's own fits/kv dirs.
-    comp_argv = calls[8][1]["argv"]
+    comp_argv = calls[5][1]["argv"]
     assert comp_argv[comp_argv.index("--scheme") + 1] == "int4_g128"
     assert "--qat" in comp_argv
     assert comp_argv[comp_argv.index("--out_dir") + 1].endswith(
