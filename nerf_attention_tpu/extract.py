@@ -261,6 +261,7 @@ def extract_kv_cache_jax(
     state: dict | None = None,
     seq_mesh=None,
     pipe_mesh=None,
+    expert_mesh=None,
 ) -> KVMetadata:
     """Native path: JAX Llama prefill on the mesh with per-layer KV capture.
 
@@ -268,7 +269,8 @@ def extract_kv_cache_jax(
     (same contract as extract_with_hf's ``state``). ``mesh`` tensor-shards
     the weights (TP); ``seq_mesh`` shards the token axis instead (SP — the
     long-context path, see ``llama_prefill_kv_sp``); ``pipe_mesh`` shards
-    the layer axis (PP, ``llama_prefill_kv_pp``).
+    the layer axis (PP, ``llama_prefill_kv_pp``); ``expert_mesh`` shards a
+    sparse-MoE checkpoint's expert axis (EP, Mixtral).
     """
     from nerf_attention_tpu.models.llama_jax import extract_kv_with_jax_llama
 
@@ -281,6 +283,7 @@ def extract_kv_cache_jax(
         state=state,
         seq_mesh=seq_mesh,
         pipe_mesh=pipe_mesh,
+        expert_mesh=expert_mesh,
     )
 
 
@@ -304,11 +307,12 @@ def main() -> None:
         "'hard' (attention-sharpened, reproduces the real K>>V gap)",
     )
     parser.add_argument(
-        "--mesh", type=str, default=None, choices=["tp", "sp", "pp"],
+        "--mesh", type=str, default=None, choices=["tp", "sp", "pp", "ep"],
         help="jax backend only: shard the prefill over all local devices — "
         "'tp' tensor-shards the weights (Megatron layout), 'sp' shards the "
         "token axis (sequence parallel, the long-context path), 'pp' shards "
-        "the layer axis (pipeline parallel, for weights+cache past one chip)",
+        "the layer axis (pipeline parallel, for weights+cache past one chip), "
+        "'ep' shards a sparse-MoE checkpoint's expert axis (Mixtral)",
     )
     args = parser.parse_args()
 
@@ -323,7 +327,7 @@ def main() -> None:
             values_mode=args.values_mode,
         )
     elif args.backend == "jax":
-        meshes = {"tp": None, "sp": None, "pp": None}
+        meshes = {"tp": None, "sp": None, "pp": None, "ep": None}
         if args.mesh is not None:
             import jax
             import numpy as _np
@@ -333,6 +337,7 @@ def main() -> None:
         extract_kv_cache_jax(
             args.model, args.seq_len, Path(args.output_dir),
             mesh=meshes["tp"], seq_mesh=meshes["sp"], pipe_mesh=meshes["pp"],
+            expert_mesh=meshes["ep"],
         )
     else:
         extract_kv_cache(args.model, args.seq_len, Path(args.output_dir), args.device)

@@ -59,6 +59,9 @@ class LlamaConfig:
     #                                        layers keep rope_theta
     rope_linear_factor: float | None = None  # 'linear' rope_scaling: all
     #                                          inv_freqs divided by factor
+    # Mixtral sparse-MoE FFN (None = dense gate/up/down MLP)
+    num_local_experts: int | None = None
+    num_experts_per_tok: int = 2
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
@@ -139,12 +142,12 @@ class LlamaConfig:
         return None, windows
 
     # Families this forward implements faithfully. Anything else must fail
-    # loudly: e.g. multimodal gemma3 nests its text config, mixtral swaps
-    # the MLP for MoE — silently extracting with the wrong architecture
-    # would produce plausible-looking but wrong KV.
+    # loudly: e.g. multimodal gemma3 nests its text config, qwen2_moe adds
+    # shared experts this FFN doesn't have — silently extracting with the
+    # wrong architecture would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
-        "gemma3_text", "phi3",
+        "gemma3_text", "phi3", "mixtral",
     }
 
     @classmethod
@@ -153,8 +156,8 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, qwen2, qwen3, gemma, gemma2, gemma3_text, "
-                f"phi3)"
+                f"llama, mistral, mixtral, qwen2, qwen3, gemma, gemma2, "
+                f"gemma3_text, phi3)"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -227,6 +230,13 @@ class LlamaConfig:
             rope_original_max_position=scaling.get(
                 "original_max_position_embeddings", 8192
             ),
+            # HF MixtralConfig defaults (8 experts, top-2 routing).
+            num_local_experts=(
+                d.get("num_local_experts", 8)
+                if model_type == "mixtral"
+                else None
+            ),
+            num_experts_per_tok=d.get("num_experts_per_tok", 2),
         )
 
 
@@ -292,6 +302,41 @@ def _mlp_act(name: str):
     if name == "gelu":
         return partial(jax.nn.gelu, approximate=False)
     raise NotImplementedError(f"hidden_act {name!r} is not supported")
+
+
+def _ffn(config: LlamaConfig, x: jax.Array, lp: dict, act) -> jax.Array:
+    """Feed-forward block: dense SwiGLU, or Mixtral's sparse-MoE combine.
+
+    MoE follows HF MixtralSparseMoeBlock exactly (eval path, no jitter):
+    router softmax over ALL experts in fp32, top-k selection, renormalize
+    over the selected experts, cast back to the compute dtype, then the
+    weighted sum of the selected experts' SwiGLU outputs. Computed
+    DENSELY: every expert runs on every token as one (E, S, inter) einsum
+    and the per-token combine weights (zero off the top-k) do the
+    selection — static shapes, no token gather/scatter, which is the
+    XLA/MXU-friendly formulation at extraction scale (batch-1 prefill;
+    the E/k FLOP overcompute buys compile-time-known shapes). Under
+    expert-parallel sharding (``shard_llama_params(expert_axis=...)``)
+    each device computes only its E/ep experts and the final combine
+    contracts the expert axis in one all-reduce.
+    """
+    if not config.num_local_experts:
+        return act(x @ lp["gate"]) * (x @ lp["up"]) @ lp["down"]
+    logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # (S, E) fp32, like HF
+    top_vals, top_idx = jax.lax.top_k(probs, config.num_experts_per_tok)
+    top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    weights = (
+        jnp.zeros_like(probs)
+        .at[jnp.arange(x.shape[0])[:, None], top_idx]
+        .set(top_vals)
+        .astype(x.dtype)
+    )
+    gated = act(jnp.einsum("sh,ehi->esi", x, lp["w1"])) * jnp.einsum(
+        "sh,ehi->esi", x, lp["w3"]
+    )
+    expert_out = jnp.einsum("esi,eih->esh", gated, lp["w2"])
+    return jnp.einsum("se,esh->sh", weights, expert_out)
 
 
 ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
@@ -435,16 +480,14 @@ def _layer_forward(
         x = _rms_norm(
             h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
         )
-        gated = act(x @ lp["gate"]) * (x @ lp["up"])
         h = h + _rms_norm(
-            gated @ lp["down"], lp["post_ffn_norm"],
+            _ffn(config, x, lp, act), lp["post_ffn_norm"],
             config.rms_norm_eps, config.norm_offset,
         )
     else:
         h = h + attn_out
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
-        gated = act(x @ lp["gate"]) * (x @ lp["up"])
-        h = h + gated @ lp["down"]
+        h = h + _ffn(config, x, lp, act)
     return h, (k, v)
 
 
@@ -826,16 +869,14 @@ def _layer_decode(
         x = _rms_norm(
             h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
         )
-        gated = act(x @ lp["gate"]) * (x @ lp["up"])
         h = h + _rms_norm(
-            gated @ lp["down"], lp["post_ffn_norm"],
+            _ffn(config, x, lp, act), lp["post_ffn_norm"],
             config.rms_norm_eps, config.norm_offset,
         )
     else:
         h = h + attn_out
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
-        gated = act(x @ lp["gate"]) * (x @ lp["up"])
-        h = h + gated @ lp["down"]
+        h = h + _ffn(config, x, lp, act)
     return h, (k, v, entropy)
 
 
@@ -1044,9 +1085,18 @@ def load_llama_params(
         return np.ascontiguousarray(x.astype(np_dtype))
 
     bias_keys = ("q_bias", "k_bias", "v_bias")
-    layers: dict[str, list] = {
-        k: [] for k in (*_LAYER_MAP, *bias_keys, "input_norm", "post_norm")
+    moe = bool(config.num_local_experts)
+    layer_map = {
+        k: v
+        for k, v in _LAYER_MAP.items()
+        if not (moe and k in ("gate", "up", "down"))
     }
+    layers: dict[str, list] = {
+        k: [] for k in (*layer_map, *bias_keys, "input_norm", "post_norm")
+    }
+    if moe:
+        for k in ("router", "w1", "w2", "w3"):
+            layers[k] = []
     bias_dims = {
         "q_bias": config.num_attention_heads * config.head_dim,
         "k_bias": config.num_key_value_heads * config.head_dim,
@@ -1069,11 +1119,30 @@ def load_llama_params(
             gate_up = arr(fused_gate_up, transpose=True)
             split_cols["gate"] = gate_up[:, : config.intermediate_size]
             split_cols["up"] = gate_up[:, config.intermediate_size :]
-        for short, hf in _LAYER_MAP.items():
+        for short, hf in layer_map.items():
             if short in split_cols:
                 layers[short].append(np.ascontiguousarray(split_cols[short]))
             else:
                 layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
+        if moe:
+            # Mixtral sparse-MoE block: gate (router) is (E, hidden) -> our
+            # (hidden, E); each expert's w1/w3 are (ffn, hidden) -> (hidden,
+            # ffn) and w2 is (hidden, ffn) -> (ffn, hidden), stacked (E, ...).
+            layers["router"].append(
+                arr(f"{prefix}.block_sparse_moe.gate.weight", transpose=True)
+            )
+            for wn in ("w1", "w2", "w3"):
+                layers[wn].append(
+                    np.stack(
+                        [
+                            arr(
+                                f"{prefix}.block_sparse_moe.experts.{j}.{wn}.weight",
+                                transpose=True,
+                            )
+                            for j in range(config.num_local_experts)
+                        ]
+                    )
+                )
         for bk in bias_keys:
             # Qwen2-family attention projections carry biases; Llama/Mistral
             # checkpoints don't ship the tensor — use zeros.
@@ -1137,6 +1206,14 @@ def init_random_llama(
         "input_norm": jnp.ones((n_l, h), dtype=dtype),
         "post_norm": jnp.ones((n_l, h), dtype=dtype),
     }
+    if config.num_local_experts:
+        e = config.num_local_experts
+        layers["router"] = w(n_l, h, e)
+        layers["w1"] = w(n_l, e, h, i_sz)
+        layers["w3"] = w(n_l, e, h, i_sz)
+        layers["w2"] = w(n_l, e, i_sz, h)
+        for k in ("gate", "up", "down"):
+            del layers[k]
     if config.qk_norm:
         layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
@@ -1146,12 +1223,24 @@ def init_random_llama(
     return {"embed": w(config.vocab_size, h), "layers": layers}
 
 
-def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
-    """Tensor-shard attention heads / MLP intermediate over a mesh axis.
+def shard_llama_params(
+    params: dict, mesh, axis: str | None = "tp", expert_axis: str | None = None
+) -> dict:
+    """Tensor-/expert-shard the weight pytree over a mesh.
 
-    q/k/v and gate/up shard their output dim; o and down shard their input
-    dim — the Megatron layout, so XLA inserts exactly one all-reduce per
-    block. Norms and embeddings replicate.
+    ``axis`` (TP): q/k/v and gate/up shard their output dim; o and down
+    shard their input dim — the Megatron layout, so XLA inserts exactly one
+    all-reduce per block. ``axis=None`` replicates the attention/dense
+    weights (pure expert-parallel serving). Norms and embeddings replicate.
+
+    MoE leaves (Mixtral): with ``expert_axis`` the EXPERT dim of w1/w2/w3
+    shards over that mesh axis (EP — each device holds E/ep experts, the
+    router replicates, and `_ffn`'s combine einsum contracts the expert
+    axis in one all-reduce); otherwise the expert FFNs shard their
+    intermediate dim over ``axis``, the same Megatron split as the dense
+    MLP. A 2-D mesh composes both: ``Mesh(devs.reshape(ep, tp), ("ep",
+    "tp"))`` with ``axis="tp", expert_axis="ep"`` runs attention
+    tensor-parallel and the FFN expert-parallel in one program.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1159,27 +1248,46 @@ def shard_llama_params(params: dict, mesh, axis: str = "tp") -> dict:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     lp = params["layers"]
-    sharded = {
-        "q": put(lp["q"], P(None, None, axis)),
-        "k": put(lp["k"], P(None, None, axis)),
-        "v": put(lp["v"], P(None, None, axis)),
+    specs = {
+        "q": P(None, None, axis),
+        "k": P(None, None, axis),
+        "v": P(None, None, axis),
         # Biases follow their projection's output dim (Megatron column split).
-        "q_bias": put(lp["q_bias"], P(None, axis)),
-        "k_bias": put(lp["k_bias"], P(None, axis)),
-        "v_bias": put(lp["v_bias"], P(None, axis)),
-        "o": put(lp["o"], P(None, axis, None)),
-        "gate": put(lp["gate"], P(None, None, axis)),
-        "up": put(lp["up"], P(None, None, axis)),
-        "down": put(lp["down"], P(None, axis, None)),
-        "input_norm": put(lp["input_norm"], P(None, None)),
-        "post_norm": put(lp["post_norm"], P(None, None)),
+        "q_bias": P(None, axis),
+        "k_bias": P(None, axis),
+        "v_bias": P(None, axis),
+        "o": P(None, axis, None),
+        "input_norm": P(None, None),
+        "post_norm": P(None, None),
     }
+    if expert_axis is not None and "router" not in lp:
+        raise ValueError(
+            "expert_axis given but the checkpoint has no MoE leaves "
+            "(dense MLP — use axis='tp' tensor parallelism instead)"
+        )
+    if "gate" in lp:
+        specs["gate"] = P(None, None, axis)
+        specs["up"] = P(None, None, axis)
+        specs["down"] = P(None, axis, None)
+    if "router" in lp:
+        # The router's (hidden, E) output feeds a full-expert softmax on
+        # every device — replicate it (it is tiny) rather than gather logits.
+        specs["router"] = P(None, None, None)
+        if expert_axis is not None:
+            specs["w1"] = P(None, expert_axis, None, None)
+            specs["w3"] = P(None, expert_axis, None, None)
+            specs["w2"] = P(None, expert_axis, None, None)
+        else:
+            specs["w1"] = P(None, None, None, axis)
+            specs["w3"] = P(None, None, None, axis)
+            specs["w2"] = P(None, None, axis, None)
     # Qwen3 per-head Q/K norms are a single head_dim vector shared by every
     # head (head sharding doesn't split head_dim), and Gemma2's extra
     # hidden-size norms are norms — all replicate.
     for extra in ("q_norm", "k_norm", "pre_ffn_norm", "post_ffn_norm"):
         if extra in lp:
-            sharded[extra] = put(lp[extra], P(None, None))
+            specs[extra] = P(None, None)
+    sharded = {k: put(v, specs[k]) for k, v in lp.items()}
     return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
 
 
@@ -1246,6 +1354,7 @@ def extract_kv_with_jax_llama(
     state: dict | None = None,
     seq_mesh=None,
     pipe_mesh=None,
+    expert_mesh=None,
 ) -> KVMetadata:
     """Native extraction: tokenize, prefill on the TPU, persist per-layer KV.
 
@@ -1258,27 +1367,37 @@ def extract_kv_with_jax_llama(
     the long-context answer to the reference's single-device OOM at 8192,
     `/root/reference/nerf_attention/experiments/scaling.py:111-116`);
     ``pipe_mesh`` shards the LAYER axis (``llama_prefill_kv_pp`` — for
-    models whose weights+cache overflow one chip). Mutually exclusive for
-    now: SP/PP replicate what they don't shard.
+    models whose weights+cache overflow one chip); ``expert_mesh`` shards
+    a sparse-MoE checkpoint's EXPERT axis (Mixtral — attention replicates,
+    each device computes its E/ep experts). Mutually exclusive for now:
+    each mode replicates what it doesn't shard.
     """
-    if sum(m is not None for m in (mesh, seq_mesh, pipe_mesh)) > 1:
-        raise ValueError("mesh (TP), seq_mesh (SP), pipe_mesh (PP) are mutually exclusive")
+    if sum(m is not None for m in (mesh, seq_mesh, pipe_mesh, expert_mesh)) > 1:
+        raise ValueError(
+            "mesh (TP), seq_mesh (SP), pipe_mesh (PP), expert_mesh (EP) "
+            "are mutually exclusive"
+        )
     from transformers import AutoTokenizer
 
     state = state if state is not None else {}
     # Cache key holds the mesh OBJECT (compared with `is`), not id(mesh): a
     # dead mesh's address can be reused by a new mesh, which would silently
     # serve params sharded for the old one.
+    weight_mesh = mesh if mesh is not None else expert_mesh
     if state.get("model_dir") != (str(model_dir), str(dtype)) or (
-        state.get("mesh") is not mesh
+        state.get("mesh") is not weight_mesh
     ):
         print(f"Loading {model_dir} into JAX...")
         config, params = load_llama_params(Path(model_dir), dtype=dtype)
         if mesh is not None:
             params = shard_llama_params(params, mesh)
+        elif expert_mesh is not None:
+            params = shard_llama_params(
+                params, expert_mesh, axis=None, expert_axis="ep"
+            )
         state.update(
             model_dir=(str(model_dir), str(dtype)),
-            mesh=mesh,
+            mesh=weight_mesh,
             config=config,
             params=params,
             tokenizer=AutoTokenizer.from_pretrained(model_dir),

@@ -402,12 +402,152 @@ def test_kv_parity_with_hf_gemma(tmp_path):
 
 
 def test_unsupported_model_type_rejected():
-    with pytest.raises(NotImplementedError, match="mixtral"):
+    # qwen2_moe adds shared experts the MoE FFN doesn't implement.
+    with pytest.raises(NotImplementedError, match="qwen2_moe"):
         LlamaConfig.from_hf_dict(
-            dict(model_type="mixtral", vocab_size=8, hidden_size=8,
+            dict(model_type="qwen2_moe", vocab_size=8, hidden_size=8,
                  intermediate_size=8, num_hidden_layers=1,
                  num_attention_heads=1)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_mixtral(tmp_path_factory):
+    """A random tiny HF Mixtral saved to disk (no network)."""
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, tie_word_embeddings=True,
+    )
+    torch.manual_seed(11)
+    model = transformers.MixtralForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("tiny_mixtral")
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def test_kv_parity_with_hf_mixtral(tiny_hf_mixtral):
+    """Mixtral: the sparse-MoE FFN (fp32 router softmax over all experts,
+    top-2 renormalized, weighted SwiGLU sum) replaces the dense MLP. Layer
+    1's KV sees layer 0's MoE output, so parity covers the routing math."""
+    d, model = tiny_hf_mixtral
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    assert config.num_local_experts == 4
+    assert config.num_experts_per_tok == 2
+    assert params["layers"]["w1"].shape == (2, 4, 32, 64)
+
+    ids = np.array([3, 17, 42, 9, 9, 120, 64, 5], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    assert keys.shape == (2, 2, 8, 8)
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_mixtral_decode_rollout_consistency():
+    """MoE decode path: rollout over a random tiny Mixtral refills the same
+    rows prefill computes (autoregressive consistency through the MoE FFN)."""
+    from nerf_attention_tpu.models.llama_jax import (
+        llama_decode_rollout,
+    )
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = init_random_llama(config, seed=7)
+    ids = jnp.arange(12, dtype=jnp.int32)
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    s_pfx, t_roll = 8, 4
+    pad = jnp.zeros(k_ref.shape[:2] + (t_roll, k_ref.shape[3]), k_ref.dtype)
+    k_buf = jnp.concatenate([k_ref[:, :, :s_pfx, :], pad], axis=2)
+    v_buf = jnp.concatenate([v_ref[:, :, :s_pfx, :], pad], axis=2)
+    hs, (k_fill, v_fill), _, _ = llama_decode_rollout(
+        config, params, ids[s_pfx:], s_pfx, k_buf, v_buf
+    )
+    assert np.isfinite(np.asarray(hs)).all()
+    np.testing.assert_allclose(
+        np.asarray(k_fill), np.asarray(k_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_fill), np.asarray(v_ref), atol=1e-4
+    )
+
+
+def test_mixtral_expert_parallel_prefill_parity(tiny_hf_mixtral):
+    """EP sharding: expert weights sharded over the mesh's expert axis must
+    reproduce the unsharded prefill (one all-reduce closes the combine)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    d, _ = tiny_hf_mixtral
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([3, 17, 42, 9, 9, 120, 64, 5], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    devices = jax.devices()[:4]  # E=4 experts, one per device
+    ep_mesh = Mesh(np.array(devices), ("ep",))
+    sharded = shard_llama_params(params, ep_mesh, axis=None, expert_axis="ep")
+    k_ep, v_ep = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
+
+
+def test_mixtral_tp_ep_2d_mesh_prefill_parity(tiny_hf_mixtral):
+    """2-D mesh: attention tensor-parallel x FFN expert-parallel in one
+    program still matches the single-device prefill."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    d, _ = tiny_hf_mixtral
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([5, 64, 120, 9, 9, 42, 17, 3], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)  # (ep, tp)
+    mesh = Mesh(devices, ("ep", "tp"))
+    sharded = shard_llama_params(params, mesh, axis="tp", expert_axis="ep")
+    k_2d, v_2d = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_2d), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_2d), np.asarray(v_ref), atol=1e-4)
+
+
+def test_mixtral_moe_tp_intermediate_split_parity(tiny_hf_mixtral):
+    """Without an expert axis, MoE expert FFNs shard their intermediate dim
+    over the TP axis (Megatron split) — same oracle."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    d, _ = tiny_hf_mixtral
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([1, 2, 3, 4, 5, 6, 7, 8], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    tp_mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sharded = shard_llama_params(params, tp_mesh, axis="tp")
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
 
 
 def test_kv_parity_with_hf_gemma2(tmp_path):
