@@ -44,6 +44,14 @@ sweep is needed. ``--safety`` scales the sum before the cut;
 Tiered plans were additionally executed end-to-end: cross-scheme
 cumulative costs measured 0.86–1.09× predicted at the practical target
 (``tiered_plan_validation``).
+
+When the cache GROWS, the ranking transfers (rank corr 0.996 across 4×
+growth) but the cost scale drifts — ``--recommend_probes K`` names the K
+units to re-measure (one masked decode each) and ``--reprice_probes``
+re-fits every stale cost from those probes via a log-log rescale before
+planning (validated in ``benchmarks/r4/head_policy/
+reprice_validation.json``: 4 probes recover the fresh cut to within one
+served unit at every target).
 """
 
 from __future__ import annotations
@@ -305,6 +313,127 @@ def build_tiered_plan(
     }
 
 
+MIN_MEASURABLE_COST = 1e-6  # solo costs below this are output-noise zeros
+
+
+def recommend_probes(units: list[dict], k: int) -> list[dict]:
+    """The k units an operator should re-measure to re-price a stale plan.
+
+    Evenly spaced through the stale cost ranking (log-spanning the
+    measurable range — the re-pricing fit is log-log, so probes must
+    cover the spread, not cluster at one end). Units whose stale cost is
+    below the measurable floor are excluded: their fresh cost carries no
+    signal about the scale factor.
+    """
+    measurable = [
+        i for i in range(len(units))
+        if units[i]["cost"] >= MIN_MEASURABLE_COST
+    ]
+    if len(measurable) < 2:
+        raise ValueError(
+            f"only {len(measurable)} units have measurable stale costs "
+            f"(>= {MIN_MEASURABLE_COST:g}); re-pricing needs at least 2"
+        )
+    k = min(k, len(measurable))
+    measurable.sort(key=lambda i: units[i]["cost"])
+    picks = np.unique(
+        np.round(np.linspace(0, len(measurable) - 1, k)).astype(int)
+    )
+    return [units[measurable[p]] for p in picks]
+
+
+def fit_reprice(
+    stale_costs, fresh_costs, *, min_cost: float = MIN_MEASURABLE_COST
+) -> dict:
+    """Fit the log-log rescale mapping stale solo costs to fresh ones.
+
+    ``log(fresh) = log_scale + exponent * log(stale)`` over the probe
+    pairs where both sides are measurable. With fewer than 4 usable
+    probes the exponent pins to 1 (pure scale — the robust tiny-k
+    choice); degenerate probe spreads (all stale costs equal) also pin
+    it. The measured basis for the model: across 4x context growth the
+    ranking held (rank corr 0.996) while absolute costs grew — a
+    monotone re-map of the stale costs is exactly the missing piece
+    (FINDINGS "plan transfer" / benchmarks/r4/head_policy/
+    reprice_validation.json).
+    """
+    stale = np.asarray(stale_costs, np.float64)
+    fresh = np.asarray(fresh_costs, np.float64)
+    if stale.shape != fresh.shape:
+        raise ValueError(f"probe shape mismatch: {stale.shape} vs {fresh.shape}")
+    mask = (stale >= min_cost) & (fresh >= min_cost)
+    n = int(mask.sum())
+    if n < 2:
+        raise ValueError(
+            f"only {n} probe pairs are measurable on both sides "
+            f"(>= {min_cost:g}); need at least 2"
+        )
+    ls, lf = np.log(stale[mask]), np.log(fresh[mask])
+    spread = float(ls.max() - ls.min())
+    if n >= 4 and spread > 1e-9:
+        b = float(np.polyfit(ls, lf, 1)[0])
+    else:
+        b = 1.0
+    a = float(np.mean(lf - b * ls))
+    resid = lf - (a + b * ls)
+    return {
+        "log_scale": a,
+        "exponent": b,
+        "n_probes": n,
+        "rms_log_residual": float(np.sqrt(np.mean(resid**2))),
+    }
+
+
+def apply_reprice(costs, model: dict) -> np.ndarray:
+    """Repriced costs: exp(log_scale) * stale**exponent (zeros stay zero)."""
+    c = np.maximum(np.asarray(costs, np.float64), 0.0)
+    out = np.exp(model["log_scale"]) * np.power(
+        c, model["exponent"], where=c > 0, out=np.zeros_like(c)
+    )
+    return np.where(c > 0, out, 0.0)
+
+
+def load_probes(path: Path) -> dict[tuple[int, int], float]:
+    """(layer, kv_head) -> fresh solo cost from a probe JSON.
+
+    Accepts either a minimal ``{"units": [{"layer", "kv_head",
+    "solo_cost"}, ...]}`` (what an operator writes after k masked
+    decodes) or a full head_policy artifact (validation convenience).
+    """
+    with open(path) as f:
+        data = json.load(f)
+    units = data["units"] if isinstance(data, dict) else data
+    return {
+        (int(u["layer"]), int(u["kv_head"])): max(float(u["solo_cost"]), 0.0)
+        for u in units
+    }
+
+
+def reprice_units(units: list[dict], probes: dict[tuple[int, int], float]) -> dict:
+    """Replace every unit's cost with its repriced value, in place.
+
+    Probed units keep their FRESH measured cost verbatim; the rest get
+    the fitted re-map of their stale cost. Returns the fitted model.
+    """
+    keyed = {(u["layer"], u["kv_head"]): u for u in units}
+    missing = sorted(set(probes) - set(keyed))
+    if missing:
+        raise ValueError(f"probe units not in the stale plan: {missing}")
+    pairs = [(keyed[k]["cost"], v) for k, v in sorted(probes.items())]
+    model = fit_reprice([p[0] for p in pairs], [p[1] for p in pairs])
+    for u in units:
+        key = (u["layer"], u["kv_head"])
+        u["cost"] = (
+            probes[key]
+            if key in probes
+            else float(apply_reprice(u["cost"], model)[()])
+        )
+        u["cost_source"] = (
+            "fresh_probe" if key in probes else "repriced_stale"
+        )
+    return model
+
+
 def _stored_bytes_for_record(rec: dict, scheme: str) -> int:
     """Exact stored bytes of one record's network under ``scheme``.
 
@@ -431,6 +560,14 @@ def build_plan(
             "solo costs on your model (experiments head_policy protocol) "
             "to calibrate before trusting the absolute cut"
         )
+    if any(r["cost_source"] == "repriced_stale" for r in plan_rows):
+        caveats.append(
+            "unprobed costs are re-priced from a stale plan via the fitted "
+            "log-log rescale; validated across 4x context growth where 4+ "
+            "probes recovered the fresh cut (benchmarks/r4/head_policy/"
+            "reprice_validation.json) — ranking-stable traffic assumed, "
+            "re-measure in full when content shifts"
+        )
     lossy = {
         r["bytes_scheme"]
         for r in plan_rows
@@ -544,6 +681,20 @@ def main(argv: list[str] | None = None) -> None:
         "upgrade (needs per-scheme solo costs in the artifact); "
         "--scheme then takes a comma-separated subset of payload names",
     )
+    parser.add_argument(
+        "--recommend_probes", type=int, default=None, metavar="K",
+        help="policy mode: print the K units to re-measure when the cache "
+        "has grown (evenly spaced through the stale cost ranking), then "
+        "exit — step 1 of the re-pricing recipe",
+    )
+    parser.add_argument(
+        "--reprice_probes", type=str, default=None, metavar="PROBES_JSON",
+        help="policy mode: fresh solo costs for a probe subset "
+        '({"units": [{"layer", "kv_head", "solo_cost"}, ...]}); fits the '
+        "log-log rescale and re-prices every stale cost before planning — "
+        "step 2 of the re-pricing recipe (the ranking transfers across "
+        "context growth, only the cut needs fresh pricing)",
+    )
     parser.add_argument("--cost_target", type=float, default=0.01)
     parser.add_argument(
         "--safety", type=float, default=1.0,
@@ -570,6 +721,14 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.tiered and args.policy_json is None:
         parser.error("--tiered needs --policy_json (measured per-scheme costs)")
+    if (args.recommend_probes or args.reprice_probes) and (
+        args.policy_json is None or args.tiered
+    ):
+        parser.error(
+            "--recommend_probes/--reprice_probes need flat --policy_json "
+            "mode (per-scheme tiered costs would each need their own "
+            "probes — re-run head_policy for a fresh tiered plan)"
+        )
 
     if args.policy_json is not None:
         with open(args.policy_json) as f:
@@ -583,6 +742,30 @@ def main(argv: list[str] | None = None) -> None:
             units = tiered_units_from_policy_json(data, schemes=subset)
         else:
             units = units_from_policy_json(data, scheme=args.scheme or "master")
+            if args.recommend_probes is not None:
+                picks = recommend_probes(units, args.recommend_probes)
+                print(
+                    f"Re-measure these {len(picks)} units' solo costs on the "
+                    f"grown cache (one masked decode each), then re-plan "
+                    f"with --reprice_probes:"
+                )
+                print(f"  {'L':>3} {'kv':>3} {'stale cost':>12}")
+                for u in picks:
+                    print(
+                        f"  {u['layer']:>3} {u['kv_head']:>3} "
+                        f"{u['cost']:>12.3e}"
+                    )
+                return
+            if args.reprice_probes is not None:
+                probes = load_probes(Path(args.reprice_probes))
+                model = reprice_units(units, probes)
+                print(
+                    f"Re-priced {len(units) - len(probes)} stale costs from "
+                    f"{model['n_probes']} probes: fresh = "
+                    f"exp({model['log_scale']:.3f}) * "
+                    f"stale^{model['exponent']:.3f} "
+                    f"(rms log residual {model['rms_log_residual']:.3f})"
+                )
     else:
         with open(args.fits) as f:
             records = json.load(f)

@@ -411,3 +411,130 @@ def test_cli_rejects_null_law_fit(tmp_path):
             ["--fits", str(fits), "--entropy_json", str(ent),
              "--law_json", str(law)]
         )
+
+
+# --- re-pricing a stale plan across context growth ------------------------
+
+from nerf_attention_tpu.serve_plan import (  # noqa: E402
+    MIN_MEASURABLE_COST,
+    apply_reprice,
+    fit_reprice,
+    load_probes,
+    recommend_probes,
+    reprice_units,
+)
+
+
+def test_fit_reprice_recovers_exact_rescale():
+    stale = np.array([1e-4, 3e-4, 1e-3, 4e-3, 2e-2, 8e-2])
+    fresh = np.exp(0.4) * stale**1.3
+    model = fit_reprice(stale, fresh)
+    assert model["n_probes"] == 6
+    assert model["log_scale"] == pytest.approx(0.4, abs=1e-9)
+    assert model["exponent"] == pytest.approx(1.3, abs=1e-9)
+    assert model["rms_log_residual"] == pytest.approx(0.0, abs=1e-9)
+    np.testing.assert_allclose(apply_reprice(stale, model), fresh, rtol=1e-9)
+
+
+def test_fit_reprice_tiny_k_pins_exponent_to_one():
+    model = fit_reprice([1e-3, 1e-2], [2e-3, 2.4e-2])
+    assert model["exponent"] == 1.0
+    # a = mean log ratio
+    assert model["log_scale"] == pytest.approx(
+        np.mean([np.log(2.0), np.log(2.4)])
+    )
+
+
+def test_fit_reprice_skips_unmeasurable_pairs_and_zeros_stay_zero():
+    model = fit_reprice([0.0, 1e-9, 1e-3, 1e-2], [1e-3, 1e-3, 2e-3, 2e-2])
+    assert model["n_probes"] == 2
+    out = apply_reprice([0.0, 5e-3], model)
+    assert out[0] == 0.0
+    assert out[1] > 0
+    with pytest.raises(ValueError, match="at least 2"):
+        fit_reprice([0.0, 0.0], [1e-3, 1e-3])
+
+
+def test_recommend_probes_spans_the_ranking():
+    units = [_unit(0, h, cost) for h, cost in enumerate(
+        [0.0, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1]
+    )]
+    picks = recommend_probes(units, 3)
+    costs = [u["cost"] for u in picks]
+    # cheapest and most expensive measurable units are always included
+    assert min(costs) == 1e-5 and max(costs) == 1e-1
+    assert all(c >= MIN_MEASURABLE_COST for c in costs)
+    with pytest.raises(ValueError, match="at least 2"):
+        recommend_probes([_unit(0, 0, 0.0), _unit(0, 1, 0.0)], 4)
+
+
+def test_reprice_units_keeps_probes_verbatim_and_remaps_the_rest():
+    units = [
+        _unit(0, 0, 1e-4), _unit(0, 1, 1e-3),
+        _unit(1, 0, 1e-2), _unit(1, 1, 1e-1),
+    ]
+    # fresh = 2x stale; probe two units
+    probes = {(0, 0): 2e-4, (1, 1): 2e-1}
+    model = reprice_units(units, probes)
+    assert model["exponent"] == 1.0
+    by = {(u["layer"], u["kv_head"]): u for u in units}
+    assert by[(0, 0)]["cost"] == 2e-4
+    assert by[(0, 0)]["cost_source"] == "fresh_probe"
+    assert by[(0, 1)]["cost"] == pytest.approx(2e-3)
+    assert by[(0, 1)]["cost_source"] == "repriced_stale"
+    with pytest.raises(ValueError, match="not in the stale plan"):
+        reprice_units(units, {(9, 9): 1e-3})
+
+
+def test_cli_reprice_flow(tmp_path, capsys):
+    policy = tmp_path / "head_policy_results.json"
+    policy.write_text(json.dumps(_policy_artifact()))
+    # step 1: recommend probes
+    main(["--policy_json", str(policy), "--recommend_probes", "2"])
+    out1 = capsys.readouterr().out
+    assert "Re-measure these 2 units" in out1
+    # step 2: operator measures; here fresh = 3x stale for every unit
+    art = _policy_artifact()
+    probe_units = [
+        {"layer": u["layer"], "kv_head": u["kv_head"],
+         "solo_cost": 3.0 * u["solo_cost"]}
+        for u in art["units"][:2]
+    ]
+    probes = tmp_path / "probes.json"
+    probes.write_text(json.dumps({"units": probe_units}))
+    plan_out = tmp_path / "plan.json"
+    main([
+        "--policy_json", str(policy), "--reprice_probes", str(probes),
+        "--cost_target", "0.02", "--out", str(plan_out),
+    ])
+    out2 = capsys.readouterr().out
+    assert "Re-priced" in out2
+    plan = json.loads(plan_out.read_text())
+    srcs = {r["cost_source"] for r in plan["plan"]}
+    assert srcs == {"fresh_probe", "repriced_stale"}
+    assert any("re-priced" in c for c in plan["caveats"])
+    # repriced costs are ~3x the artifact's stale costs
+    stale = {(u["layer"], u["kv_head"]): u["solo_cost"] for u in art["units"]}
+    for r in plan["plan"]:
+        s = stale[(r["layer"], r["kv_head"])]
+        if s >= MIN_MEASURABLE_COST:
+            assert r["cost"] == pytest.approx(3.0 * s, rel=0.05)
+
+
+def test_cli_reprice_rejects_tiered_and_fits_mode(tmp_path):
+    policy = tmp_path / "p.json"
+    policy.write_text(json.dumps(_policy_artifact()))
+    with pytest.raises(SystemExit):
+        main(["--policy_json", str(policy), "--tiered",
+              "--reprice_probes", "x.json"])
+    with pytest.raises(SystemExit):
+        main(["--fits", "f.json", "--entropy_json", "e.json",
+              "--recommend_probes", "4"])
+
+
+def test_load_probes_accepts_full_artifact(tmp_path):
+    p = tmp_path / "full.json"
+    p.write_text(json.dumps(_policy_artifact()))
+    probes = load_probes(p)
+    assert len(probes) == 4
+    assert all(v >= 0 for v in probes.values())
