@@ -72,7 +72,10 @@ from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
     build_plan,
     build_tiered_plan,
+    fit_reprice,
     law_cost,
+    recommend_probes,
+    reprice_units,
     tiered_units_from_policy_json,
     units_from_fits,
     units_from_policy_json,
@@ -131,6 +134,9 @@ __all__ = [
     "build_tiered_plan",
     "measure_model_entropy",
     "law_cost",
+    "fit_reprice",
+    "recommend_probes",
+    "reprice_units",
     "tiered_units_from_policy_json",
     "units_from_fits",
     "units_from_policy_json",

@@ -1033,3 +1033,71 @@ def test_decode_rollout_matches_sequential_steps():
     np.testing.assert_allclose(
         np.asarray(hs_f), np.asarray(hs), atol=1e-7, rtol=1e-7
     )
+
+
+def test_mixtral_ep_decode_step_and_rollout_parity():
+    """EP-sharded weights must reproduce the unsharded serving path too:
+    one decode step and a T-token rollout (the MoE combine all-reduces
+    inside every step of the scan)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import (
+        llama_decode_rollout,
+        llama_decode_step,
+        shard_llama_params,
+    )
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = init_random_llama(config, seed=9)
+    ids = jnp.arange(12, dtype=jnp.int32)
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    ep_mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    sharded = shard_llama_params(params, ep_mesh, axis=None, expert_axis="ep")
+
+    s_pfx, t_roll = 8, 4
+    ck, cv = k_ref[:, :, :s_pfx, :], v_ref[:, :, :s_pfx, :]
+    h_ref, (kn_ref, _), _ = llama_decode_step(
+        config, params, ids[s_pfx], s_pfx, ck, cv
+    )
+    h_ep, (kn_ep, _), _ = llama_decode_step(
+        config, sharded, ids[s_pfx], s_pfx, ck, cv
+    )
+    np.testing.assert_allclose(np.asarray(h_ep), np.asarray(h_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kn_ep), np.asarray(kn_ref), atol=1e-4)
+
+    pad = jnp.zeros(ck.shape[:2] + (t_roll, ck.shape[3]), ck.dtype)
+    k_buf = jnp.concatenate([ck, pad], axis=2)
+    v_buf = jnp.concatenate([cv, pad], axis=2)
+    hs_ref, (k_fill_ref, _), _, _ = llama_decode_rollout(
+        config, params, ids[s_pfx:], s_pfx, k_buf, v_buf
+    )
+    hs_ep, (k_fill_ep, _), _, _ = llama_decode_rollout(
+        config, sharded, ids[s_pfx:], s_pfx, k_buf, v_buf
+    )
+    np.testing.assert_allclose(np.asarray(hs_ep), np.asarray(hs_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(k_fill_ep), np.asarray(k_fill_ref), atol=1e-4
+    )
+
+
+def test_shard_llama_params_rejects_expert_axis_on_dense_model():
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4,
+    )
+    params = init_random_llama(config)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    with pytest.raises(ValueError, match="no MoE leaves"):
+        shard_llama_params(params, mesh, axis=None, expert_axis="ep")
