@@ -85,7 +85,14 @@ def run_study(
                 (u["layer"], u["kv_head"]): fresh_cost[(u["layer"], u["kv_head"])]
                 for u in picks
             }
-            model = reprice_units(units, probes)
+            try:
+                model = reprice_units(units, probes)
+            except ValueError as e:
+                # The honest outcome when the transfer is NOT a rescale
+                # (e.g. a net upgrade collapses most costs below the
+                # measurable floor): record the refusal, don't fake a fit.
+                rows.append({"n_probes": k, "refused": str(e)})
+                continue
         # Cost-prediction accuracy over the mutually measurable units.
         pred = np.array([u["cost"] for u in units])
         true = np.array(
@@ -124,10 +131,17 @@ def run_study(
     sv = np.array([u["cost"] for u in stale_units])
     fv = np.array([fresh_cost[(u["layer"], u["kv_head"])] for u in stale_units])
     both = (sv >= MIN_MEASURABLE_COST) & (fv >= MIN_MEASURABLE_COST)
-    full_fit = fit_reprice(sv[both], fv[both])
+    try:
+        full_fit = fit_reprice(sv[both], fv[both])
+    except ValueError as e:
+        full_fit = {"refused": str(e)}
     from scipy.stats import spearmanr  # in-image scipy
 
-    rank_corr = float(spearmanr(sv[both], fv[both]).statistic)
+    rank_corr = (
+        float(spearmanr(sv[both], fv[both]).statistic)
+        if int(both.sum()) >= 2
+        else None
+    )
     return {
         "stale_artifact": str(stale_path),
         "fresh_artifact": str(fresh_path),
@@ -175,17 +189,26 @@ def main() -> None:
     result = run_study(
         Path(args.stale), Path(args.fresh), args.probe_counts, args.targets
     )
+    rc = result["solo_cost_rank_correlation"]
+    ff = result["oracle_full_fit"]
     print(
-        f"rank corr {result['solo_cost_rank_correlation']:.4f} over "
+        f"rank corr {rc if rc is None else format(rc, '.4f')} over "
         f"{result['n_mutually_measurable']}/{result['n_units']} units; "
-        f"oracle full fit: scale exp({result['oracle_full_fit']['log_scale']:.3f}) "
-        f"exponent {result['oracle_full_fit']['exponent']:.3f}"
+        f"oracle full fit: "
+        + (
+            f"refused ({ff['refused']})"
+            if "refused" in ff
+            else f"scale exp({ff['log_scale']:.3f}) exponent {ff['exponent']:.3f}"
+        )
     )
     print(
         f"{'k':>3} {'rmslog':>7} "
         + " ".join(f"[t={t:g}] n/or ov cost/t" for t in result["targets"])
     )
     for row in result["rows"]:
+        if "refused" in row:
+            print(f"{row['n_probes']:>3} refused: {row['refused']}")
+            continue
         cells = []
         for t in result["targets"]:
             pt = row["targets"][str(t)]
