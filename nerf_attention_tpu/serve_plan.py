@@ -315,6 +315,16 @@ def build_tiered_plan(
 
 MIN_MEASURABLE_COST = 1e-6  # solo costs below this are output-noise zeros
 
+# Probe-fit residual above which the stale plan's RANKING itself is
+# suspect. Measured separation (benchmarks/r4/head_policy/
+# reprice_validation*.json + the cross-model negative control): rescale
+# transfers (4x context growth, FM-64 net upgrade) fit with rms log
+# residual <= 0.45 at every probe count; re-pricing across DIFFERENT
+# models — where the ranking does not transfer (rank corr 0.30) and no
+# rescale can help — leaves residual >= 2.9. One full log unit sits
+# between the regimes.
+REPRICE_RESIDUAL_WARN = 1.0
+
 
 def recommend_probes(units: list[dict], k: int) -> list[dict]:
     """The k units an operator should re-measure to re-price a stale plan.
@@ -730,6 +740,7 @@ def main(argv: list[str] | None = None) -> None:
             "probes — re-run head_policy for a fresh tiered plan)"
         )
 
+    reprice_model = None
     if args.policy_json is not None:
         with open(args.policy_json) as f:
             data = json.load(f)
@@ -758,7 +769,7 @@ def main(argv: list[str] | None = None) -> None:
                 return
             if args.reprice_probes is not None:
                 probes = load_probes(Path(args.reprice_probes))
-                model = reprice_units(units, probes)
+                model = reprice_model = reprice_units(units, probes)
                 print(
                     f"Re-priced {len(units) - len(probes)} stale costs from "
                     f"{model['n_probes']} probes: fresh = "
@@ -766,6 +777,17 @@ def main(argv: list[str] | None = None) -> None:
                     f"stale^{model['exponent']:.3f} "
                     f"(rms log residual {model['rms_log_residual']:.3f})"
                 )
+                if model["rms_log_residual"] > REPRICE_RESIDUAL_WARN:
+                    print(
+                        f"  WARNING: probe residual "
+                        f"{model['rms_log_residual']:.2f} > "
+                        f"{REPRICE_RESIDUAL_WARN:g} — the probes are not "
+                        f"consistent with a rescale of the stale costs, so "
+                        f"the RANKING itself has likely shifted (measured "
+                        f"signature of a model/traffic change, not cache "
+                        f"growth). Re-measure all units instead of "
+                        f"trusting this plan."
+                    )
     else:
         with open(args.fits) as f:
             records = json.load(f)
@@ -800,6 +822,16 @@ def main(argv: list[str] | None = None) -> None:
     plan = builder(
         units, cost_target=args.cost_target, safety=args.safety
     )
+    if reprice_model is not None:
+        plan["reprice_model"] = reprice_model
+        if reprice_model["rms_log_residual"] > REPRICE_RESIDUAL_WARN:
+            plan["caveats"].append(
+                f"RANKING SUSPECT: probe-fit rms log residual "
+                f"{reprice_model['rms_log_residual']:.2f} exceeds "
+                f"{REPRICE_RESIDUAL_WARN:g} — the measured signature of a "
+                f"model/traffic change (cross-model control: residual >= "
+                f"2.9, rank corr 0.30); re-measure all units"
+            )
     if args.fits is not None:
         plan["law"] = (
             {**DEFAULT_LAW} if args.law_json is None

@@ -538,3 +538,33 @@ def test_load_probes_accepts_full_artifact(tmp_path):
     probes = load_probes(p)
     assert len(probes) == 4
     assert all(v >= 0 for v in probes.values())
+
+
+def test_cli_reprice_warns_when_probes_break_the_rescale(tmp_path, capsys):
+    """Probes inconsistent with a rescale (the cross-model signature) must
+    surface the ranking-suspect warning in stdout AND the plan caveats."""
+    policy = tmp_path / "p.json"
+    policy.write_text(json.dumps(_policy_artifact()))
+    art = _policy_artifact()
+    # Scrambled fresh costs: low-stale units get high fresh costs and vice
+    # versa — no monotone rescale fits this.
+    stale_sorted = sorted(
+        (u for u in art["units"] if u["solo_cost"] >= MIN_MEASURABLE_COST),
+        key=lambda u: u["solo_cost"],
+    )
+    fresh_vals = [0.5, 1e-4, 0.2, 1e-5][: len(stale_sorted)]
+    probe_units = [
+        {"layer": u["layer"], "kv_head": u["kv_head"], "solo_cost": v}
+        for u, v in zip(stale_sorted, fresh_vals)
+    ]
+    probes = tmp_path / "probes.json"
+    probes.write_text(json.dumps({"units": probe_units}))
+    out = tmp_path / "plan.json"
+    main([
+        "--policy_json", str(policy), "--reprice_probes", str(probes),
+        "--out", str(out),
+    ])
+    assert "WARNING: probe residual" in capsys.readouterr().out
+    plan = json.loads(out.read_text())
+    assert plan["reprice_model"]["rms_log_residual"] > 1.0
+    assert any("RANKING SUSPECT" in c for c in plan["caveats"])
