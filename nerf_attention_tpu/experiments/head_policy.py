@@ -177,6 +177,7 @@ def run_head_policy_experiment(
     intermediate_size: int = 512,
     gain_lo: float = 1.0,
     gain_hi: float = 64.0,
+    num_local_experts: int | None = None,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
     qat_epochs: int = 300,
     budget_points: int = 8,
@@ -217,6 +218,11 @@ def run_head_policy_experiment(
     net = CONFIGS_BY_NAME[config_name]
     t0 = time.perf_counter()
 
+    # num_local_experts swaps every layer's dense MLP for a Mixtral-style
+    # sparse-MoE block (top-2 routing). The policy question it adds: a
+    # reconstructed cache perturbs hidden states, which can FLIP router
+    # top-k selections — a DISCONTINUOUS error channel the dense stack
+    # lacks. Does the (1-proxy)*e^(-H) law survive it?
     config = LlamaConfig(
         vocab_size=512,
         hidden_size=hidden_size,
@@ -225,6 +231,7 @@ def run_head_policy_experiment(
         num_attention_heads=num_heads,
         num_key_value_heads=num_kv_heads,
         head_dim=head_dim,
+        num_local_experts=num_local_experts,
     )
     n_l, n_kv, d, s = num_layers, num_kv_heads, head_dim, seq_len
     n_units = n_l * n_kv
@@ -582,6 +589,7 @@ def run_head_policy_experiment(
             "hidden_size": hidden_size,
             "seq_len": s,
             "n_queries": n_queries,
+            "num_local_experts": num_local_experts,
         },
         "net": net.name,
         "epochs": epochs,

@@ -790,7 +790,11 @@ def _layer_decode(
     `llama_prefill_kv` emits per layer. Mirrors `_layer_forward` exactly,
     except attention runs the one query at ``position`` over the
     concatenated [cache; new] keys/values.
-    Returns (h, (k_new, v_new)), k_new/v_new (n_kv, 1, D).
+    Returns (h, (k_new, v_new, entropy, ffn_x)), k_new/v_new (n_kv, 1, D);
+    ffn_x is the normed FFN input (1, hidden) — the tensor a sparse-MoE
+    router reads, captured so routing-sensitivity diagnostics (the
+    head_policy MoE leg's flip rate) can recompute expert selections
+    outside the forward.
     """
     n_q, n_kv, d = (
         config.num_attention_heads,
@@ -877,7 +881,7 @@ def _layer_decode(
         h = h + attn_out
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
         h = h + _ffn(config, x, lp, act)
-    return h, (k, v, entropy)
+    return h, (k, v, entropy, x)
 
 
 @partial(jax.jit, static_argnames=("config",))
