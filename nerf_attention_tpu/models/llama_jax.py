@@ -884,7 +884,7 @@ def _layer_decode(
     return h, (k, v, entropy, x)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "capture_ffn_input"))
 def llama_decode_step(
     config: LlamaConfig,
     params: dict,
@@ -892,6 +892,7 @@ def llama_decode_step(
     position: jax.Array,
     cache_keys: jax.Array,
     cache_values: jax.Array,
+    capture_ffn_input: bool = False,
 ):
     """One autoregressive decode step over a per-layer KV cache.
 
@@ -911,6 +912,12 @@ def llama_decode_step(
     (extraction contract — no lm_head is loaded; see module docstring), so
     the decode step returns the final hidden state before any output
     norm/readout.
+
+    ``capture_ffn_input=True`` (static) appends a fourth output: each
+    layer's normed FFN input (num_layers, 1, hidden) — the tensor a
+    sparse-MoE router reads, so routing-sensitivity diagnostics can
+    recompute expert selections outside the forward (head_policy's MoE
+    flip-rate leg).
     """
     h = params["embed"][token_id][None, :]
     if config.scale_embeddings:
@@ -937,9 +944,11 @@ def llama_decode_step(
         return h, kv
 
     layers = _scanned_layers(config, params)
-    h, (k_new, v_new, entropy) = jax.lax.scan(
+    h, (k_new, v_new, entropy, ffn_x) = jax.lax.scan(
         scan_layer, h, (layers, cache_keys, cache_values)
     )
+    if capture_ffn_input:
+        return h[0], (k_new, v_new), entropy, ffn_x
     return h[0], (k_new, v_new), entropy
 
 
