@@ -205,6 +205,12 @@ def main() -> None:
         help="head_policy: per-head K-gain range inducing the entropy spread",
     )
     parser.add_argument(
+        "--hp_experts", type=int, default=None,
+        help="head_policy: swap every dense FFN for a Mixtral-style "
+        "sparse-MoE block with this many experts (top-2 routing) and "
+        "measure router flip rate along the serving budget axis",
+    )
+    parser.add_argument(
         "--hp_seed", type=int, default=0,
         help="head_policy: model init / gain-shuffle / fit seed (the "
         "3-seed replication in benchmarks/r4/head_policy uses 0, 1, 2)",
@@ -438,6 +444,7 @@ def main() -> None:
             num_layers=args.hp_layers,
             gain_lo=args.hp_gains[0],
             gain_hi=args.hp_gains[1],
+            num_local_experts=args.hp_experts,
             seed=args.hp_seed,
             schemes=(
                 tuple(s.strip() for s in args.schemes.split(",") if s.strip())

@@ -36,7 +36,12 @@ Protocol (hermetic — random-init model, no weights in this environment):
   ``serve_plan.build_plan`` emits in ``--policy_json`` mode) is decoded
   as its own curve for every payload, and ``serve_plan_validation``
   records cumulative-sum-vs-measured cost along it, pricing the plan
-  tool's cut rule against ground truth.
+  tool's cut rule against ground truth;
+* with ``num_local_experts`` set (Mixtral-style sparse-MoE FFNs), the
+  router's top-k expert selections are replayed outside the forward
+  from captured router inputs (``route_weights``) and the FLIP RATE —
+  the stack's one discontinuous error channel — is measured along the
+  same budget axis (``moe_routing``).
 
 Writes ``head_policy_results.json`` + a two-panel figure.
 """
@@ -102,6 +107,34 @@ def kv_head_entropy(ent: np.ndarray, n_kv: int) -> np.ndarray:
     t, n_l, n_h = ent.shape
     group = n_h // n_kv
     return ent.reshape(t, n_l, n_kv, group).mean(axis=(0, 3))
+
+
+def route_weights(
+    ffn_x: np.ndarray, routers: np.ndarray, top_k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recompute MoE combine weights from captured router inputs.
+
+    ``ffn_x`` (T, L, 1, hidden) is `llama_decode_step`'s
+    ``capture_ffn_input=True`` output — each layer's normed FFN input;
+    ``routers`` (L, hidden, E) the per-layer router weights. Replays
+    `_ffn`'s eval-path routing (`models/llama_jax.py:325-334`: fp32
+    softmax over all experts, top-k, renormalize) outside the forward.
+
+    Returns (weights (T, L, E) renormalized top-k combine weights,
+    top_idx (T, L, top_k) the selected experts, ascending). Softmax is
+    monotone, so top-k of the probabilities equals top-k of the logits.
+    """
+    x = np.asarray(ffn_x, np.float32)[:, :, 0, :]
+    logits = np.einsum("tlh,lhe->tle", x, np.asarray(routers, np.float32))
+    z = logits - logits.max(axis=-1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=-1, keepdims=True)
+    idx = np.argsort(-p, kind="stable", axis=-1)[..., :top_k]
+    vals = np.take_along_axis(p, idx, axis=-1)
+    vals = vals / vals.sum(axis=-1, keepdims=True)
+    weights = np.zeros_like(p)
+    np.put_along_axis(weights, idx, vals, axis=-1)
+    return weights, np.sort(idx, axis=-1)
 
 
 def policy_orders(
@@ -566,6 +599,82 @@ def run_head_policy_experiment(
                 f"{row['measured_cost']:.2e}"
             )
 
+    # --- MoE routing sensitivity: does serving heads from parameters FLIP
+    # the router's expert selections? Routing is the one DISCONTINUOUS
+    # error channel in the stack: a perturbed hidden state either keeps
+    # the same top-k experts (error stays continuous) or swaps one in/out
+    # (the FFN jumps to a different function). Measured along the
+    # serve-plan (solo_asc) budget axis on the master payload, by
+    # capturing each layer's router input (`capture_ffn_input=True`) and
+    # replaying the routing outside the forward (`route_weights`).
+    moe_routing = None
+    if num_local_experts:
+        routers = np.asarray(params["layers"]["router"])
+        top_k = int(config.num_experts_per_tok)
+
+        @jax.jit
+        def decode_ffn_masked(p, toks, pos, k_c, v_c, k_hat, v_hat, mask):
+            m = mask.reshape(n_l, n_kv)[:, :, None, None]
+            ka = jnp.where(m, k_hat, k_c)
+            va = jnp.where(m, v_hat, v_c)
+            return jax.vmap(
+                lambda t, q: llama_decode_step(
+                    config, p, t, q, ka, va, capture_ffn_input=True
+                )[3],
+                in_axes=(0, 0),
+            )(toks, pos)  # (T, L, 1, hidden)
+
+        k_hat_m, v_hat_m = payloads["master"]["k_hat"], payloads["master"]["v_hat"]
+        w_true, idx_true = route_weights(
+            np.asarray(
+                decode_ffn_masked(
+                    params, tokens, positions, ck, cv, k_hat_m, v_hat_m,
+                    jnp.zeros(n_units, dtype=bool),
+                )
+            ),
+            routers,
+            top_k,
+        )
+        flip_rate, weight_l1, per_layer_full = [], [], None
+        for j, m_units in enumerate(budgets):
+            mask = np.zeros(n_units, dtype=bool)
+            mask[solo_asc[:m_units]] = True
+            w, idx = route_weights(
+                np.asarray(
+                    decode_ffn_masked(
+                        params, tokens, positions, ck, cv,
+                        k_hat_m, v_hat_m, jnp.asarray(mask),
+                    )
+                ),
+                routers,
+                top_k,
+            )
+            flips = np.any(idx != idx_true, axis=-1)  # (T, L)
+            flip_rate.append(float(flips.mean()))
+            weight_l1.append(float(np.abs(w - w_true).sum(axis=-1).mean()))
+            if m_units == n_units:
+                per_layer_full = [float(f) for f in flips.mean(axis=0)]
+        moe_routing = {
+            "num_experts": int(num_local_experts),
+            "top_k": top_k,
+            "order": "solo_asc",
+            "payload": "master",
+            "budgets": [int(m) for m in budgets],
+            "fraction": [m / n_units for m in budgets],
+            "flip_rate": flip_rate,
+            "combine_weight_l1": weight_l1,
+            "per_layer_flip_rate_full_swap": per_layer_full,
+            "measured_cost": [
+                float(max(1.0 - c, 0.0))
+                for c in payloads["master"]["serve_cos"]
+            ],
+        }
+        if verbose:
+            print(
+                f"  MoE routing: full-swap flip rate {flip_rate[-1]:.3f} "
+                f"(weight L1 {weight_l1[-1]:.3f}) over {len(budgets)} budgets"
+            )
+
     units = [
         {
             "layer": int(u // n_kv),
@@ -605,6 +714,7 @@ def run_head_policy_experiment(
         "law_curve_additivity": additivity,
         "serve_plan_validation": serve_validation,
         "tiered_plan_validation": tiered_validation,
+        "moe_routing": moe_routing,
         "payloads": results_payloads,
         "wall_seconds": time.perf_counter() - t0,
     }
@@ -619,8 +729,9 @@ def run_head_policy_experiment(
 
 
 def plot_head_policy(results: dict, figures_dir: Path) -> None:
-    """Three panels: the entropy law, policy budget curves, and the
-    plan cut-rule calibration (running solo sum vs measured cost)."""
+    """Panels: the entropy law, policy budget curves, the plan cut-rule
+    calibration (running solo sum vs measured cost), and — for MoE
+    stacks — router flip rate along the serving budget axis."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -630,10 +741,9 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
     figures_dir.mkdir(parents=True, exist_ok=True)
     units = results["units"]
     has_validation = "serve_plan_validation" in results
-    fig, axes = plt.subplots(
-        1, 3 if has_validation else 2,
-        figsize=(18.0 if has_validation else 12.5, 4.8),
-    )
+    moe = results.get("moe_routing")
+    n_panels = 2 + bool(has_validation) + bool(moe)
+    fig, axes = plt.subplots(1, n_panels, figsize=(6.0 * n_panels + 0.5, 4.8))
     ax_law, ax_pol = axes[0], axes[1]
 
     h = np.array([u["entropy_nats"] for u in units])
@@ -707,6 +817,29 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
         ax_cal.set_title("Cut-rule calibration")
         ax_cal.grid(alpha=0.3, which="both")
         ax_cal.legend(fontsize=8)
+
+    if moe:
+        ax_moe = axes[-1]
+        frac_m = moe["fraction"]
+        ax_moe.plot(
+            frac_m, moe["flip_rate"], "-o", ms=4, color="C3",
+            label=f"top-{moe['top_k']} flip rate",
+        )
+        ax_moe.plot(
+            frac_m, moe["combine_weight_l1"], "-s", ms=4, color="C0",
+            label="combine-weight L1",
+        )
+        ax_moe.plot(
+            frac_m, moe["measured_cost"], "--", color="0.5",
+            label="output cost (1 − cos)",
+        )
+        ax_moe.set_xlabel("fraction served from params (solo_asc order)")
+        ax_moe.set_ylabel("routing perturbation / output cost")
+        ax_moe.set_title(
+            f"MoE router sensitivity (E={moe['num_experts']})"
+        )
+        ax_moe.grid(alpha=0.3)
+        ax_moe.legend(fontsize=8)
 
     fig.tight_layout()
     fig.savefig(figures_dir / "head_policy.png", dpi=130)

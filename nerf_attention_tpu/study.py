@@ -158,6 +158,12 @@ def main(argv: list[str] | None = None) -> None:
         help="serving: output-cost target for the emitted plans",
     )
     parser.add_argument(
+        "--hp_experts", type=int, default=None,
+        help="serving: run the policy study on a sparse-MoE stack with "
+        "this many experts per layer and measure router flip rate "
+        "(experiments head_policy --hp_experts)",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run the whole study on FM-SIRENs (per-unit first-layer "
         "frequencies, equal parameter count): the fit sweep trains FM nets, "
@@ -264,11 +270,12 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.serving and "serving" not in args.skip:
         banner("serving", f"head policy + serving plans -> {root}/head_policy")
-        _delegate_experiments(
-            _experiments_argv(
-                "head_policy", args, root, kv_dir, fits_dir, geometry=False
-            )
+        hp_argv = _experiments_argv(
+            "head_policy", args, root, kv_dir, fits_dir, geometry=False
         )
+        if args.hp_experts is not None:
+            hp_argv += ["--hp_experts", str(args.hp_experts)]
+        _delegate_experiments(hp_argv)
 
         from nerf_attention_tpu.serve_plan import main as serve_plan_main
 

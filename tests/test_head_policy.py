@@ -17,6 +17,7 @@ from nerf_attention_tpu.experiments.head_policy import (
     assign_head_gains,
     kv_head_entropy,
     policy_orders,
+    route_weights,
     run_head_policy_experiment,
 )
 
@@ -62,6 +63,73 @@ def test_policy_orders_are_permutations_and_ranked():
     assert list(layer_of[:n_kv]) == [n_l - 1] * n_kv
 
 
+def test_route_weights_matches_ffn_routing_semantics():
+    """The numpy replay must agree with `_ffn`'s jax routing lines
+    (fp32 softmax over all experts, lax.top_k, renormalize) on random
+    inputs — same selected experts, same combine weights."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    t, n_l, h, e, k = 5, 3, 8, 6, 2
+    ffn_x = rng.randn(t, n_l, 1, h).astype(np.float32)
+    routers = rng.randn(n_l, h, e).astype(np.float32)
+
+    w_np, idx_np = route_weights(ffn_x, routers, k)
+    assert w_np.shape == (t, n_l, e) and idx_np.shape == (t, n_l, k)
+    np.testing.assert_allclose(w_np.sum(axis=-1), 1.0, atol=1e-6)
+
+    x = jnp.asarray(ffn_x[:, :, 0, :])
+    logits = jnp.einsum("tlh,lhe->tle", x, jnp.asarray(routers))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, k)
+    top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    w_jax = np.zeros((t, n_l, e), np.float32)
+    np.put_along_axis(w_jax, np.asarray(top_idx), np.asarray(top_vals), -1)
+
+    np.testing.assert_array_equal(idx_np, np.sort(np.asarray(top_idx), -1))
+    np.testing.assert_allclose(w_np, w_jax, atol=1e-6)
+
+
+def test_run_head_policy_experiment_tiny_moe(tmp_path: Path):
+    """MoE stack: the routing-sensitivity leg measures flip rates along
+    the serving budget axis; zero budget (true cache) must not flip."""
+    res = run_head_policy_experiment(
+        tmp_path,
+        seq_len=48,
+        n_queries=4,
+        epochs=10,
+        config_name="tiny",
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        hidden_size=64,
+        intermediate_size=128,
+        num_local_experts=4,
+        schemes=(),
+        budget_points=2,
+        n_random=1,
+        seed=0,
+        verbose=False,
+    )
+    moe = res["moe_routing"]
+    assert moe is not None
+    assert moe["num_experts"] == 4 and moe["top_k"] == 2
+    n_b = len(moe["budgets"])
+    assert (
+        len(moe["flip_rate"]) == len(moe["combine_weight_l1"])
+        == len(moe["measured_cost"]) == n_b
+    )
+    assert moe["flip_rate"][0] == 0.0  # zero budget = identical routing
+    assert moe["combine_weight_l1"][0] == 0.0
+    assert all(0.0 <= f <= 1.0 for f in moe["flip_rate"])
+    assert len(moe["per_layer_flip_rate_full_swap"]) == 2
+    # the policy sweep itself ran through the MoE forward
+    assert res["model"]["num_local_experts"] == 4
+    assert set(res["payloads"]) == {"master"}
+
+
 def test_run_head_policy_experiment_tiny(tmp_path: Path):
     res = run_head_policy_experiment(
         tmp_path,
@@ -93,6 +161,7 @@ def test_run_head_policy_experiment_tiny(tmp_path: Path):
     ents = [u["entropy_nats"] for u in res["units"]]
     assert max(ents) - min(ents) > 0.05
 
+    assert res["moe_routing"] is None  # dense stack: no routing channel
     assert set(res["payloads"]) == {"master", "fp16"}
     for payload in res["payloads"].values():
         assert payload["stored_bytes_per_unit"] > 0
@@ -186,6 +255,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
             "--qat_epochs", "17",
             "--schemes", "fp16,int8_g32",
             "--hp_seed", "2",
+            "--hp_experts", "4",
         ],
     )
     cli.main()
@@ -197,6 +267,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
     assert calls["qat_epochs"] == 17
     assert calls["schemes"] == ("fp16", "int8_g32")
     assert calls["seed"] == 2
+    assert calls["num_local_experts"] == 4
 
 
 def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):

@@ -488,6 +488,58 @@ def test_mixtral_decode_rollout_consistency():
     )
 
 
+def test_decode_step_capture_ffn_input_replays_moe_routing():
+    """capture_ffn_input exposes each layer's normed FFN input without
+    changing the default outputs, and replaying the router on it
+    (head_policy.route_weights) reproduces the forward's own expert mix:
+    the last layer's residual h_out - MoE(ffn_x) must be collinear with
+    ffn_x / post_norm_weight (the rms-norm direction of the pre-FFN
+    hidden state) — wrong captured tensors or wrong replayed top-k would
+    break the collinearity."""
+    from nerf_attention_tpu.experiments.head_policy import route_weights
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = init_random_llama(config, seed=11)
+    ids = jnp.arange(9, dtype=jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids[:8])
+
+    h_ref, (k_ref, v_ref), ent_ref = llama_decode_step(
+        config, params, ids[8], 8, keys, values
+    )
+    h_cap, (k_cap, v_cap), ent_cap, ffn_x = llama_decode_step(
+        config, params, ids[8], 8, keys, values, capture_ffn_input=True
+    )
+    assert ffn_x.shape == (2, 1, 16)
+    np.testing.assert_array_equal(np.asarray(h_cap), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(k_cap), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_cap), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(ent_cap), np.asarray(ent_ref))
+
+    lp = params["layers"]
+    weights, _ = route_weights(
+        np.asarray(ffn_x)[None], np.asarray(lp["router"]), 2
+    )  # (1, L, E)
+    x = np.asarray(ffn_x, np.float64)[-1, 0]  # last layer's router input
+    silu = x @ np.asarray(lp["w1"], np.float64)[-1]  # (E, inter)
+    gated = silu / (1.0 + np.exp(-silu)) * (
+        x @ np.asarray(lp["w3"], np.float64)[-1]
+    )
+    expert_out = np.einsum("ei,eih->eh", gated, np.asarray(lp["w2"], np.float64)[-1])
+    moe_out = weights[0, -1].astype(np.float64) @ expert_out  # (hidden,)
+
+    resid = np.asarray(h_ref, np.float64) - moe_out
+    direction = x / np.asarray(lp["post_norm"], np.float64)[-1]
+    cos = resid @ direction / (
+        np.linalg.norm(resid) * np.linalg.norm(direction)
+    )
+    assert cos == pytest.approx(1.0, abs=1e-5)
+
+
 def test_mixtral_expert_parallel_prefill_parity(tiny_hf_mixtral):
     """EP sharding: expert weights sharded over the mesh's expert axis must
     reproduce the unsharded prefill (one all-reduce closes the combine)."""
