@@ -625,18 +625,9 @@ def run_head_policy_experiment(
             )(toks, pos)  # (T, L, 1, hidden)
 
         k_hat_m, v_hat_m = payloads["master"]["k_hat"], payloads["master"]["v_hat"]
-        w_true, idx_true = route_weights(
-            np.asarray(
-                decode_ffn_masked(
-                    params, tokens, positions, ck, cv, k_hat_m, v_hat_m,
-                    jnp.zeros(n_units, dtype=bool),
-                )
-            ),
-            routers,
-            top_k,
-        )
         flip_rate, weight_l1, per_layer_full = [], [], None
-        for j, m_units in enumerate(budgets):
+        w_true = idx_true = None
+        for m_units in budgets:
             mask = np.zeros(n_units, dtype=bool)
             mask[solo_asc[:m_units]] = True
             w, idx = route_weights(
@@ -649,6 +640,8 @@ def run_head_policy_experiment(
                 routers,
                 top_k,
             )
+            if w_true is None:  # budgets[0] == 0: the true-cache routing
+                w_true, idx_true = w, idx
             flips = np.any(idx != idx_true, axis=-1)  # (T, L)
             flip_rate.append(float(flips.mean()))
             weight_l1.append(float(np.abs(w - w_true).sum(axis=-1).mean()))
