@@ -401,7 +401,10 @@ def _causal_attention(
 
     row0s = jnp.arange(n_blocks) * block
     attn = jax.lax.map(lambda args: one_block(*args), (row0s, q_blocks))
-    attn = attn.transpose(1, 0, 2, 3).reshape(h_heads, n_blocks * block, d)
+    # Output rows carry the VALUE head dim, which differs from q/k's under
+    # MLA (DeepSeek qk_head_dim 192 vs v_head_dim 128 — models/mla_jax.py).
+    d_v = v_full.shape[-1]
+    attn = attn.transpose(1, 0, 2, 3).reshape(h_heads, n_blocks * block, d_v)
     return attn[:, :s]
 
 

@@ -1,0 +1,309 @@
+"""DeepSeek-V2/V3 MLA backend (`models/mla_jax.py`).
+
+Parity contract is the installed transformers (4.57): tiny random HF
+models saved to disk, loaded by `load_mla_params`, prefill KV compared
+tensor-for-tensor against HF's DynamicCache. Covers both rope
+conventions (V2 complex-interleaved, V3 de-interleave and plain), both
+router families (V2 softmax greedy / group-limited, V3 sigmoid + bias +
+top-2 group scores), YaRN scaling, the q LoRA and full-q variants, and
+the latent cache's exactness guarantees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+import transformers
+
+import jax.numpy as jnp
+
+from nerf_attention_tpu.models.mla_jax import (
+    MLAConfig,
+    init_random_mla,
+    load_mla_params,
+    materialize_from_latent,
+    mla_decode_step,
+    mla_decode_step_latent,
+    mla_prefill_kv,
+)
+
+
+def _hf_kv_layers(past):
+    if hasattr(past, "layers"):  # transformers v5 layout
+        return [(l.keys, l.values) for l in past.layers]
+    if hasattr(past, "key_cache"):
+        return list(zip(past.key_cache, past.value_cache))
+    return [(k, v) for k, v in past]
+
+
+TINY_MLA = dict(
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=48,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    kv_lora_rank=16,
+    q_lora_rank=24,
+    qk_nope_head_dim=8,
+    qk_rope_head_dim=4,
+    v_head_dim=8,
+    first_k_dense_replace=1,
+    moe_intermediate_size=16,
+    n_routed_experts=8,
+    num_experts_per_tok=2,
+    n_shared_experts=1,
+    routed_scaling_factor=2.5,
+    max_position_embeddings=64,
+    tie_word_embeddings=True,
+    attention_bias=False,
+)
+
+IDS = np.array([3, 17, 42, 9, 9, 120, 64, 5], dtype=np.int32)
+
+
+def _save_tiny(tmp_path_factory, cls, name, seed, **kw):
+    cfg = cls(**kw)
+    torch.manual_seed(seed)
+    model = transformers.AutoModelForCausalLM.from_config(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp(name)
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def _assert_prefill_parity(model_dir, hf_model, atol=3e-4):
+    config, params = load_mla_params(model_dir)
+    with torch.no_grad():
+        out = hf_model(
+            torch.from_numpy(IDS)[None].long(), use_cache=True
+        )
+    hf_layers = _hf_kv_layers(out.past_key_values)
+    keys, values = mla_prefill_kv(config, params, jnp.asarray(IDS))
+    assert keys.shape[-1] == config.qk_head_dim
+    assert values.shape[-1] == config.v_head_dim
+    for i, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[i]), hf_k.squeeze(0).float().numpy(),
+            atol=atol, rtol=1e-3, err_msg=f"layer {i} keys",
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[i]), hf_v.squeeze(0).float().numpy(),
+            atol=atol, rtol=1e-3, err_msg=f"layer {i} values",
+        )
+    return config, params
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_v3(tmp_path_factory):
+    """Random tiny DeepSeek-V3: q LoRA, 1 dense + 2 MoE layers (sigmoid
+    router, bias, 2 groups with top-2 group scores, shared expert),
+    interleaved rope (the V3 default)."""
+    return _save_tiny(
+        tmp_path_factory, transformers.DeepseekV3Config, "tiny_dsv3", 5,
+        n_group=2, topk_group=1, norm_topk_prob=True, **TINY_MLA,
+    )
+
+
+def test_kv_parity_with_hf_deepseek_v3(tiny_hf_v3):
+    d, model = tiny_hf_v3
+    config, params = _assert_prefill_parity(d, model)
+    assert config.model_type == "deepseek_v3"
+    assert config.rope_interleave is True
+    assert config.num_dense_layers == 1 and config.num_moe_layers == 2
+    assert params["moe_layers"]["router_bias"].shape == (2, 8)
+    # V3 router bias is a buffer initialized to zeros; perturb it and
+    # verify it actually moves the routing-dependent KV of later layers
+    # (guards against silently ignoring the correction bias).
+    import jax.numpy as jnp_
+
+    bumped = {
+        **params,
+        "moe_layers": {
+            **params["moe_layers"],
+            "router_bias": params["moe_layers"]["router_bias"]
+            + jnp_.asarray(np.linspace(-2, 2, 8, dtype=np.float32))[None, :],
+        },
+    }
+    k0, _ = mla_prefill_kv(config, params, jnp.asarray(IDS))
+    k1, _ = mla_prefill_kv(config, bumped, jnp.asarray(IDS))
+    assert float(jnp.abs(k1[2] - k0[2]).max()) > 1e-6
+
+
+def test_kv_parity_v3_plain_rope_and_full_q(tmp_path_factory):
+    """rope_interleave=False (plain rotate-half) + q_lora_rank=None
+    (full q_proj) — the two config branches the default fixture misses."""
+    kw = dict(TINY_MLA, q_lora_rank=None)
+    d, model = _save_tiny(
+        tmp_path_factory, transformers.DeepseekV3Config,
+        "tiny_dsv3_plain", 7, rope_interleave=False,
+        n_group=2, topk_group=2, norm_topk_prob=False, **kw,
+    )
+    config, params = _assert_prefill_parity(d, model)
+    assert config.rope_interleave is False
+    assert "q" in params["dense_layers"] and "q_a" not in params["dense_layers"]
+
+
+def test_kv_parity_with_hf_deepseek_v2_greedy(tmp_path_factory):
+    """V2: complex/interleaved rope, softmax router, greedy top-k."""
+    d, model = _save_tiny(
+        tmp_path_factory, transformers.DeepseekV2Config, "tiny_dsv2", 3,
+        topk_method="greedy", n_group=None, topk_group=None,
+        aux_loss_alpha=0.0, **TINY_MLA,
+    )
+    config, params = _assert_prefill_parity(d, model)
+    assert config.model_type == "deepseek_v2"
+    assert "router_bias" not in params["moe_layers"]
+
+
+def test_kv_parity_with_hf_deepseek_v2_group_limited(tmp_path_factory):
+    """V2 group_limited_greedy: group score = max over the group."""
+    d, model = _save_tiny(
+        tmp_path_factory, transformers.DeepseekV2Config, "tiny_dsv2_gl", 13,
+        topk_method="group_limited_greedy", n_group=4, topk_group=2,
+        aux_loss_alpha=0.0, **TINY_MLA,
+    )
+    _assert_prefill_parity(d, model)
+
+
+def test_kv_parity_v3_yarn(tmp_path_factory):
+    """YaRN rope scaling (what real DeepSeek checkpoints ship): ramped
+    interpolation inv_freqs, attention factor on cos/sin, mscale² on the
+    logit scale."""
+    d, model = _save_tiny(
+        tmp_path_factory, transformers.DeepseekV3Config, "tiny_dsv3_yarn", 9,
+        n_group=2, topk_group=1, norm_topk_prob=True,
+        rope_scaling={
+            "rope_type": "yarn",
+            "factor": 8.0,
+            "beta_fast": 32,
+            "beta_slow": 1,
+            "mscale": 1.0,
+            "mscale_all_dim": 1.0,
+            "original_max_position_embeddings": 16,
+        },
+        **TINY_MLA,
+    )
+    config, params = _assert_prefill_parity(d, model)
+    assert config.yarn_factor == 8.0
+    assert config.attn_scale != pytest.approx(config.qk_head_dim**-0.5)
+
+
+def test_decode_step_matches_prefill(tiny_hf_v3):
+    """Decoding token S over the first S rows reproduces the prefill's
+    row S (K, V) and hidden path — autoregressive consistency through
+    dense + MoE layers."""
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    keys, values = mla_prefill_kv(config, params, ids)
+    s = 6
+    h, (k_new, v_new), entropy = mla_decode_step(
+        config, params, ids[s], s, keys[:, :, :s, :], values[:, :, :s, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_new[:, :, 0, :]), np.asarray(keys[:, :, s, :]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_new[:, :, 0, :]), np.asarray(values[:, :, s, :]), atol=1e-5
+    )
+    assert entropy.shape == (3, 4)
+    assert np.isfinite(np.asarray(entropy)).all()
+
+
+def test_latent_cache_is_exact(tiny_hf_v3):
+    """The latent cache is lossless: materialize_from_latent reproduces
+    the prefill's materialized K/V exactly, and the latent decode step
+    equals the materialized decode step bit-for-bit."""
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    keys, values, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    assert latents.shape == (3, 8, config.latent_dim)
+
+    kv_b = jnp.concatenate(
+        [params["dense_layers"]["kv_b"], params["moe_layers"]["kv_b"]], axis=0
+    )
+    for layer in range(3):
+        k_m, v_m = materialize_from_latent(config, latents[layer], kv_b[layer])
+        np.testing.assert_array_equal(np.asarray(k_m), np.asarray(keys[layer]))
+        np.testing.assert_array_equal(np.asarray(v_m), np.asarray(values[layer]))
+
+    s = 6
+    h_mat, _, ent_mat = mla_decode_step(
+        config, params, ids[s], s, keys[:, :, :s, :], values[:, :, :s, :]
+    )
+    h_lat, lat_new, ent_lat = mla_decode_step_latent(
+        config, params, ids[s], s, latents[:, :s, :]
+    )
+    np.testing.assert_array_equal(np.asarray(h_mat), np.asarray(h_lat))
+    np.testing.assert_array_equal(np.asarray(ent_mat), np.asarray(ent_lat))
+    np.testing.assert_allclose(
+        np.asarray(lat_new[:, 0, :]), np.asarray(latents[:, s, :]), atol=1e-5
+    )
+
+
+def test_latent_cache_is_smaller_than_materialized(tiny_hf_v3):
+    """The architecture's own compression: latent bytes per token vs the
+    materialized cache's H * (qk + v) — the ratio the latent study trades
+    against fit quality."""
+    d, _ = tiny_hf_v3
+    config, _ = load_mla_params(d)
+    materialized = config.num_attention_heads * (
+        config.qk_head_dim + config.v_head_dim
+    )
+    assert config.latent_dim < materialized
+    # real DeepSeek-V3 geometry: (512+64) vs 128*(192+128) = 71x
+    real = MLAConfig(
+        model_type="deepseek_v3", vocab_size=1, hidden_size=7168,
+        intermediate_size=18432, num_hidden_layers=61,
+        num_attention_heads=128, kv_lora_rank=512, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128,
+    )
+    ratio = 128 * (192 + 128) / real.latent_dim
+    assert ratio == pytest.approx(71.1, abs=0.1)
+
+
+def test_from_hf_dict_rejections():
+    base = dict(
+        model_type="deepseek_v3", vocab_size=8, hidden_size=8,
+        intermediate_size=8, num_hidden_layers=1, num_attention_heads=1,
+    )
+    with pytest.raises(NotImplementedError, match="not an MLA family"):
+        MLAConfig.from_hf_dict({**base, "model_type": "llama"})
+    with pytest.raises(NotImplementedError, match="attention_bias"):
+        MLAConfig.from_hf_dict({**base, "attention_bias": True})
+    with pytest.raises(NotImplementedError, match="rope_scaling"):
+        MLAConfig.from_hf_dict(
+            {**base, "rope_scaling": {"rope_type": "dynamic", "factor": 2.0}}
+        )
+    with pytest.raises(NotImplementedError, match="topk_method"):
+        MLAConfig.from_hf_dict(
+            {
+                **base, "model_type": "deepseek_v2",
+                "topk_method": "noaux_tc", "n_routed_experts": 4,
+                "num_experts_per_tok": 2,
+            }
+        )
+    with pytest.raises(ValueError, match="num_experts_per_tok"):
+        MLAConfig.from_hf_dict(
+            {**base, "n_routed_experts": 4, "first_k_dense_replace": 0}
+        )
+
+
+def test_init_random_mla_dense_only_roundtrip():
+    """All-dense config (first_k >= L): single scan, no moe leaves; the
+    decode step and latent path still line up."""
+    cfg = MLAConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=16,
+        intermediate_size=32, num_hidden_layers=2, num_attention_heads=2,
+        kv_lora_rank=8, qk_nope_head_dim=4, qk_rope_head_dim=4, v_head_dim=4,
+    )
+    params = init_random_mla(cfg, seed=1)
+    assert "moe_layers" not in params
+    ids = jnp.arange(7, dtype=jnp.int32)
+    keys, values, latents = mla_prefill_kv(cfg, params, ids[:6], return_latent=True)
+    h1, _, _ = mla_decode_step(cfg, params, ids[6], 6, keys, values)
+    h2, _, _ = mla_decode_step_latent(cfg, params, ids[6], 6, latents)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
