@@ -625,12 +625,9 @@ def run_head_policy_experiment(
             )(toks, pos)  # (T, L, 1, hidden)
 
         k_hat_m, v_hat_m = payloads["master"]["k_hat"], payloads["master"]["v_hat"]
-        flip_rate, weight_l1, per_layer_full = [], [], None
-        w_true = idx_true = None
-        for m_units in budgets:
-            mask = np.zeros(n_units, dtype=bool)
-            mask[solo_asc[:m_units]] = True
-            w, idx = route_weights(
+
+        def routing_for(mask: np.ndarray):
+            return route_weights(
                 np.asarray(
                     decode_ffn_masked(
                         params, tokens, positions, ck, cv,
@@ -640,32 +637,60 @@ def run_head_policy_experiment(
                 routers,
                 top_k,
             )
-            if w_true is None:  # budgets[0] == 0: the true-cache routing
-                w_true, idx_true = w, idx
-            flips = np.any(idx != idx_true, axis=-1)  # (T, L)
-            flip_rate.append(float(flips.mean()))
-            weight_l1.append(float(np.abs(w - w_true).sum(axis=-1).mean()))
-            if m_units == n_units:
-                per_layer_full = [float(f) for f in flips.mean(axis=0)]
+
+        w_true, idx_true = routing_for(np.zeros(n_units, dtype=bool))
+        # Flip rate along BOTH serving orders the additivity calibrations
+        # use (solo_asc = serve_plan_validation, law = law_curve_additivity)
+        # so a calibration break at budget m is directly attributable (or
+        # not) to routing flips in THAT prefix.
+        per_layer_full = None
+        by_order: dict[str, dict] = {}
+        for order_name, order in (("solo_asc", solo_asc), ("law", law_order)):
+            flip_rate, weight_l1 = [], []
+            for m_units in budgets:
+                if m_units == 0:
+                    w, idx = w_true, idx_true
+                else:
+                    mask = np.zeros(n_units, dtype=bool)
+                    mask[order[:m_units]] = True
+                    w, idx = routing_for(mask)
+                flips = np.any(idx != idx_true, axis=-1)  # (T, L)
+                flip_rate.append(float(flips.mean()))
+                weight_l1.append(float(np.abs(w - w_true).sum(axis=-1).mean()))
+                if order_name == "solo_asc" and m_units == n_units:
+                    per_layer_full = [float(f) for f in flips.mean(axis=0)]
+            cos_curve = (
+                payloads["master"]["serve_cos"]
+                if order_name == "solo_asc"
+                else payloads["master"]["cos_all"][curve_idx["law"]]
+            )
+            by_order[order_name] = {
+                "flip_rate": flip_rate,
+                "combine_weight_l1": weight_l1,
+                "measured_cost": [
+                    float(max(1.0 - c, 0.0)) for c in cos_curve
+                ],
+            }
         moe_routing = {
             "num_experts": int(num_local_experts),
             "top_k": top_k,
-            "order": "solo_asc",
             "payload": "master",
             "budgets": [int(m) for m in budgets],
             "fraction": [m / n_units for m in budgets],
-            "flip_rate": flip_rate,
-            "combine_weight_l1": weight_l1,
+            "orders": by_order,
+            # back-compat aliases for the solo_asc curve
+            "order": "solo_asc",
+            "flip_rate": by_order["solo_asc"]["flip_rate"],
+            "combine_weight_l1": by_order["solo_asc"]["combine_weight_l1"],
+            "measured_cost": by_order["solo_asc"]["measured_cost"],
             "per_layer_flip_rate_full_swap": per_layer_full,
-            "measured_cost": [
-                float(max(1.0 - c, 0.0))
-                for c in payloads["master"]["serve_cos"]
-            ],
         }
         if verbose:
+            fr = by_order["solo_asc"]["flip_rate"]
             print(
-                f"  MoE routing: full-swap flip rate {flip_rate[-1]:.3f} "
-                f"(weight L1 {weight_l1[-1]:.3f}) over {len(budgets)} budgets"
+                f"  MoE routing: full-swap flip rate {fr[-1]:.3f} "
+                f"(weight L1 {by_order['solo_asc']['combine_weight_l1'][-1]:.3f})"
+                f" over {len(budgets)} budgets x 2 orders"
             )
 
     units = [
@@ -818,6 +843,12 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
             frac_m, moe["flip_rate"], "-o", ms=4, color="C3",
             label=f"top-{moe['top_k']} flip rate",
         )
+        law_flips = moe.get("orders", {}).get("law", {}).get("flip_rate")
+        if law_flips:
+            ax_moe.plot(
+                frac_m, law_flips, ":^", ms=4, color="C3", alpha=0.7,
+                label="flip rate (law order)",
+            )
         ax_moe.plot(
             frac_m, moe["combine_weight_l1"], "-s", ms=4, color="C0",
             label="combine-weight L1",

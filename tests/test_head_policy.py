@@ -125,6 +125,12 @@ def test_run_head_policy_experiment_tiny_moe(tmp_path: Path):
     assert moe["combine_weight_l1"][0] == 0.0
     assert all(0.0 <= f <= 1.0 for f in moe["flip_rate"])
     assert len(moe["per_layer_flip_rate_full_swap"]) == 2
+    # both serving orders measured, same budget axis, same full swap
+    assert set(moe["orders"]) == {"solo_asc", "law"}
+    for curve in moe["orders"].values():
+        assert len(curve["flip_rate"]) == n_b
+        assert curve["flip_rate"][0] == 0.0
+    assert moe["orders"]["law"]["flip_rate"][-1] == moe["flip_rate"][-1]
     # the policy sweep itself ran through the MoE forward
     assert res["model"]["num_local_experts"] == 4
     assert set(res["payloads"]) == {"master"}
