@@ -36,6 +36,14 @@ from nerf_attention_tpu.models.llama_jax import (
     llama_prefill_kv_pp,
     llama_prefill_kv_sp,
 )
+from nerf_attention_tpu.models.mla_jax import (
+    MLAConfig,
+    load_mla_params,
+    materialize_from_latent,
+    mla_decode_step,
+    mla_decode_step_latent,
+    mla_prefill_kv,
+)
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
 from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.fit import fit_kv_cache, fit_siren
@@ -121,6 +129,12 @@ __all__ = [
     "llama_prefill_kv",
     "llama_prefill_kv_pp",
     "llama_prefill_kv_sp",
+    "MLAConfig",
+    "load_mla_params",
+    "materialize_from_latent",
+    "mla_decode_step",
+    "mla_decode_step_latent",
+    "mla_prefill_kv",
     "fm_frequency_multipliers",
     "siren_apply_fm",
     "siren_apply_maybe_fm",

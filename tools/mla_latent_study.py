@@ -1,0 +1,336 @@
+"""Fit the MLA latent, or fit the materialized cache it expands into?
+
+Beyond-reference study (the reference has one cache surface; its fit
+table is `/root/reference/nerf_attention/fit.py:20-118`). DeepSeek's
+Multi-head Latent Attention stores each token as a small latent
+(kv_lora_rank + a shared RoPE stub) and re-materializes every head's
+K/V from it with one matmul (`models/mla_jax.py`) — the cache itself is
+a learned ~8–71× compression (71× at real DeepSeek-V3 geometry). That
+poses the operator's question this study measures hermetically: given a
+parameter budget for SIREN storage, should the nets fit
+
+* the MATERIALIZED per-head K/V (2·L·H nets — the surface every other
+  family exposes, redundant across heads but protected per-head by the
+  e^(−H) law), served via `mla_decode_step`, or
+* the LATENT itself (L nets, one per layer — 8× fewer input bytes at
+  this geometry, but denser: the redundancy was already squeezed out,
+  and one latent error perturbs EVERY head's K and V coherently through
+  ``kv_b``), served via `mla_decode_step_latent`?
+
+Also priced: the raw-fp16 and per-channel-int8 latent tensors (the
+storage an operator gets WITHOUT any fitting — the latent's own free
+compression is the bar both SIREN strategies must clear).
+
+Protocol: random-init MLA model at real dimensional RATIOS
+(materialized/latent = 8× per token), S-token prefill captures both
+surfaces, every strategy × SIREN-config cell fits in batched programs,
+and each cell is scored at the model output — the mean cosine of the
+last ``n_queries`` in-prefix tokens re-decoded over the swapped cache
+against the true-cache decode. Writes ``mla_latent_study.json`` + a
+bytes-vs-output-cosine figure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_CONFIGS = ("tiny", "small", "medium")
+
+
+def quantize_tensor_int8(x: np.ndarray) -> np.ndarray:
+    """Symmetric per-channel (last-axis) int8 round-trip of a tensor."""
+    scale = np.abs(x).max(axis=tuple(range(x.ndim - 1)), keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    return (np.clip(np.round(x / scale), -127, 127) * scale).astype(x.dtype)
+
+
+def run_study(
+    output_dir: Path,
+    *,
+    seq_len: int = 512,
+    n_queries: int = 8,
+    epochs: int = 2000,
+    num_layers: int = 4,
+    num_heads: int = 8,
+    kv_lora_rank: int = 32,
+    qk_nope_head_dim: int = 16,
+    qk_rope_head_dim: int = 8,
+    v_head_dim: int = 16,
+    hidden_size: int = 128,
+    intermediate_size: int = 256,
+    configs: tuple[str, ...] = DEFAULT_CONFIGS,
+    seed: int = 0,
+    impl: str = "auto",
+    verbose: bool = True,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.experiments.attention_error import _reconstruct
+    from nerf_attention_tpu.models.mla_jax import (
+        MLAConfig,
+        init_random_mla,
+        materialize_from_latent,
+        mla_decode_step,
+        mla_decode_step_latent,
+        mla_prefill_kv,
+    )
+    from nerf_attention_tpu.ops.quantize import param_bytes
+    from nerf_attention_tpu.parallel.sweep import fit_batch
+    from nerf_attention_tpu.types import CONFIGS_BY_NAME
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+
+    config = MLAConfig(
+        model_type="deepseek_v3",
+        vocab_size=512,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_hidden_layers=num_layers,
+        num_attention_heads=num_heads,
+        kv_lora_rank=kv_lora_rank,
+        qk_nope_head_dim=qk_nope_head_dim,
+        qk_rope_head_dim=qk_rope_head_dim,
+        v_head_dim=v_head_dim,
+    )
+    n_l, n_h, s = num_layers, num_heads, seq_len
+    dk, dv, dl = config.qk_head_dim, config.v_head_dim, config.latent_dim
+    params = init_random_mla(config, seed=seed)
+    kv_b = params["dense_layers"]["kv_b"]
+
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(0, config.vocab_size, s), jnp.int32)
+    keys, values, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    tokens = ids[s - n_queries : s]
+    positions = jnp.arange(s - n_queries, s, dtype=jnp.int32)
+
+    @jax.jit
+    def decode_mat(p, toks, pos, k_c, v_c):
+        h, _, _ = jax.vmap(
+            lambda t, q: mla_decode_step(config, p, t, q, k_c, v_c),
+            in_axes=(0, 0),
+        )(toks, pos)
+        return h
+
+    @jax.jit
+    def decode_lat(p, toks, pos, lat_c):
+        h, _, _ = jax.vmap(
+            lambda t, q: mla_decode_step_latent(config, p, t, q, lat_c),
+            in_axes=(0, 0),
+        )(toks, pos)
+        return h
+
+    h_true = decode_mat(params, tokens, positions, keys, values)
+
+    def out_cos(h_hat) -> float:
+        num = np.sum(np.asarray(h_hat) * np.asarray(h_true), -1)
+        den = np.maximum(
+            np.linalg.norm(np.asarray(h_hat), axis=-1)
+            * np.linalg.norm(np.asarray(h_true), axis=-1),
+            1e-12,
+        )
+        return float((num / den).mean())
+
+    raw_mat_bytes = n_h * s * (dk + dv) * 2  # per layer, fp16
+    raw_lat_bytes = s * dl * 2
+    if verbose:
+        print(
+            f"MLA latent study: L={n_l} H={n_h} S={s} | latent {dl} vs "
+            f"materialized {n_h * (dk + dv)} per token "
+            f"({n_h * (dk + dv) / dl:.1f}x) | {len(configs)} configs x "
+            f"{epochs} ep"
+        )
+
+    # --- the no-fit baselines: the latent's own compression is the bar ---
+    lat_np = np.asarray(latents)
+    baselines = {}
+    for name, lat_stored, bytes_per_layer in (
+        ("latent_fp16", lat_np.astype(np.float16).astype(np.float32), raw_lat_bytes),
+        ("latent_int8", quantize_tensor_int8(lat_np), s * dl + 4 * dl),
+    ):
+        cos = out_cos(decode_lat(params, tokens, positions, jnp.asarray(lat_stored)))
+        baselines[name] = {
+            "stored_bytes_per_layer": bytes_per_layer,
+            "compression_vs_raw_fp16": raw_mat_bytes / bytes_per_layer,
+            "output_cosine": cos,
+        }
+        if verbose:
+            print(
+                f"  {name}: {raw_mat_bytes / bytes_per_layer:.1f}x | "
+                f"output {cos:.6f}"
+            )
+
+    # --- SIREN strategies across the config registry ---
+    strategies: dict[str, list] = {"materialized": [], "latent": []}
+    targets_k = np.asarray(keys).reshape(n_l * n_h, s, dk)
+    targets_v = np.asarray(values).reshape(n_l * n_h, s, dv)
+    for cfg_name in configs:
+        net = CONFIGS_BY_NAME[cfg_name]
+
+        # materialized: one net per (layer, head, K|V)
+        fit_k = fit_batch(targets_k, net, epochs=epochs, seed=seed, impl=impl)
+        fit_v = fit_batch(
+            targets_v, net, epochs=epochs, seed=seed + 1, impl=impl
+        )
+        k_hat = _reconstruct(fit_k, np.arange(n_l * n_h), s, net, None)
+        v_hat = _reconstruct(fit_v, np.arange(n_l * n_h), s, net, None)
+        h_hat = decode_mat(
+            params, tokens, positions,
+            jnp.asarray(k_hat.reshape(n_l, n_h, s, dk)),
+            jnp.asarray(v_hat.reshape(n_l, n_h, s, dv)),
+        )
+        one_k = [(np.asarray(w)[0], np.asarray(b)[0]) for w, b in fit_k.params]
+        one_v = [(np.asarray(w)[0], np.asarray(b)[0]) for w, b in fit_v.params]
+        mat_bytes = n_h * (
+            param_bytes(one_k, "fp16") + param_bytes(one_v, "fp16")
+        )
+        strategies["materialized"].append(
+            {
+                "config": cfg_name,
+                "stored_bytes_per_layer": mat_bytes,
+                "compression_vs_raw_fp16": raw_mat_bytes / mat_bytes,
+                "fit_cosine_k": float(np.mean(fit_k.cosine_mean)),
+                "fit_cosine_v": float(np.mean(fit_v.cosine_mean)),
+                "output_cosine": out_cos(h_hat),
+            }
+        )
+
+        # latent: one net per layer
+        fit_l = fit_batch(
+            lat_np, net, epochs=epochs, seed=seed + 2, impl=impl
+        )
+        lat_hat = _reconstruct(fit_l, np.arange(n_l), s, net, None)
+        h_hat_l = decode_lat(
+            params, tokens, positions, jnp.asarray(lat_hat.reshape(n_l, s, dl))
+        )
+        one_l = [(np.asarray(w)[0], np.asarray(b)[0]) for w, b in fit_l.params]
+        lat_bytes = param_bytes(one_l, "fp16")
+        strategies["latent"].append(
+            {
+                "config": cfg_name,
+                "stored_bytes_per_layer": lat_bytes,
+                "compression_vs_raw_fp16": raw_mat_bytes / lat_bytes,
+                "fit_cosine_latent": float(np.mean(fit_l.cosine_mean)),
+                "output_cosine": out_cos(h_hat_l),
+            }
+        )
+        if verbose:
+            m, l = strategies["materialized"][-1], strategies["latent"][-1]
+            print(
+                f"  {cfg_name}: materialized {m['compression_vs_raw_fp16']:.1f}x"
+                f" fit K {m['fit_cosine_k']:.4f}/V {m['fit_cosine_v']:.4f}"
+                f" out {m['output_cosine']:.4f} | latent "
+                f"{l['compression_vs_raw_fp16']:.1f}x fit "
+                f"{l['fit_cosine_latent']:.4f} out {l['output_cosine']:.4f}"
+            )
+
+    results = {
+        "model": {
+            "num_hidden_layers": n_l,
+            "num_attention_heads": n_h,
+            "kv_lora_rank": kv_lora_rank,
+            "qk_nope_head_dim": qk_nope_head_dim,
+            "qk_rope_head_dim": qk_rope_head_dim,
+            "v_head_dim": v_head_dim,
+            "hidden_size": hidden_size,
+            "seq_len": s,
+            "n_queries": n_queries,
+            "latent_dim": dl,
+            "materialized_per_token": n_h * (dk + dv),
+        },
+        "epochs": epochs,
+        "seed": seed,
+        "raw_materialized_fp16_bytes_per_layer": raw_mat_bytes,
+        "raw_latent_fp16_bytes_per_layer": raw_lat_bytes,
+        "baselines": baselines,
+        "strategies": strategies,
+        "wall_seconds": time.perf_counter() - t0,
+    }
+    with open(output_dir / "mla_latent_study.json", "w") as f:
+        json.dump(results, f, indent=2)
+    if verbose:
+        print(
+            f"Done in {results['wall_seconds']:.0f}s -> "
+            f"{output_dir / 'mla_latent_study.json'}"
+        )
+    return results
+
+
+def plot_study(results: dict, output_dir: Path) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7.0, 4.8))
+    for name, marker in (("materialized", "o"), ("latent", "s")):
+        rows = results["strategies"][name]
+        xs = [r["compression_vs_raw_fp16"] for r in rows]
+        ys = [r["output_cosine"] for r in rows]
+        ax.plot(xs, ys, f"-{marker}", ms=5, label=f"SIREN on {name}")
+        for r in rows:
+            ax.annotate(
+                r["config"], (r["compression_vs_raw_fp16"], r["output_cosine"]),
+                fontsize=7, xytext=(3, 3), textcoords="offset points",
+            )
+    for name, marker, color in (
+        ("latent_fp16", "D", "0.3"), ("latent_int8", "^", "0.5"),
+    ):
+        b = results["baselines"][name]
+        ax.plot(
+            b["compression_vs_raw_fp16"], b["output_cosine"], marker,
+            ms=7, color=color, label=f"{name} (no fit)",
+        )
+    ax.set_xscale("log")
+    ax.set_xlabel("compression vs raw fp16 materialized cache (per layer)")
+    ax.set_ylabel("output cosine vs true-cache decode")
+    ax.set_title(
+        "MLA: fit the latent or fit the materialized cache?"
+    )
+    ax.grid(alpha=0.3, which="both")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "mla_latent_study.png", dpi=130)
+    plt.close(fig)
+    print(f"  Saved {Path(output_dir) / 'mla_latent_study.png'}")
+
+
+def main(argv=None) -> None:
+    from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--output_dir", type=Path, default=Path("results/mla_latent"))
+    parser.add_argument("--seq_len", type=int, default=512)
+    parser.add_argument("--epochs", type=int, default=2000)
+    parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--heads", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--configs", type=str, default=",".join(DEFAULT_CONFIGS),
+        help="comma-separated SIREN config names to sweep",
+    )
+    parser.add_argument("--impl", type=str, default="auto")
+    args = parser.parse_args(argv)
+    results = run_study(
+        args.output_dir,
+        seq_len=args.seq_len,
+        epochs=args.epochs,
+        num_layers=args.layers,
+        num_heads=args.heads,
+        configs=tuple(c.strip() for c in args.configs.split(",") if c.strip()),
+        seed=args.seed,
+        impl=args.impl,
+    )
+    plot_study(results, args.output_dir)
+
+
+if __name__ == "__main__":
+    main()
