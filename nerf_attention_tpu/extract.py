@@ -272,6 +272,30 @@ def extract_kv_cache_jax(
     the layer axis (PP, ``llama_prefill_kv_pp``); ``expert_mesh`` shards a
     sparse-MoE checkpoint's expert axis (EP, Mixtral).
     """
+    import json as _json
+
+    config_path = Path(model_dir) / "config.json"
+    if config_path.exists():
+        with open(config_path) as f:
+            model_type = _json.load(f).get("model_type")
+        if model_type in ("deepseek_v2", "deepseek_v3"):
+            # MLA family: its own prefill (latent + materialized surfaces,
+            # K/V head dims differ). Mesh sharding not implemented for MLA.
+            if any(m is not None for m in (mesh, seq_mesh, pipe_mesh, expert_mesh)):
+                raise NotImplementedError(
+                    "mesh-sharded extraction is not implemented for the MLA "
+                    "family (deepseek_v2/v3) — run single-device"
+                )
+            from nerf_attention_tpu.models.mla_jax import extract_kv_with_jax_mla
+
+            return extract_kv_with_jax_mla(
+                model_dir,
+                seq_len=seq_len,
+                output_dir=Path(output_dir),
+                text=text if text is not None else get_sample_text(),
+                state=state,
+            )
+
     from nerf_attention_tpu.models.llama_jax import extract_kv_with_jax_llama
 
     return extract_kv_with_jax_llama(

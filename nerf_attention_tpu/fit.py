@@ -160,6 +160,16 @@ def fit_kv_cache(
         resolve_impl(impl, config=c)
     output_dir.mkdir(parents=True, exist_ok=True)
     metadata = kvstore.load_metadata(kv_dir)
+    if metadata.v_head_dim not in (None, metadata.head_dim):
+        # MLA caches (DeepSeek): K and V rows have different widths, which
+        # this sweep's single stacked batch cannot hold. The right fit
+        # target there is the latent surface anyway — fail with the path.
+        raise NotImplementedError(
+            f"this cache has asymmetric K/V head dims ({metadata.head_dim} "
+            f"vs {metadata.v_head_dim} — an MLA extraction); the sweep "
+            "driver fits uniform tensors. Fit the latent surface instead "
+            "(tools/mla_latent_study.py / parallel.sweep.fit_batch)"
+        )
 
     if verbose:
         print(f"KV Cache: {metadata.num_layers} layers x {metadata.num_kv_heads} heads")

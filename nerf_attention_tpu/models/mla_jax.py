@@ -643,6 +643,80 @@ def mla_decode_step_latent(
     return h[0], lat_new[:, None, :] if lat_new.ndim == 2 else lat_new, entropy
 
 
+def extract_kv_with_jax_mla(
+    model_dir,
+    seq_len: int,
+    output_dir: Path,
+    text: str,
+    dtype=jnp.bfloat16,
+    state: dict | None = None,
+    save_latent: bool = True,
+):
+    """Native MLA extraction: tokenize, prefill, persist BOTH cache surfaces.
+
+    The materialized per-head K/V go into the standard per-layer layout
+    (`io/kvstore.py`) with ``metadata.v_head_dim`` recording the MLA
+    asymmetry (K rows are qk_head_dim wide, V rows v_head_dim); the
+    latent cache (L, S, kv_lora_rank + rope_dim) lands beside them as
+    ``latents.npy`` — the surface `tools/mla_latent_study.py` fits and
+    `mla_decode_step_latent` serves. Same ``state`` reuse contract as
+    `llama_jax.extract_kv_with_jax_llama`.
+    """
+    from transformers import AutoTokenizer
+
+    from nerf_attention_tpu.io import kvstore
+    from nerf_attention_tpu.types import KVMetadata
+
+    state = state if state is not None else {}
+    if state.get("model_dir") != (str(model_dir), str(dtype)):
+        print(f"Loading {model_dir} into JAX (MLA)...")
+        config, params = load_mla_params(Path(model_dir), dtype=dtype)
+        state.update(
+            model_dir=(str(model_dir), str(dtype)),
+            config=config,
+            params=params,
+            tokenizer=AutoTokenizer.from_pretrained(model_dir),
+        )
+    config, params = state["config"], state["params"]
+    ids = np.asarray(
+        state["tokenizer"](text, truncation=True, max_length=seq_len)[
+            "input_ids"
+        ]
+    )
+    print(f"Sequence length: {len(ids)} tokens")
+
+    print("Running MLA prefill...")
+    keys, values, latents = mla_prefill_kv(
+        config, params, jnp.asarray(ids, jnp.int32), return_latent=True
+    )
+    keys = np.asarray(keys, dtype=np.float32)
+    values = np.asarray(values, dtype=np.float32)
+
+    output_dir = Path(output_dir)
+    for i in range(config.num_hidden_layers):
+        kvstore.save_layer(output_dir, i, keys[i], values[i])
+    if save_latent:
+        np.save(
+            output_dir / "latents.npy", np.asarray(latents, dtype=np.float32)
+        )
+    metadata = KVMetadata(
+        model_name=str(model_dir),
+        num_layers=config.num_hidden_layers,
+        num_kv_heads=config.num_attention_heads,
+        seq_len=int(len(ids)),
+        head_dim=config.qk_head_dim,
+        actual_tokens=int(len(ids)),
+        v_head_dim=config.v_head_dim,
+    )
+    kvstore.save_metadata(output_dir, metadata)
+    print(
+        f"Saved {config.num_hidden_layers} layers"
+        + (" + latents.npy" if save_latent else "")
+        + f" to {output_dir}/"
+    )
+    return metadata
+
+
 # ---------------------------------------------------------------------------
 # Weight loading and random init
 # ---------------------------------------------------------------------------

@@ -72,9 +72,13 @@ class KVMetadata:
     head_dim: int
     actual_tokens: int
     dtype: str = "float32"  # on-disk dtype; KV caches are natively fp16/bf16
+    # MLA caches (DeepSeek, models/mla_jax.py) have a VALUE head dim that
+    # differs from the key head dim; None (every other family) keeps the
+    # reference schema byte-identical — the key is only emitted when set.
+    v_head_dim: int | None = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "model_name": self.model_name,
             "num_layers": self.num_layers,
             "num_kv_heads": self.num_kv_heads,
@@ -83,6 +87,9 @@ class KVMetadata:
             "actual_tokens": self.actual_tokens,
             "dtype": self.dtype,
         }
+        if self.v_head_dim is not None:
+            d["v_head_dim"] = self.v_head_dim
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "KVMetadata":

@@ -292,6 +292,69 @@ def test_from_hf_dict_rejections():
         )
 
 
+def test_extract_cli_dispatch_and_fit_guard(tiny_hf_v3, tmp_path):
+    """`extract --backend jax` on a deepseek dir routes to the MLA path:
+    standard per-layer layout + latents.npy + v_head_dim metadata; the
+    sweep driver refuses the asymmetric cache with a pointer to the
+    latent tools; analyze runs on it unchanged."""
+    d, _ = tiny_hf_v3
+    kv_dir = tmp_path / "kv"
+
+    from nerf_attention_tpu.extract import extract_kv_cache_jax
+    from nerf_attention_tpu.io import kvstore
+
+    class _FakeTok:
+        """Tiny model dirs ship no tokenizer; the extraction contract only
+        needs input_ids, so a pre-primed state dict stands in for it."""
+
+        def __call__(self, text, truncation=True, max_length=None):
+            return {"input_ids": list(range(2, 2 + min(max_length, 16)))}
+
+    import nerf_attention_tpu.models.mla_jax as mla
+
+    config, params = load_mla_params(d)
+    state = {
+        "model_dir": (str(d), str(jnp.bfloat16)),
+        "config": config,
+        "params": params,
+        "tokenizer": _FakeTok(),
+    }
+    meta = mla.extract_kv_with_jax_mla(
+        d, seq_len=12, output_dir=kv_dir, text="x " * 40, state=state
+    )
+    assert meta.v_head_dim == config.v_head_dim
+    assert meta.head_dim == config.qk_head_dim
+    assert meta.num_kv_heads == config.num_attention_heads
+    keys, values = kvstore.load_layer(kv_dir, 0)
+    assert keys.shape[-1] == config.qk_head_dim
+    assert values.shape[-1] == config.v_head_dim
+    lat = np.load(kv_dir / "latents.npy")
+    assert lat.shape == (3, 12, config.latent_dim)
+    # metadata round-trips the optional field; plain caches omit it
+    assert kvstore.load_metadata(kv_dir).v_head_dim == config.v_head_dim
+
+    from nerf_attention_tpu.fit import fit_kv_cache
+
+    with pytest.raises(NotImplementedError, match="asymmetric K/V head dims"):
+        fit_kv_cache(kv_dir, tmp_path / "fits", epochs=1, quick=True)
+
+    from nerf_attention_tpu.analyze import analyze_kv_cache
+
+    analysis = analyze_kv_cache(kv_dir, tmp_path / "analysis")
+    assert len(analysis.layer_summaries) == 3
+
+    # the dispatch itself: extract_kv_cache_jax peeks model_type and
+    # rejects mesh modes for MLA
+    from jax.sharding import Mesh
+    import jax as _jax
+
+    with pytest.raises(NotImplementedError, match="mesh-sharded extraction"):
+        extract_kv_cache_jax(
+            str(d), 12, tmp_path / "kv2",
+            mesh=Mesh(np.array(_jax.devices()[:1]), ("tp",)),
+        )
+
+
 def test_init_random_mla_dense_only_roundtrip():
     """All-dense config (first_k >= L): single scan, no moe leaves; the
     decode step and latent path still line up."""
