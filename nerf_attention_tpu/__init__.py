@@ -40,7 +40,9 @@ from nerf_attention_tpu.models.mla_jax import (
     MLAConfig,
     load_mla_params,
     materialize_from_latent,
+    mla_decode_rollout,
     mla_decode_step,
+    mla_decode_step_absorbed,
     mla_decode_step_latent,
     mla_prefill_kv,
 )
@@ -132,7 +134,9 @@ __all__ = [
     "MLAConfig",
     "load_mla_params",
     "materialize_from_latent",
+    "mla_decode_rollout",
     "mla_decode_step",
+    "mla_decode_step_absorbed",
     "mla_decode_step_latent",
     "mla_prefill_kv",
     "fm_frequency_multipliers",

@@ -378,19 +378,19 @@ def _moe_ffn(config: MLAConfig, x: jax.Array, lp: dict, act) -> jax.Array:
     return out
 
 
-def _mla_qkv(config: MLAConfig, x: jax.Array, lp: dict, cos, sin):
-    """Queries, materialized K/V, and the latent rows for S tokens.
+def _q_and_latent(config: MLAConfig, x: jax.Array, lp: dict, cos, sin):
+    """Per-token queries (split) and latent rows for S tokens.
 
-    Returns (q (H, S, qk_head_dim), k (H, S, qk_head_dim),
-    v (H, S, v_head_dim), latent (S, kv_lora_rank + rope_dim)). The
-    latent stores the NORMED compressed part and the POST-RoPE rope
-    stub, so ``materialize_from_latent`` is one matmul + broadcast.
+    Returns (q_nope (H, S, nope), q_pe (H, S, rope) post-RoPE,
+    latent (S, kv_lora_rank + rope_dim)). The latent stores the NORMED
+    compressed part and the POST-RoPE rope stub, so
+    ``materialize_from_latent`` is one matmul + broadcast. Shared by the
+    materializing path (`_mla_qkv`) and the absorbed decode, which never
+    expands the latent at all.
     """
     s = x.shape[0]
     n_q = config.num_attention_heads
-    nope, rope, dv = (
-        config.qk_nope_head_dim, config.qk_rope_head_dim, config.v_head_dim,
-    )
+    nope, rope = config.qk_nope_head_dim, config.qk_rope_head_dim
 
     if config.q_lora_rank is None:
         q = x @ lp["q"]
@@ -406,8 +406,21 @@ def _mla_qkv(config: MLAConfig, x: jax.Array, lp: dict, cos, sin):
     k_pe = ckv[None, :, config.kv_lora_rank :]  # (1, S, rope) — MQA stub
     q_pe = _apply_rope_mla(config, q_pe, cos, sin)
     k_pe = _apply_rope_mla(config, k_pe, cos, sin)
-
     latent = jnp.concatenate([c, k_pe[0]], axis=-1)
+    return q_nope, q_pe, latent
+
+
+def _mla_qkv(config: MLAConfig, x: jax.Array, lp: dict, cos, sin):
+    """Queries, materialized K/V, and the latent rows for S tokens.
+
+    Returns (q (H, S, qk_head_dim), k (H, S, qk_head_dim),
+    v (H, S, v_head_dim), latent (S, kv_lora_rank + rope_dim)).
+    """
+    s = x.shape[0]
+    n_q = config.num_attention_heads
+    rope = config.qk_rope_head_dim
+    q_nope, q_pe, latent = _q_and_latent(config, x, lp, cos, sin)
+    c, k_pe = latent[:, : config.kv_lora_rank], latent[None, :, config.kv_lora_rank :]
     k_nope, v = _expand_latent(config, c, lp["kv_b"])
     q = jnp.concatenate([q_nope, q_pe], axis=-1)
     k = jnp.concatenate(
@@ -447,6 +460,16 @@ def materialize_from_latent(
     return k, v
 
 
+def _ffn_tail(config: MLAConfig, h, attn_flat, lp, moe: bool):
+    """Residual attention-output projection + (dense | MoE) FFN block."""
+    h = h + attn_flat @ lp["o"]
+    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps)
+    act = _mlp_act(config.hidden_act)
+    if moe:
+        return h + _moe_ffn(config, x, lp, act)
+    return h + (act(x @ lp["gate"]) * (x @ lp["up"])) @ lp["down"]
+
+
 def _mla_layer_forward(config: MLAConfig, h, lp, cos, sin, moe: bool):
     """One decoder layer over S tokens. Returns (h, (k, v, latent))."""
     s = h.shape[0]
@@ -456,13 +479,7 @@ def _mla_layer_forward(config: MLAConfig, h, lp, cos, sin, moe: bool):
     attn = attn.transpose(1, 0, 2).reshape(
         s, config.num_attention_heads * config.v_head_dim
     )
-    h = h + attn @ lp["o"]
-    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps)
-    act = _mlp_act(config.hidden_act)
-    if moe:
-        h = h + _moe_ffn(config, x, lp, act)
-    else:
-        h = h + (act(x @ lp["gate"]) * (x @ lp["up"])) @ lp["down"]
+    h = _ffn_tail(config, h, attn, lp, moe)
     return h, (k, v, latent)
 
 
@@ -536,13 +553,7 @@ def _mla_layer_decode(config: MLAConfig, h, lp, cache_k, cache_v, position,
     )  # (H,)
     attn = jnp.einsum("hqk,hkd->hqd", probs, v_full)
     attn = attn.transpose(1, 0, 2).reshape(1, n_q * config.v_head_dim)
-    h = h + attn @ lp["o"]
-    x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps)
-    act = _mlp_act(config.hidden_act)
-    if moe:
-        h = h + _moe_ffn(config, x, lp, act)
-    else:
-        h = h + (act(x @ lp["gate"]) * (x @ lp["up"])) @ lp["down"]
+    h = _ffn_tail(config, h, attn, lp, moe)
     return h, (k, v, entropy, latent)
 
 
@@ -641,6 +652,140 @@ def mla_decode_step_latent(
         else outs[0]
     )
     return h[0], lat_new[:, None, :] if lat_new.ndim == 2 else lat_new, entropy
+
+
+def _mla_layer_decode_absorbed(config: MLAConfig, h, lp, cache_lat, position,
+                               cos, sin, moe: bool):
+    """One layer, one query, attention computed IN latent space.
+
+    DeepSeek's weight-absorption serving identity: since
+    k_nope = c @ W_uk and v = c @ W_uv are linear in the latent,
+
+        q_nope · k_nope = (q_nope @ W_uk^T) · c        (absorb W_uk into q)
+        probs @ v       = (probs @ c) @ W_uv           (absorb W_uv into out)
+
+    so the S-length work is two (S, kv_lora_rank) contractions against
+    the SHARED latent plus the MQA rope-stub scores — per-head K/V are
+    never formed. Per step per layer that replaces the latent path's
+    S·r·H·(nope+dv) rematerialization FLOPs with ~2·S·H·r and reads
+    latent_dim bytes/token instead of H·(qk+v) (8× at DeepSeek-V2-Lite
+    geometry, 71× at V3). Same mask/entropy semantics as
+    `_mla_layer_decode`. Returns (h, (latent_new, entropy))."""
+    n_q = config.num_attention_heads
+    r, nope, dv = config.kv_lora_rank, config.qk_nope_head_dim, config.v_head_dim
+    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
+    q_nope, q_pe, latent_new = _q_and_latent(config, x, lp, cos, sin)
+
+    lat_full = jnp.concatenate([cache_lat, latent_new], axis=0)  # (S+1, r+rope)
+    c_full, pe_full = lat_full[:, :r], lat_full[:, r:]
+    kv_b = lp["kv_b"].reshape(r, n_q, nope + dv)
+    w_uk, w_uv = kv_b[..., :nope], kv_b[..., nope:]
+    q_lat = jnp.einsum("hqn,rhn->hqr", q_nope, w_uk)  # (H, 1, r)
+    logits = (
+        jnp.einsum(
+            "hqr,kr->hqk", q_lat, c_full, preferred_element_type=jnp.float32
+        )
+        + jnp.einsum(
+            "hqp,kp->hqk", q_pe, pe_full, preferred_element_type=jnp.float32
+        )
+    ) * jnp.float32(config.attn_scale)
+    cols = jnp.arange(lat_full.shape[0])
+    keep = (cols < position) | (cols == lat_full.shape[0] - 1)
+    logits = jnp.where(keep[None, None, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(lat_full.dtype)
+    p32 = probs.astype(jnp.float32)
+    entropy = -jnp.sum(
+        jnp.where(p32 > 0, p32 * jnp.log(p32), 0.0), axis=(-2, -1)
+    )  # (H,)
+    o_lat = jnp.einsum("hqk,kr->hqr", probs, c_full)  # (H, 1, r)
+    attn = jnp.einsum("hqr,rhd->hqd", o_lat, w_uv)  # (H, 1, dv)
+    attn = attn.transpose(1, 0, 2).reshape(1, n_q * dv)
+    h = _ffn_tail(config, h, attn, lp, moe)
+    return h, (latent_new, entropy)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def mla_decode_step_absorbed(
+    config: MLAConfig,
+    params: dict,
+    token_id: jax.Array,
+    position: jax.Array,
+    cache_latent: jax.Array,
+):
+    """One decode step over the latent cache WITHOUT rematerialization —
+    the weight-absorbed MLA serving path (`_mla_layer_decode_absorbed`).
+
+    Same signature and return contract as `mla_decode_step_latent`
+    (h_last (hidden,), latent_new (L, 1, latent_dim), entropy (L, H));
+    numerically equal up to matmul re-association (parity-tested). This
+    is the step a production MLA server runs: per-token state is
+    latent_dim wide, per-head K/V never exist."""
+    h = params["embed"][token_id][None, :]
+    position = jnp.asarray(position, jnp.int32)
+    cos, sin = _rope_tables(config, position[None], h.dtype)
+    n_dense = config.num_dense_layers
+    outs = []
+
+    def run(layers, moe: bool, h, lat):
+        def scan_layer(h, xs):
+            lp, lat_c = xs
+            return _mla_layer_decode_absorbed(
+                config, h, lp, lat_c, position, cos, sin, moe
+            )
+
+        return jax.lax.scan(scan_layer, h, (layers, lat))
+
+    if "dense_layers" in params:
+        h, out = run(params["dense_layers"], False, h, cache_latent[:n_dense])
+        outs.append(out)
+    if "moe_layers" in params:
+        h, out = run(params["moe_layers"], True, h, cache_latent[n_dense:])
+        outs.append(out)
+    lat_new, entropy = (
+        tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+        if len(outs) > 1
+        else outs[0]
+    )
+    return h[0], lat_new, entropy
+
+
+def mla_decode_rollout(
+    config: MLAConfig,
+    params: dict,
+    token_ids: jax.Array,
+    start_position: jax.Array,
+    cache_latent: jax.Array,
+):
+    """T absorbed decode steps in ONE jitted scan — the MLA serving loop.
+
+    The latent twin of `llama_jax.llama_decode_rollout`: ``cache_latent``
+    (L, S_buf, latent_dim) is a PRE-ALLOCATED buffer whose rows
+    [0, start_position) hold the filled prefix (true latents or any
+    reconstruction); token t decodes at ``start_position + t`` via the
+    absorbed step and appends its own latent row, so later tokens attend
+    earlier generated ones. Per-token carried state is latent_dim wide —
+    the whole rollout's cache traffic is the compressed representation.
+    Returns (h (T, hidden), filled latent buffer,
+    lat_new (T, L, 1, latent_dim), entropy (T, L, H))."""
+    t_steps = token_ids.shape[0]
+    positions = jnp.asarray(start_position, jnp.int32) + jnp.arange(
+        t_steps, dtype=jnp.int32
+    )
+
+    def step(lat_buf, xs):
+        tok, pos = xs
+        h, lat_new, ent = mla_decode_step_absorbed(
+            config, params, tok, pos, lat_buf
+        )
+        lat_buf = jax.lax.dynamic_update_slice(
+            lat_buf, lat_new, (0, pos, 0)
+        )
+        return lat_buf, (h, lat_new, ent)
+
+    lat_buf, (hs, lat_new, ents) = jax.lax.scan(
+        step, cache_latent, (token_ids, positions)
+    )
+    return hs, lat_buf, lat_new, ents
 
 
 def extract_kv_with_jax_mla(

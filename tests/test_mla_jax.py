@@ -23,7 +23,9 @@ from nerf_attention_tpu.models.mla_jax import (
     init_random_mla,
     load_mla_params,
     materialize_from_latent,
+    mla_decode_rollout,
     mla_decode_step,
+    mla_decode_step_absorbed,
     mla_decode_step_latent,
     mla_prefill_kv,
 )
@@ -241,6 +243,64 @@ def test_latent_cache_is_exact(tiny_hf_v3):
     np.testing.assert_array_equal(np.asarray(ent_mat), np.asarray(ent_lat))
     np.testing.assert_allclose(
         np.asarray(lat_new[:, 0, :]), np.asarray(latents[:, s, :]), atol=1e-5
+    )
+
+
+def test_absorbed_decode_matches_latent(tiny_hf_v3):
+    """Weight absorption is a re-association, not an approximation: the
+    absorbed step (attention in latent space, per-head K/V never formed)
+    reproduces the rematerializing latent step through dense + MoE
+    layers to fp32 matmul-reassociation tolerance."""
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    _, _, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    s = 6
+    h_lat, lat_new_l, ent_lat = mla_decode_step_latent(
+        config, params, ids[s], s, latents[:, :s, :]
+    )
+    h_abs, lat_new_a, ent_abs = mla_decode_step_absorbed(
+        config, params, ids[s], s, latents[:, :s, :]
+    )
+    assert lat_new_a.shape == (3, 1, config.latent_dim)
+    np.testing.assert_allclose(
+        np.asarray(h_abs), np.asarray(h_lat), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ent_abs), np.asarray(ent_lat), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_new_a), np.asarray(lat_new_l), atol=1e-5
+    )
+
+
+def test_mla_decode_rollout_replays_prefill(tiny_hf_v3):
+    """The absorbed rollout is autoregressive-consistent: replaying the
+    prefill's tokens over a pre-allocated latent buffer reproduces the
+    prefill's latent rows, and its last hidden state equals the
+    single-step absorbed decode at that position."""
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    _, _, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    start = 5
+    buf = jnp.zeros((3, len(IDS), config.latent_dim))
+    buf = buf.at[:, :start, :].set(latents[:, :start, :])
+    hs, lat_buf, lat_new, ents = mla_decode_rollout(
+        config, params, ids[start:], start, buf
+    )
+    t = len(IDS) - start
+    assert hs.shape == (t, config.hidden_size)
+    assert lat_new.shape == (t, 3, 1, config.latent_dim)
+    assert ents.shape == (t, 3, config.num_attention_heads)
+    np.testing.assert_allclose(
+        np.asarray(lat_buf), np.asarray(latents), atol=1e-5
+    )
+    h_last, _, _ = mla_decode_step_absorbed(
+        config, params, ids[-1], len(IDS) - 1, latents[:, :-1, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs[-1]), np.asarray(h_last), atol=1e-5, rtol=1e-5
     )
 
 
