@@ -45,6 +45,7 @@ from nerf_attention_tpu.models.mla_jax import (
     mla_decode_step_absorbed,
     mla_decode_step_latent,
     mla_prefill_kv,
+    shard_mla_params,
 )
 from nerf_attention_tpu.synthetic import generate_synthetic_kv
 from nerf_attention_tpu.analyze import analyze_kv_cache
@@ -139,6 +140,7 @@ __all__ = [
     "mla_decode_step_absorbed",
     "mla_decode_step_latent",
     "mla_prefill_kv",
+    "shard_mla_params",
     "fm_frequency_multipliers",
     "siren_apply_fm",
     "siren_apply_maybe_fm",

@@ -962,6 +962,91 @@ def load_mla_params(model_dir: Path, dtype=jnp.float32):
     return config, params
 
 
+def shard_mla_params(
+    params: dict, mesh, axis: str | None = "tp", expert_axis: str | None = None
+) -> dict:
+    """Tensor-/expert-shard the MLA weight pytree over a mesh.
+
+    The MLA twin of `llama_jax.shard_llama_params` — same GSPMD recipe
+    (device_put with NamedSharding, run the unmodified forward under
+    jit), but the TP layout reflects what MLA actually shares:
+
+      * The LATENT path replicates. ``kv_a`` projects every token to one
+        shared (r + rope) row — there is no head dimension to split, and
+        the whole point of the architecture is that this state is small.
+        Every TP rank holds the full latent cache (MQA-style), so decode
+        needs NO collective on the cache itself.
+      * Heads split Megatron-style. ``q``/``q_b`` and ``kv_b`` shard
+        their head-major flattened output dim, ``o`` its input dim — the
+        per-head absorbed contractions (`_mla_layer_decode_absorbed`)
+        then run rank-local and the block's single all-reduce is the
+        o-projection's.
+      * ``q_a`` (the query LoRA down-projection) replicates: its output
+        is the shared q_lora_rank vector, normed before ``q_b``.
+      * MoE: the router (and V3's e_score_correction_bias) replicates —
+        every rank reproduces the same top-k choice; ``expert_axis``
+        shards the EXPERT dim of w1/w3/w2 (EP: the combine einsum
+        contracts experts in one all-reduce); otherwise experts shard
+        their intermediate dim over ``axis`` like the dense MLP. Shared
+        experts are a dense MLP — always Megatron over ``axis``.
+
+    ``axis=None`` replicates attention/dense weights (pure EP serving).
+    A 2-D ``Mesh(devs.reshape(ep, tp), ("ep", "tp"))`` composes both.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def attn_specs(lp: dict) -> dict:
+        specs = {
+            "kv_a": P(None, None, None),
+            "kv_a_norm": P(None, None),
+            "kv_b": P(None, None, axis),
+            "o": P(None, axis, None),
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+        }
+        if "q" in lp:
+            specs["q"] = P(None, None, axis)
+        else:
+            specs["q_a"] = P(None, None, None)
+            specs["q_a_norm"] = P(None, None)
+            specs["q_b"] = P(None, None, axis)
+        return specs
+
+    out = {"embed": put(params["embed"], P(None, None))}
+    if "dense_layers" in params:
+        lp = params["dense_layers"]
+        specs = attn_specs(lp)
+        specs.update(
+            gate=P(None, None, axis), up=P(None, None, axis),
+            down=P(None, axis, None),
+        )
+        out["dense_layers"] = {k: put(v, specs[k]) for k, v in lp.items()}
+    if "moe_layers" in params:
+        lp = params["moe_layers"]
+        if expert_axis is not None and "router" not in lp:
+            raise ValueError("expert_axis given but no MoE leaves present")
+        specs = attn_specs(lp)
+        specs["router"] = P(None, None, None)
+        specs["router_bias"] = P(None, None)
+        if expert_axis is not None:
+            e_spec = P(None, expert_axis, None, None)
+            specs.update(w1=e_spec, w3=e_spec, w2=e_spec)
+        else:
+            specs.update(
+                w1=P(None, None, None, axis), w3=P(None, None, None, axis),
+                w2=P(None, None, axis, None),
+            )
+        specs.update(
+            shared_gate=P(None, None, axis), shared_up=P(None, None, axis),
+            shared_down=P(None, axis, None),
+        )
+        out["moe_layers"] = {k: put(v, specs[k]) for k, v in lp.items()}
+    return out
+
+
 def init_random_mla(config: MLAConfig, seed: int = 0, dtype=jnp.float32) -> dict:
     """Random small-scale init (tests / hermetic studies without weights)."""
     rng = np.random.RandomState(seed)

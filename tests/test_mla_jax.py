@@ -304,6 +304,90 @@ def test_mla_decode_rollout_replays_prefill(tiny_hf_v3):
     )
 
 
+def test_mla_tp_prefill_parity(tiny_hf_v3):
+    """Head-sharded q/kv_b/o with a REPLICATED latent path reproduces the
+    unsharded prefill (K, V, and the latent rows) on a 4-way TP mesh —
+    the MLA twin of `test_shard_llama_params_tp_mesh`."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.mla_jax import shard_mla_params
+
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    k_ref, v_ref, lat_ref = mla_prefill_kv(config, params, ids, return_latent=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sharded = shard_mla_params(params, mesh)
+    k_tp, v_tp, lat_tp = mla_prefill_kv(config, sharded, ids, return_latent=True)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lat_tp), np.asarray(lat_ref), atol=1e-4)
+
+
+def test_mla_tp_absorbed_decode_parity(tiny_hf_v3):
+    """The absorbed serving step under TP: per-head latent contractions run
+    rank-local against the replicated latent cache, one all-reduce at the
+    o-projection — output, new latent row, and per-head entropies match
+    the unsharded step."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.mla_jax import shard_mla_params
+
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    _, _, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    s = 6
+    h_ref, lat_ref, ent_ref = mla_decode_step_absorbed(
+        config, params, ids[s], s, latents[:, :s, :]
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sharded = shard_mla_params(params, mesh)
+    h_tp, lat_tp, ent_tp = mla_decode_step_absorbed(
+        config, sharded, ids[s], s, latents[:, :s, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_tp), np.asarray(h_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(lat_tp), np.asarray(lat_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ent_tp), np.asarray(ent_ref), atol=1e-4)
+
+
+def test_mla_tp_ep_2d_mesh_parity(tiny_hf_v3):
+    """2-D (ep, tp) mesh: attention tensor-parallel x routed experts
+    expert-parallel in one program — prefill and the absorbed rollout
+    both match single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.mla_jax import shard_mla_params
+
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    k_ref, v_ref, lat_ref = mla_prefill_kv(config, params, ids, return_latent=True)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("ep", "tp"))
+    sharded = shard_mla_params(params, mesh, axis="tp", expert_axis="ep")
+    k_2d, v_2d, _ = mla_prefill_kv(config, sharded, ids, return_latent=True)
+    np.testing.assert_allclose(np.asarray(k_2d), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_2d), np.asarray(v_ref), atol=1e-4)
+
+    start = 5
+    buf = jnp.zeros((3, len(IDS), config.latent_dim))
+    buf = buf.at[:, :start, :].set(lat_ref[:, :start, :])
+    hs_ref, _, _, _ = mla_decode_rollout(config, params, ids[start:], start, buf)
+    hs_2d, _, _, _ = mla_decode_rollout(config, sharded, ids[start:], start, buf)
+    np.testing.assert_allclose(
+        np.asarray(hs_2d), np.asarray(hs_ref), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_latent_cache_is_smaller_than_materialized(tiny_hf_v3):
     """The architecture's own compression: latent bytes per token vs the
     materialized cache's H * (qk + v) — the ratio the latent study trades

@@ -26,9 +26,11 @@ kv_b-expansion of the same latents), so the tool also records cross-path
 output cosines at the first ladder point. Timing is the dependent-loop
 two-point protocol (`utils/timing.py`): each iteration's position is
 perturbed by (mean(h) * 1e-30 -> int32), which is 0 at runtime but
-data-dependent, so steps serialize and nothing hoists. Caches ride as
-traced operands, not closure constants (a closed-over GB-scale cache
-overflows the tunnel's remote-compile payload — HTTP 413, measured).
+data-dependent, so steps serialize and nothing hoists. Caches AND the
+weight pytree ride as traced operands, not closure constants (a
+closed-over pytree is baked into the compile payload as constants and
+overflows the tunnel's remote-compile body — HTTP 413, measured at this
+geometry's ~316 MB of weights).
 
 Run on the real chip:
     PYTHONPATH=/root/repo:$PYTHONPATH python tools/mla_decode_bench.py \
@@ -147,15 +149,21 @@ def main() -> None:
         return lat, jnp.stack(ks), jnp.stack(vs)
 
     def time_step(step, cache_ops, s: int):
-        """Per-iteration seconds for one decode step over these caches."""
+        """Per-iteration seconds for one decode step over these caches.
+
+        ``params`` rides as a traced operand alongside the caches — a
+        closed-over weight pytree is baked into the compile payload as
+        constants and overflows the tunnel's remote-compile body at this
+        geometry (HTTP 413, measured: ~316 MB of closure weights)."""
 
         @jax.jit
-        def run(caches, n_iter):
+        def run(p, *rest):
+            caches, n_iter = rest[:-1], rest[-1]
             pos0 = jnp.asarray(s, jnp.int32)
 
             def body(_, carry):
                 off, acc = carry
-                h = step(token, pos0 + off, *caches)[0]
+                h = step(p, token, pos0 + off, *caches)[0]
                 d = jnp.mean(h).astype(jnp.float32) * 1e-30
                 return (off + d.astype(jnp.int32), acc + d)
 
@@ -167,20 +175,20 @@ def main() -> None:
             [
                 v * 1e3
                 for v in _per_iter_samples(
-                    run, cache_ops, reps=reps, samples=args.samples
+                    run, params, *cache_ops, reps=reps, samples=args.samples
                 )
             ]
         )
 
     paths = {
-        "materialized": lambda tok, pos, ck, cv: mla_decode_step(
-            config, params, tok, pos, ck, cv
+        "materialized": lambda p, tok, pos, ck, cv: mla_decode_step(
+            config, p, tok, pos, ck, cv
         ),
-        "latent_remat": lambda tok, pos, lat: mla_decode_step_latent(
-            config, params, tok, pos, lat
+        "latent_remat": lambda p, tok, pos, lat: mla_decode_step_latent(
+            config, p, tok, pos, lat
         ),
-        "absorbed": lambda tok, pos, lat: mla_decode_step_absorbed(
-            config, params, tok, pos, lat
+        "absorbed": lambda p, tok, pos, lat: mla_decode_step_absorbed(
+            config, p, tok, pos, lat
         ),
     }
 
