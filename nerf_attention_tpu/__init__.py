@@ -79,6 +79,7 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
     siren_attention_decode,
     siren_attention_decode_fused,
 )
+from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
 from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
     build_plan,
@@ -135,6 +136,7 @@ __all__ = [
     "MLAConfig",
     "load_mla_params",
     "materialize_from_latent",
+    "mla_absorbed_attention",
     "mla_decode_rollout",
     "mla_decode_step",
     "mla_decode_step_absorbed",

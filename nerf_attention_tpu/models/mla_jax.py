@@ -655,7 +655,7 @@ def mla_decode_step_latent(
 
 
 def _mla_layer_decode_absorbed(config: MLAConfig, h, lp, cache_lat, position,
-                               cos, sin, moe: bool):
+                               cos, sin, moe: bool, attn_impl: str = "xla"):
     """One layer, one query, attention computed IN latent space.
 
     DeepSeek's weight-absorption serving identity: since
@@ -670,11 +670,35 @@ def _mla_layer_decode_absorbed(config: MLAConfig, h, lp, cache_lat, position,
     S·r·H·(nope+dv) rematerialization FLOPs with ~2·S·H·r and reads
     latent_dim bytes/token instead of H·(qk+v) (8× at DeepSeek-V2-Lite
     geometry, 71× at V3). Same mask/entropy semantics as
-    `_mla_layer_decode`. Returns (h, (latent_new, entropy))."""
+    `_mla_layer_decode`. Returns (h, (latent_new, entropy)).
+
+    ``attn_impl='pallas'`` routes the S-length work through the fused
+    one-pass kernel (`ops/mla_absorbed_pallas.py`): one cache stream
+    instead of XLA's two, no (H, S) logit round-trip; the S-independent
+    absorb/combine matmuls stay here either way."""
     n_q = config.num_attention_heads
     r, nope, dv = config.kv_lora_rank, config.qk_nope_head_dim, config.v_head_dim
     x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
     q_nope, q_pe, latent_new = _q_and_latent(config, x, lp, cos, sin)
+
+    if attn_impl == "pallas":
+        from nerf_attention_tpu.ops.mla_absorbed_pallas import (
+            mla_absorbed_attention,
+        )
+
+        kv_b = lp["kv_b"].reshape(r, n_q, nope + dv)
+        w_uk, w_uv = kv_b[..., :nope], kv_b[..., nope:]
+        q_lat = jnp.einsum("hqn,rhn->hqr", q_nope, w_uk)  # (H, 1, r)
+        q_cat = jnp.concatenate([q_lat[:, 0], q_pe[:, 0]], axis=-1)
+        o_lat, entropy = mla_absorbed_attention(
+            q_cat, cache_lat, latent_new, position,
+            kv_lora_rank=r, scale=config.attn_scale,
+        )
+        attn = jnp.einsum(
+            "hr,rhd->hd", o_lat.astype(w_uv.dtype), w_uv
+        ).reshape(1, n_q * dv)
+        h = _ffn_tail(config, h, attn, lp, moe)
+        return h, (latent_new, entropy)
 
     lat_full = jnp.concatenate([cache_lat, latent_new], axis=0)  # (S+1, r+rope)
     c_full, pe_full = lat_full[:, :r], lat_full[:, r:]
@@ -704,13 +728,14 @@ def _mla_layer_decode_absorbed(config: MLAConfig, h, lp, cache_lat, position,
     return h, (latent_new, entropy)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "attn_impl"))
 def mla_decode_step_absorbed(
     config: MLAConfig,
     params: dict,
     token_id: jax.Array,
     position: jax.Array,
     cache_latent: jax.Array,
+    attn_impl: str = "xla",
 ):
     """One decode step over the latent cache WITHOUT rematerialization —
     the weight-absorbed MLA serving path (`_mla_layer_decode_absorbed`).
@@ -719,7 +744,8 @@ def mla_decode_step_absorbed(
     (h_last (hidden,), latent_new (L, 1, latent_dim), entropy (L, H));
     numerically equal up to matmul re-association (parity-tested). This
     is the step a production MLA server runs: per-token state is
-    latent_dim wide, per-head K/V never exist."""
+    latent_dim wide, per-head K/V never exist. ``attn_impl='pallas'``
+    serves each layer's attention from the fused one-pass cache kernel."""
     h = params["embed"][token_id][None, :]
     position = jnp.asarray(position, jnp.int32)
     cos, sin = _rope_tables(config, position[None], h.dtype)
@@ -730,7 +756,7 @@ def mla_decode_step_absorbed(
         def scan_layer(h, xs):
             lp, lat_c = xs
             return _mla_layer_decode_absorbed(
-                config, h, lp, lat_c, position, cos, sin, moe
+                config, h, lp, lat_c, position, cos, sin, moe, attn_impl
             )
 
         return jax.lax.scan(scan_layer, h, (layers, lat))
@@ -755,6 +781,7 @@ def mla_decode_rollout(
     token_ids: jax.Array,
     start_position: jax.Array,
     cache_latent: jax.Array,
+    attn_impl: str = "xla",
 ):
     """T absorbed decode steps in ONE jitted scan — the MLA serving loop.
 
@@ -775,7 +802,7 @@ def mla_decode_rollout(
     def step(lat_buf, xs):
         tok, pos = xs
         h, lat_new, ent = mla_decode_step_absorbed(
-            config, params, tok, pos, lat_buf
+            config, params, tok, pos, lat_buf, attn_impl
         )
         lat_buf = jax.lax.dynamic_update_slice(
             lat_buf, lat_new, (0, pos, 0)

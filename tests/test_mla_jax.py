@@ -274,6 +274,81 @@ def test_absorbed_decode_matches_latent(tiny_hf_v3):
     )
 
 
+def test_absorbed_pallas_step_matches_xla(tiny_hf_v3):
+    """The fused one-pass cache kernel (`ops/mla_absorbed_pallas.py`) is
+    a lowering of the absorbed step, not a reformulation: h, the new
+    latent row, and the per-head entropies match the XLA absorbed step
+    through dense + MoE layers (interpret mode off-TPU)."""
+    d, _ = tiny_hf_v3
+    config, params = load_mla_params(d)
+    ids = jnp.asarray(IDS)
+    _, _, latents = mla_prefill_kv(config, params, ids, return_latent=True)
+    s = 6
+    h_x, lat_x, ent_x = mla_decode_step_absorbed(
+        config, params, ids[s], s, latents[:, :s, :]
+    )
+    h_p, lat_p, ent_p = mla_decode_step_absorbed(
+        config, params, ids[s], s, latents[:, :s, :], attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_p), np.asarray(h_x), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ent_p), np.asarray(ent_x), atol=1e-5
+    )
+    # Later layers' latent rows see an h perturbed by the kernel's matmul
+    # re-association — close, not bit-equal.
+    np.testing.assert_allclose(
+        np.asarray(lat_p), np.asarray(lat_x), atol=1e-5
+    )
+
+
+def test_absorbed_pallas_kernel_oracle():
+    """Direct kernel-vs-oracle parity where the kernel's online machinery
+    actually engages: multiple cache tiles (tile < S), a partially
+    filled pre-allocated buffer (position < S_buf, garbage rows beyond),
+    and the empty-cache edge (position=0: only the self row attends —
+    the all-masked first tiles must be annihilated, not NaN)."""
+    import jax
+
+    from nerf_attention_tpu.ops.mla_absorbed_pallas import (
+        mla_absorbed_attention,
+    )
+
+    h_heads, r, rope = 4, 16, 4
+    latent_dim = r + rope
+    s_buf = 40
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(h_heads, latent_dim), jnp.float32)
+    cache = jnp.asarray(rng.randn(s_buf, latent_dim), jnp.float32)
+    new = jnp.asarray(rng.randn(1, latent_dim), jnp.float32)
+    scale = (r + rope) ** -0.5
+
+    def oracle(pos):
+        lat_full = jnp.concatenate([cache, new], axis=0)
+        s = (q @ lat_full.T) * scale  # (H, S_buf+1)
+        cols = jnp.arange(s_buf + 1)
+        keep = (cols < pos) | (cols == s_buf)
+        s = jnp.where(keep[None, :], s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1)
+        ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0), axis=-1)
+        return p @ lat_full[:, :r], ent
+
+    for pos in (0, 7, 23, s_buf):
+        o_ref, ent_ref = oracle(pos)
+        o_k, ent_k = mla_absorbed_attention(
+            q, cache, new, pos, kv_lora_rank=r, scale=scale, tile=16
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_k), np.asarray(o_ref), atol=1e-5, rtol=1e-5,
+            err_msg=f"o_lat at position {pos}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ent_k), np.asarray(ent_ref), atol=1e-5,
+            err_msg=f"entropy at position {pos}",
+        )
+
+
 def test_mla_decode_rollout_replays_prefill(tiny_hf_v3):
     """The absorbed rollout is autoregressive-consistent: replaying the
     prefill's tokens over a pre-allocated latent buffer reproduces the
@@ -301,6 +376,21 @@ def test_mla_decode_rollout_replays_prefill(tiny_hf_v3):
     )
     np.testing.assert_allclose(
         np.asarray(hs[-1]), np.asarray(h_last), atol=1e-5, rtol=1e-5
+    )
+    # The fused-kernel rollout walks the same pre-allocated buffer
+    # (position < S_buf every step — the kernel's masking contract under
+    # the serving loop) and reproduces the XLA rollout.
+    hs_p, lat_buf_p, _, ents_p = mla_decode_rollout(
+        config, params, ids[start:], start, buf, attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs_p), np.asarray(hs), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_buf_p), np.asarray(lat_buf), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ents_p), np.asarray(ents), atol=1e-5
     )
 
 

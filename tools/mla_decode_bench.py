@@ -17,6 +17,11 @@ does one decode step cost under each way of holding the cache?
     hypothesis this tool measures: absorbed dominates both at scale on
     TPU, because decode is HBM-bound and the latent is the smallest
     thing one can stream.
+  * ``absorbed_pallas`` — the same step with ``attn_impl='pallas'``
+    (`ops/mla_absorbed_pallas.py`): one fused pass over the cache
+    instead of XLA's two streams (score contraction, then combine) and
+    no fp32 (H, S) logit round-trip — the remaining 2-3x between the
+    XLA absorbed step and the latent HBM floor.
 
 Geometry defaults to DeepSeek-V2-Lite ratios (H=16, r=512, nope=128,
 rope=64, dv=128) with a short all-dense stack — the FFN is identical
@@ -190,6 +195,9 @@ def main() -> None:
         "absorbed": lambda p, tok, pos, lat: mla_decode_step_absorbed(
             config, p, tok, pos, lat
         ),
+        "absorbed_pallas": lambda p, tok, pos, lat: mla_decode_step_absorbed(
+            config, p, tok, pos, lat, attn_impl="pallas"
+        ),
     }
 
     results = {
@@ -229,6 +237,12 @@ def main() -> None:
         mla_decode_step_absorbed(config, params, token, s0, lat)[0],
         np.float32,
     )
+    h_pal = np.asarray(
+        mla_decode_step_absorbed(
+            config, params, token, s0, lat, attn_impl="pallas"
+        )[0],
+        np.float32,
+    )
 
     def cosine(a, b):
         return float(
@@ -242,6 +256,8 @@ def main() -> None:
         "max_abs_absorbed_vs_latent_remat": float(
             np.abs(h_abs - h_lat).max()
         ),
+        "cos_pallas_vs_absorbed": cosine(h_pal, h_abs),
+        "max_abs_pallas_vs_absorbed": float(np.abs(h_pal - h_abs).max()),
     }
     log(f"parity @S={s0}: cos(abs, mat)={results['parity']['cos_absorbed_vs_materialized']:.6f}")
 
@@ -278,6 +294,11 @@ def main() -> None:
             "materialized": med["materialized"] / med["absorbed"],
             "latent_remat": med["latent_remat"] / med["absorbed"],
         }
+        row["speedup_pallas_over"] = {
+            "materialized": med["materialized"] / med["absorbed_pallas"],
+            "latent_remat": med["latent_remat"] / med["absorbed_pallas"],
+            "absorbed_xla": med["absorbed"] / med["absorbed_pallas"],
+        }
         results["ladder"].append(row)
         del lat, ck, cv
 
@@ -298,6 +319,7 @@ def main() -> None:
             "materialized": ("#888888", "o"),
             "latent_remat": ("#d62728", "s"),
             "absorbed": ("#1f77b4", "D"),
+            "absorbed_pallas": ("#2ca02c", "^"),
         }
         for name, (color, marker) in styles.items():
             med = [r["step_ms"][name]["median"] for r in results["ladder"]]
@@ -335,6 +357,11 @@ def main() -> None:
             xs,
             [r["speedup_absorbed_over"]["latent_remat"] for r in results["ladder"]],
             marker="s", color="#d62728", label="vs latent remat",
+        )
+        ax2.plot(
+            xs,
+            [r["speedup_pallas_over"]["absorbed_xla"] for r in results["ladder"]],
+            marker="^", color="#2ca02c", label="pallas vs absorbed XLA",
         )
         ax2.axhline(1.0, color="k", lw=0.8, alpha=0.5)
         ax2.set_xscale("log", base=2)
