@@ -446,6 +446,16 @@ def test_mla_tp_absorbed_decode_parity(tiny_hf_v3):
     np.testing.assert_allclose(np.asarray(lat_tp), np.asarray(lat_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ent_tp), np.asarray(ent_ref), atol=1e-4)
 
+    # The fused cache kernel composes with TP sharding (GSPMD lowers the
+    # pallas_call against head-sharded q / replicated cache).
+    h_tpp, lat_tpp, ent_tpp = mla_decode_step_absorbed(
+        config, sharded, ids[s], s, latents[:, :s, :], attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_tpp), np.asarray(h_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(ent_tpp), np.asarray(ent_ref), atol=1e-4)
+
 
 def test_mla_tp_ep_2d_mesh_parity(tiny_hf_v3):
     """2-D (ep, tp) mesh: attention tensor-parallel x routed experts
