@@ -644,16 +644,21 @@ def run_head_policy_experiment(
         # so a calibration break at budget m is directly attributable (or
         # not) to routing flips in THAT prefix.
         per_layer_full = None
+        full_swap = None  # all-True mask is order-independent; decode once
         by_order: dict[str, dict] = {}
         for order_name, order in (("solo_asc", solo_asc), ("law", law_order)):
             flip_rate, weight_l1 = [], []
             for m_units in budgets:
                 if m_units == 0:
                     w, idx = w_true, idx_true
+                elif m_units == n_units and full_swap is not None:
+                    w, idx = full_swap
                 else:
                     mask = np.zeros(n_units, dtype=bool)
                     mask[order[:m_units]] = True
                     w, idx = routing_for(mask)
+                    if m_units == n_units:
+                        full_swap = (w, idx)
                 flips = np.any(idx != idx_true, axis=-1)  # (T, L)
                 flip_rate.append(float(flips.mean()))
                 weight_l1.append(float(np.abs(w - w_true).sum(axis=-1).mean()))

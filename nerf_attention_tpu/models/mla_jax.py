@@ -775,6 +775,7 @@ def mla_decode_step_absorbed(
     return h[0], lat_new, entropy
 
 
+@partial(jax.jit, static_argnames=("config", "attn_impl"))
 def mla_decode_rollout(
     config: MLAConfig,
     params: dict,

@@ -166,6 +166,15 @@ def mla_absorbed_attention(
     s_buf = cache_latent.shape[0]
     r = kv_lora_rank
 
+    if s_buf == 0:
+        # First token of a fresh sequence: no cache rows exist and
+        # ``position`` is necessarily 0 (the contract is position <=
+        # s_buf), so only the self row attends. Feed the kernel one
+        # all-zero block — the ``col < pos`` mask hides every row of it —
+        # instead of a zero-tile grid (which would divide by zero below).
+        s_buf = SUBLANE
+        cache_latent = jnp.zeros((SUBLANE, latent_dim), cache_latent.dtype)
+
     tile = min(tile, round_up(s_buf, SUBLANE))
     n_tiles = -(-s_buf // tile)
     h_pad = round_up(h, SUBLANE)

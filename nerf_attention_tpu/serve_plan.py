@@ -335,6 +335,11 @@ def recommend_probes(units: list[dict], k: int) -> list[dict]:
     below the measurable floor are excluded: their fresh cost carries no
     signal about the scale factor.
     """
+    if k < 2:
+        raise ValueError(
+            f"k={k}: re-pricing (fit_reprice) needs at least 2 probe "
+            f"pairs, so a probe set smaller than 2 can never be used"
+        )
     measurable = [
         i for i in range(len(units))
         if units[i]["cost"] >= MIN_MEASURABLE_COST
@@ -731,13 +736,19 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.tiered and args.policy_json is None:
         parser.error("--tiered needs --policy_json (measured per-scheme costs)")
-    if (args.recommend_probes or args.reprice_probes) and (
+    if (args.recommend_probes is not None or args.reprice_probes is not None) and (
         args.policy_json is None or args.tiered
     ):
         parser.error(
             "--recommend_probes/--reprice_probes need flat --policy_json "
             "mode (per-scheme tiered costs would each need their own "
             "probes — re-run head_policy for a fresh tiered plan)"
+        )
+    if args.recommend_probes is not None and args.recommend_probes < 2:
+        parser.error(
+            "--recommend_probes needs K >= 2: the re-pricing fit "
+            "(fit_reprice) requires at least 2 measurable probe pairs, so "
+            "a smaller probe set could never be used in step 2"
         )
 
     reprice_model = None

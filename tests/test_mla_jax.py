@@ -348,6 +348,20 @@ def test_absorbed_pallas_kernel_oracle():
             err_msg=f"entropy at position {pos}",
         )
 
+    # A literally 0-row cache buffer (first token of a fresh sequence,
+    # no pre-allocation): must not divide by zero sizing the tile grid;
+    # equals the self-row-only oracle. Regression: r4 self-review.
+    o_ref0, ent_ref0 = oracle(0)
+    o_k0, ent_k0 = mla_absorbed_attention(
+        q, cache[:0], new, 0, kv_lora_rank=r, scale=scale, tile=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_k0), np.asarray(o_ref0), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ent_k0), np.asarray(ent_ref0), atol=1e-5
+    )
+
 
 def test_mla_decode_rollout_replays_prefill(tiny_hf_v3):
     """The absorbed rollout is autoregressive-consistent: replaying the

@@ -532,6 +532,24 @@ def test_cli_reprice_rejects_tiered_and_fits_mode(tmp_path):
               "--recommend_probes", "4"])
 
 
+def test_cli_rejects_unusable_probe_counts(tmp_path):
+    """K=0 must not silently fall through the falsy-or guard, and K=1
+    must be rejected up front — fit_reprice needs >= 2 probe pairs, so a
+    smaller recommendation would send the operator to measure a decode
+    whose result is guaranteed rejected. Regression: r4 self-review."""
+    policy = tmp_path / "p.json"
+    policy.write_text(json.dumps(_policy_artifact()))
+    for k in ("0", "1"):
+        with pytest.raises(SystemExit):
+            main(["--policy_json", str(policy), "--recommend_probes", k])
+    # K=0 in tiered mode must hit the mode guard, not be ignored
+    with pytest.raises(SystemExit):
+        main(["--policy_json", str(policy), "--tiered",
+              "--recommend_probes", "0"])
+    with pytest.raises(ValueError, match="at least 2 probe"):
+        recommend_probes([_unit(0, 0, 1e-3), _unit(0, 1, 1e-2)], 1)
+
+
 def test_load_probes_accepts_full_artifact(tmp_path):
     p = tmp_path / "full.json"
     p.write_text(json.dumps(_policy_artifact()))

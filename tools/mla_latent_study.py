@@ -42,13 +42,6 @@ import numpy as np
 DEFAULT_CONFIGS = ("tiny", "small", "medium")
 
 
-def quantize_tensor_int8(x: np.ndarray) -> np.ndarray:
-    """Symmetric per-channel (last-axis) int8 round-trip of a tensor."""
-    scale = np.abs(x).max(axis=tuple(range(x.ndim - 1)), keepdims=True) / 127.0
-    scale = np.maximum(scale, 1e-12)
-    return (np.clip(np.round(x / scale), -127, 127) * scale).astype(x.dtype)
-
-
 def run_study(
     output_dir: Path,
     *,
@@ -75,12 +68,11 @@ def run_study(
     from nerf_attention_tpu.models.mla_jax import (
         MLAConfig,
         init_random_mla,
-        materialize_from_latent,
         mla_decode_step,
         mla_decode_step_latent,
         mla_prefill_kv,
     )
-    from nerf_attention_tpu.ops.quantize import param_bytes
+    from nerf_attention_tpu.ops.quantize import param_bytes, quantize_array
     from nerf_attention_tpu.parallel.sweep import fit_batch
     from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
@@ -103,7 +95,6 @@ def run_study(
     n_l, n_h, s = num_layers, num_heads, seq_len
     dk, dv, dl = config.qk_head_dim, config.v_head_dim, config.latent_dim
     params = init_random_mla(config, seed=seed)
-    kv_b = params["dense_layers"]["kv_b"]
 
     rng = np.random.RandomState(seed)
     ids = jnp.asarray(rng.randint(0, config.vocab_size, s), jnp.int32)
@@ -153,7 +144,13 @@ def run_study(
     baselines = {}
     for name, lat_stored, bytes_per_layer in (
         ("latent_fp16", lat_np.astype(np.float16).astype(np.float32), raw_lat_bytes),
-        ("latent_int8", quantize_tensor_int8(lat_np), s * dl + 4 * dl),
+        (
+            "latent_int8",
+            # shared serializer grid (ops/quantize.py) so the baseline
+            # prices exactly what the rest of the codebase would persist
+            quantize_array(lat_np, "int8", axis=lat_np.ndim - 1)[1],
+            s * dl + 4 * dl,
+        ),
     ):
         cos = out_cos(decode_lat(params, tokens, positions, jnp.asarray(lat_stored)))
         baselines[name] = {
