@@ -208,6 +208,29 @@ def quantize_params(params, scheme: str):
 _ELEM_BYTES = {"fp32": 4, "bf16": 2, "fp16": 2}
 
 
+def tensor_bytes(
+    shape: tuple[int, ...], scheme: str, axis: int | None = None
+) -> int:
+    """Stored size of ONE raw tensor under ``scheme`` — the exact layout
+    :func:`quantize_array` produces: float schemes at their element width;
+    group-wise int<B> packs B-bit codes densely plus fp16 group scales;
+    per-channel int8 stores 1 byte/elem plus fp32 channel scales. This is
+    the tensor-payload twin of :func:`param_bytes` (which prices SIREN
+    (w, b) lists), used to price quantized CACHE surfaces (e.g. the MLA
+    latent) on the same accounting as quantized parameters."""
+    kind, bits, group = parse_scheme(scheme)
+    if split_scheme(scheme)[1]:
+        raise ValueError("_l0fp32 is a parameter-list modifier, not a tensor scheme")
+    size = int(np.prod(shape))
+    if kind in _ELEM_BYTES:
+        return size * _ELEM_BYTES[kind]
+    if group is not None:
+        return -(-(size * bits) // 8) + groupwise_scale_count(
+            shape, axis, group
+        ) * 2
+    return size + (shape[axis] if axis is not None else 1) * 4
+
+
 def param_bytes(params, scheme: str) -> int:
     """Stored size of a quantized SIREN — the exact layout
     ``quantize_params`` produces: per-channel int8 includes its fp32

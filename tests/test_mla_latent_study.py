@@ -29,6 +29,7 @@ def test_mla_latent_study_cli(tmp_path):
             "--seq_len", "64", "--epochs", "20",
             "--layers", "2", "--heads", "4",
             "--configs", "tiny",
+            "--latent_schemes", "fp16,int8,int4_g32",
         ],
         cwd=REPO,
         env=env,
@@ -52,9 +53,18 @@ def test_mla_latent_study_cli(tmp_path):
     # the lossless surface: fp16 latent decodes at ~1.0
     assert res["baselines"]["latent_fp16"]["output_cosine"] > 0.999
     assert res["baselines"]["latent_int8"]["output_cosine"] > 0.99
-    assert (
-        res["baselines"]["latent_int8"]["compression_vs_raw_fp16"]
-        > res["baselines"]["latent_fp16"]["compression_vs_raw_fp16"]
+    # the quantized-latent ladder: compression strictly grows down it
+    comps = [
+        res["baselines"][f"latent_{s}"]["compression_vs_raw_fp16"]
+        for s in ("fp16", "int8", "int4_g32")
+    ]
+    assert comps == sorted(comps) and comps[0] < comps[-1]
+    # byte accounting matches the shared serializer helper
+    from nerf_attention_tpu.ops.quantize import tensor_bytes
+
+    m = res["model"]
+    assert res["baselines"]["latent_int4_g32"]["stored_bytes_per_layer"] == (
+        tensor_bytes((m["seq_len"], m["latent_dim"]), "int4_g32", axis=1)
     )
 
     for name in ("materialized", "latent"):

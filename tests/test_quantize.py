@@ -106,6 +106,33 @@ def test_param_bytes_accounting():
         param_bytes(params, "int9_g32")
 
 
+def test_tensor_bytes_accounting():
+    """tensor_bytes prices a raw tensor on the same grids param_bytes
+    prices SIREN lists — the accounting quantized cache surfaces (MLA
+    latents) use."""
+    from nerf_attention_tpu.ops.quantize import (
+        groupwise_scale_count,
+        tensor_bytes,
+    )
+
+    shape = (512, 40)
+    size = 512 * 40
+    assert tensor_bytes(shape, "fp32") == size * 4
+    assert tensor_bytes(shape, "fp16") == size * 2
+    # per-channel int8: 1 byte/elem + fp32 scale per channel
+    assert tensor_bytes(shape, "int8", axis=1) == size + 40 * 4
+    assert tensor_bytes(shape, "int8") == size + 4  # per-tensor scale
+    # group-wise: dense bit packing + fp16 scales
+    assert tensor_bytes(shape, "int4_g32", axis=1) == (
+        -(-(size * 4) // 8) + groupwise_scale_count(shape, 1, 32) * 2
+    )
+    assert tensor_bytes(shape, "int3_g64", axis=1) < tensor_bytes(
+        shape, "int4_g32", axis=1
+    )
+    with pytest.raises(ValueError, match="modifier"):
+        tensor_bytes(shape, "int8_l0fp32", axis=1)
+
+
 def test_int4_roundtrip_error_bounded():
     """Group-wise int4: error bounded by half a group scale; padding rows
     (in-dim not a multiple of the group) must not corrupt the dequant."""

@@ -17,9 +17,10 @@ parameter budget for SIREN storage, should the nets fit
   and one latent error perturbs EVERY head's K and V coherently through
   ``kv_b``), served via `mla_decode_step_latent`?
 
-Also priced: the raw-fp16 and per-channel-int8 latent tensors (the
-storage an operator gets WITHOUT any fitting — the latent's own free
-compression is the bar both SIREN strategies must clear).
+Also priced: a quantized-latent ladder (fp16 → per-channel int8 →
+group-wise int8/6/4/3/2, the serializer grids of `ops/quantize.py`) —
+the storage an operator gets WITHOUT any fitting. The latent's own
+quantized compression is the bar both SIREN strategies must clear.
 
 Protocol: random-init MLA model at real dimensional RATIOS
 (materialized/latent = 8× per token), S-token prefill captures both
@@ -41,6 +42,13 @@ import numpy as np
 
 DEFAULT_CONFIGS = ("tiny", "small", "medium")
 
+# The no-fit quantized-latent ladder: fp16 (lossless bar), the r3
+# per-channel int8, then the group-wise frontier down to 2 bits.
+DEFAULT_LATENT_SCHEMES = (
+    "fp16", "int8", "int8_g32", "int6_g64", "int4_g64", "int4_g32",
+    "int3_g64", "int2_g64",
+)
+
 
 def run_study(
     output_dir: Path,
@@ -57,6 +65,7 @@ def run_study(
     hidden_size: int = 128,
     intermediate_size: int = 256,
     configs: tuple[str, ...] = DEFAULT_CONFIGS,
+    latent_schemes: tuple[str, ...] = DEFAULT_LATENT_SCHEMES,
     seed: int = 0,
     impl: str = "auto",
     verbose: bool = True,
@@ -72,7 +81,11 @@ def run_study(
         mla_decode_step_latent,
         mla_prefill_kv,
     )
-    from nerf_attention_tpu.ops.quantize import param_bytes, quantize_array
+    from nerf_attention_tpu.ops.quantize import (
+        param_bytes,
+        quantize_array,
+        tensor_bytes,
+    )
     from nerf_attention_tpu.parallel.sweep import fit_batch
     from nerf_attention_tpu.types import CONFIGS_BY_NAME
 
@@ -139,28 +152,28 @@ def run_study(
             f"{epochs} ep"
         )
 
-    # --- the no-fit baselines: the latent's own compression is the bar ---
+    # --- the no-fit baselines: quantized latents are the bar both SIREN
+    # strategies must clear. Each scheme uses the shared serializer grid
+    # (ops/quantize.py quantize_array / tensor_bytes) so the rows price
+    # exactly what the codebase would persist; quantization is PER LAYER
+    # (each layer's (S, latent_dim) tensor gets its own scales — the unit
+    # an operator would store and evict independently).
     lat_np = np.asarray(latents)
     baselines = {}
-    for name, lat_stored, bytes_per_layer in (
-        ("latent_fp16", lat_np.astype(np.float16).astype(np.float32), raw_lat_bytes),
-        (
-            "latent_int8",
-            # shared serializer grid (ops/quantize.py) so the baseline
-            # prices exactly what the rest of the codebase would persist
-            quantize_array(lat_np, "int8", axis=lat_np.ndim - 1)[1],
-            s * dl + 4 * dl,
-        ),
-    ):
+    for scheme in latent_schemes:
+        lat_stored = np.stack(
+            [quantize_array(lat_np[l], scheme, axis=1)[1] for l in range(n_l)]
+        )
+        bytes_per_layer = tensor_bytes((s, dl), scheme, axis=1)
         cos = out_cos(decode_lat(params, tokens, positions, jnp.asarray(lat_stored)))
-        baselines[name] = {
+        baselines[f"latent_{scheme}"] = {
             "stored_bytes_per_layer": bytes_per_layer,
             "compression_vs_raw_fp16": raw_mat_bytes / bytes_per_layer,
             "output_cosine": cos,
         }
         if verbose:
             print(
-                f"  {name}: {raw_mat_bytes / bytes_per_layer:.1f}x | "
+                f"  latent_{scheme}: {raw_mat_bytes / bytes_per_layer:.1f}x | "
                 f"output {cos:.6f}"
             )
 
@@ -277,13 +290,21 @@ def plot_study(results: dict, output_dir: Path) -> None:
                 r["config"], (r["compression_vs_raw_fp16"], r["output_cosine"]),
                 fontsize=7, xytext=(3, 3), textcoords="offset points",
             )
-    for name, marker, color in (
-        ("latent_fp16", "D", "0.3"), ("latent_int8", "^", "0.5"),
-    ):
-        b = results["baselines"][name]
-        ax.plot(
-            b["compression_vs_raw_fp16"], b["output_cosine"], marker,
-            ms=7, color=color, label=f"{name} (no fit)",
+    base = sorted(
+        results["baselines"].items(),
+        key=lambda kv: kv[1]["compression_vs_raw_fp16"],
+    )
+    ax.plot(
+        [b["compression_vs_raw_fp16"] for _, b in base],
+        [b["output_cosine"] for _, b in base],
+        "-D", ms=6, color="0.35", label="quantized latent (no fit)",
+    )
+    for name, b in base:
+        ax.annotate(
+            name.removeprefix("latent_"),
+            (b["compression_vs_raw_fp16"], b["output_cosine"]),
+            fontsize=7, xytext=(3, -9), textcoords="offset points",
+            color="0.35",
         )
     ax.set_xscale("log")
     ax.set_xlabel("compression vs raw fp16 materialized cache (per layer)")
@@ -315,6 +336,11 @@ def main(argv=None) -> None:
         help="comma-separated SIREN config names to sweep",
     )
     parser.add_argument("--impl", type=str, default="auto")
+    parser.add_argument(
+        "--latent_schemes", type=str, default=",".join(DEFAULT_LATENT_SCHEMES),
+        help="comma-separated storage schemes for the no-fit quantized-"
+        "latent ladder (ops/quantize.py names)",
+    )
     args = parser.parse_args(argv)
     results = run_study(
         args.output_dir,
@@ -323,6 +349,9 @@ def main(argv=None) -> None:
         num_layers=args.layers,
         num_heads=args.heads,
         configs=tuple(c.strip() for c in args.configs.split(",") if c.strip()),
+        latent_schemes=tuple(
+            c.strip() for c in args.latent_schemes.split(",") if c.strip()
+        ),
         seed=args.seed,
         impl=args.impl,
     )
