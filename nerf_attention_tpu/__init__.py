@@ -52,6 +52,12 @@ from nerf_attention_tpu.analyze import analyze_kv_cache
 from nerf_attention_tpu.fit import fit_kv_cache, fit_siren
 from nerf_attention_tpu.parallel.mesh import fit_mesh
 from nerf_attention_tpu.parallel.sweep import fit_batch
+from nerf_attention_tpu.models.siren_shared import (
+    fit_shared_batch,
+    init_shared,
+    shared_apply,
+    shared_bytes_per_unit,
+)
 from nerf_attention_tpu.evaluate import (
     generate_summary_figure,
     load_results,
@@ -115,6 +121,10 @@ __all__ = [
     "fit_siren",
     "fit_mesh",
     "fit_batch",
+    "fit_shared_batch",
+    "init_shared",
+    "shared_apply",
+    "shared_bytes_per_unit",
     "load_results",
     "plot_pareto_frontier",
     "plot_keys_vs_values",
