@@ -62,11 +62,45 @@ class LlamaConfig:
     # Mixtral sparse-MoE FFN (None = dense gate/up/down MLP)
     num_local_experts: int | None = None
     num_experts_per_tok: int = 2
+    # MoE flavor: "mixtral" (softmax-over-all-experts then top-k,
+    # bias-free SwiGLU experts) or "gpt_oss" (top-k of raw logits then
+    # softmax over the k, biased router, interleaved gate_up experts with
+    # clamped swiglu — HF GptOssTopKRouter/GptOssExperts).
+    moe_style: str = "mixtral"
+    # GPT-OSS extensions
+    attn_sinks: bool = False  # per-head learnable sink logit: softmax runs
+    #                           over [scores, sink] and the sink column is
+    #                           dropped after normalization (HF
+    #                           eager_attention_forward, s_aux). The o_proj
+    #                           bias gpt_oss also carries needs no flag: the
+    #                           o_bias leaf is always present (zeros for
+    #                           families whose checkpoints don't ship it).
     # Llama-3.1-style rope scaling (None = plain RoPE)
     rope_scaling_factor: float | None = None
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
+    # YaRN rope scaling (None = not yarn; mirrors HF
+    # _compute_yarn_parameters — gpt_oss ships yarn by default)
+    yarn_factor: float | None = None
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_original_max_position: int = 4096
+    yarn_truncate: bool = True
+    yarn_attention_factor: float | None = None
+
+    @property
+    def attention_scaling(self) -> float:
+        """YaRN's post-factor on cos/sin (1.0 for every non-yarn family)."""
+        if self.yarn_factor is None:
+            return 1.0
+        if self.yarn_attention_factor is not None:
+            return self.yarn_attention_factor
+        if self.yarn_factor <= 1:
+            return 1.0
+        import math
+
+        return 0.1 * math.log(self.yarn_factor) + 1.0
 
     @staticmethod
     def _resolve_sliding_window(d: dict) -> int | None:
@@ -107,16 +141,19 @@ class LlamaConfig:
         """
         n_layers = d["num_hidden_layers"]
         layer_types = d.get("layer_types")
-        if layer_types is None and d.get("model_type") in ("gemma2", "gemma3_text"):
+        if layer_types is None and d.get("model_type") in (
+            "gemma2", "gemma3_text", "gpt_oss",
+        ):
             # Hub configs serialized before transformers added layer_types
             # (i.e. the actual published gemma-2/3 checkpoints) omit the
             # field; derive it exactly as their HF configs do — sliding
             # unless (i+1) is a multiple of the period (gemma2: 2;
-            # gemma3: sliding_window_pattern, default 6).
+            # gemma3: sliding_window_pattern, default 6; gpt_oss: 2 —
+            # GptOssConfig derives alternating sliding/full).
             period = (
-                2
-                if d["model_type"] == "gemma2"
-                else d.get("sliding_window_pattern", 6)
+                d.get("sliding_window_pattern", 6)
+                if d["model_type"] == "gemma3_text"
+                else 2
             )
             layer_types = [
                 "sliding_attention" if (i + 1) % period else "full_attention"
@@ -147,7 +184,7 @@ class LlamaConfig:
     # wrong architecture would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
-        "gemma3_text", "phi3", "mixtral",
+        "gemma3_text", "phi3", "mixtral", "gpt_oss",
     }
 
     @classmethod
@@ -157,7 +194,7 @@ class LlamaConfig:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
                 f"llama, mistral, mixtral, qwen2, qwen3, gemma, gemma2, "
-                f"gemma3_text, phi3)"
+                f"gemma3_text, phi3, gpt_oss)"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -172,12 +209,15 @@ class LlamaConfig:
         rope_type = scaling.get("rope_type", scaling.get("type"))
         is_llama3 = rope_type == "llama3"
         is_linear = rope_type == "linear"
-        if scaling and rope_type not in ("llama3", "linear", "default", None):
-            # dynamic/yarn change the position mapping; silently falling
-            # back to plain RoPE would extract wrong KV tensors.
+        is_yarn = rope_type == "yarn"
+        if scaling and rope_type not in (
+            "llama3", "linear", "yarn", "default", None,
+        ):
+            # dynamic scaling changes the position mapping; silently
+            # falling back to plain RoPE would extract wrong KV tensors.
             raise NotImplementedError(
                 f"rope_scaling type {rope_type!r} is not supported "
-                "(plain RoPE, llama3 rescaling, and linear scaling are)"
+                "(plain RoPE, llama3 rescaling, linear, and yarn are)"
             )
         num_heads = d["num_attention_heads"]
         sliding_window, layer_windows = cls._resolve_windows(d)
@@ -230,13 +270,29 @@ class LlamaConfig:
             rope_original_max_position=scaling.get(
                 "original_max_position_embeddings", 8192
             ),
-            # HF MixtralConfig defaults (8 experts, top-2 routing).
+            # HF MixtralConfig defaults (8 experts, top-2 routing);
+            # GptOssConfig defaults (128 experts, top-4).
             num_local_experts=(
                 d.get("num_local_experts", 8)
                 if model_type == "mixtral"
+                else d.get("num_local_experts", 128)
+                if model_type == "gpt_oss"
                 else None
             ),
-            num_experts_per_tok=d.get("num_experts_per_tok", 2),
+            num_experts_per_tok=d.get(
+                "num_experts_per_tok", 4 if model_type == "gpt_oss" else 2
+            ),
+            moe_style="gpt_oss" if model_type == "gpt_oss" else "mixtral",
+            attn_sinks=model_type == "gpt_oss",
+            yarn_factor=scaling.get("factor") if is_yarn else None,
+            yarn_beta_fast=scaling.get("beta_fast") or 32.0,
+            yarn_beta_slow=scaling.get("beta_slow") or 1.0,
+            yarn_original_max_position=(
+                scaling.get("original_max_position_embeddings")
+                or d.get("max_position_embeddings", 4096)
+            ),
+            yarn_truncate=scaling.get("truncate", True),
+            yarn_attention_factor=scaling.get("attention_factor"),
         )
 
 
@@ -255,6 +311,39 @@ def _rope_frequencies(
     inv_freq = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
     if theta is None and config.rope_linear_factor is not None:
         inv_freq = inv_freq / config.rope_linear_factor
+    if theta is None and config.yarn_factor is not None:
+        # YaRN (gpt_oss default rope): interpolated (freq/factor) below the
+        # beta_slow correction bound, extrapolated (plain) above beta_fast,
+        # linearly ramped between — HF _compute_yarn_parameters exactly
+        # (the cos/sin attention factor is config.attention_scaling,
+        # applied by the rope-table builders).
+        import math
+
+        factor = config.yarn_factor
+        orig = config.yarn_original_max_position
+
+        def correction_dim(num_rotations: float) -> float:
+            return (
+                d
+                * math.log(orig / (num_rotations * 2 * math.pi))
+                / (2 * math.log(base))
+            )
+
+        low = correction_dim(config.yarn_beta_fast)
+        high = correction_dim(config.yarn_beta_slow)
+        if config.yarn_truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, d - 1)
+        if low == high:
+            high += 0.001  # HF's singularity guard
+        ramp = np.clip(
+            (np.arange(d // 2, dtype=np.float64) - low) / (high - low), 0, 1
+        )
+        extrapolation = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (1 - extrapolation) + (
+            inv_freq * extrapolation
+        )
+        return inv_freq.astype(np.float32)
     if config.rope_scaling_factor is None:
         return inv_freq.astype(np.float32)
 
@@ -322,6 +411,8 @@ def _ffn(config: LlamaConfig, x: jax.Array, lp: dict, act) -> jax.Array:
     """
     if not config.num_local_experts:
         return act(x @ lp["gate"]) * (x @ lp["up"]) @ lp["down"]
+    if config.moe_style == "gpt_oss":
+        return _ffn_gpt_oss(config, x, lp)
     logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)  # (S, E) fp32, like HF
     top_vals, top_idx = jax.lax.top_k(probs, config.num_experts_per_tok)
@@ -339,6 +430,44 @@ def _ffn(config: LlamaConfig, x: jax.Array, lp: dict, act) -> jax.Array:
     return jnp.einsum("se,esh->sh", weights, expert_out)
 
 
+def _ffn_gpt_oss(config: LlamaConfig, x: jax.Array, lp: dict) -> jax.Array:
+    """GPT-OSS sparse-MoE FFN (HF GptOssTopKRouter + GptOssExperts).
+
+    Routing differs from Mixtral in ORDER: top-k runs on the raw router
+    LOGITS (biased linear, model dtype — HF does not upcast), then softmax
+    normalizes over just the k selected logits. Experts store gate/up
+    INTERLEAVED in one (E, hidden, 2*inter) tensor (gate = even columns),
+    clamp gate to (-inf, limit] and up to [-limit, limit], and compute
+    ``(up + 1) * gate * sigmoid(alpha * gate)`` (clamped swiglu,
+    alpha=1.702) with biases on both projections — each expert's down
+    bias is weighted by its routing weight in the combine, matching HF's
+    batched-bmm inference path. Dense formulation like the Mixtral branch:
+    every expert runs on every token, combine weights do the selection.
+    """
+    logits = x @ lp["router"] + lp["router_bias"]  # (S, E), model dtype
+    top_vals, top_idx = jax.lax.top_k(logits, config.num_experts_per_tok)
+    top_vals = jax.nn.softmax(top_vals, axis=-1)
+    weights = (
+        jnp.zeros_like(logits)
+        .at[jnp.arange(x.shape[0])[:, None], top_idx]
+        .set(top_vals)
+    )  # (S, E)
+    gate_up = (
+        jnp.einsum("sh,ehi->esi", x, lp["gate_up"])
+        + lp["gate_up_bias"][:, None, :]
+    )  # (E, S, 2*inter)
+    gate, up = gate_up[..., ::2], gate_up[..., 1::2]
+    limit = 7.0
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    glu = gate * jax.nn.sigmoid(gate * 1.702)
+    expert_out = (
+        jnp.einsum("esi,eih->esh", (up + 1.0) * glu, lp["moe_down"])
+        + lp["moe_down_bias"][:, None, :]
+    )  # (E, S, hidden)
+    return jnp.einsum("se,esh->sh", weights, expert_out)
+
+
 ATTN_BLOCK = 512  # query-chunk rows; bounds logits memory to (H, BLOCK, S)
 
 
@@ -348,6 +477,7 @@ def _causal_attention(
     softcap: float | None = None,
     scale: float | None = None,
     row_offset=0,
+    sinks: jax.Array | None = None,
 ):
     """Causal softmax attention, query-chunked.
 
@@ -368,6 +498,10 @@ def _causal_attention(
     sequence-parallel slice of the queries while k/v are the gathered full
     sequence (static 0 on the single-device path, a traced axis-index
     multiple under shard_map) — masks are built in GLOBAL coordinates.
+    ``sinks``: per-head learnable sink logits (H,) — gpt_oss attention:
+    the softmax runs over [scores, sink] and the sink column is dropped
+    after normalization (it absorbs probability mass; HF
+    eager_attention_forward's s_aux), so rows no longer sum to 1.
     """
     h_heads, s, d = q.shape
     scale = jax.lax.rsqrt(jnp.float32(d)) if scale is None else jnp.float32(scale)
@@ -396,7 +530,17 @@ def _causal_attention(
         elif window is not None:
             keep &= cols[None, None, :] > rows[None, :, None] - window
         logits = jnp.where(keep, logits, neg_inf)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+        if sinks is not None:
+            sink_col = jnp.broadcast_to(
+                sinks.astype(jnp.float32)[:, None, None],
+                (h_heads, block, 1),
+            )
+            combined = jnp.concatenate([logits, sink_col], axis=-1)
+            probs = jax.nn.softmax(combined, axis=-1)[..., :-1].astype(
+                v_full.dtype
+            )
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
         return jnp.einsum("hqk,hkd->hqd", probs, v_full)
 
     row0s = jnp.arange(n_blocks) * block
@@ -469,9 +613,10 @@ def _layer_forward(
         q, k_full, v_full, window=window,
         softcap=config.attn_logit_softcap, scale=config.attn_scale,
         row_offset=row_offset,
+        sinks=lp["sinks"] if config.attn_sinks else None,
     )
     attn = attn.transpose(1, 0, 2).reshape(s, n_q * d)
-    attn_out = attn @ lp["o"]
+    attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
     if config.sandwich_norms:
@@ -539,7 +684,14 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
         pos = jnp.arange(s, dtype=jnp.float32)
         angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
         angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
-        return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+        # YaRN's attention factor rides the cos/sin tables (HF convention);
+        # 1.0 for every non-yarn family. Local-theta tables (Gemma3) are
+        # built from an unscaled config, so the factor applies only here.
+        sc = jnp.float32(config.attention_scaling if theta is None else 1.0)
+        return (
+            (jnp.cos(angles) * sc).astype(h.dtype),
+            (jnp.sin(angles) * sc).astype(h.dtype),
+        )
 
     cos, sin = rope_table()
     cos_local = sin_local = None
@@ -606,7 +758,13 @@ def llama_prefill_kv_sp(
             pos = (row0 + jnp.arange(local_s)).astype(jnp.float32)
             angles = pos[:, None] * inv_freq[None, :]
             angles = jnp.concatenate([angles, angles], axis=-1)
-            return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+            sc = jnp.float32(
+                config.attention_scaling if theta is None else 1.0
+            )
+            return (
+                (jnp.cos(angles) * sc).astype(h.dtype),
+                (jnp.sin(angles) * sc).astype(h.dtype),
+            )
 
         cos, sin = rope_table()
         cos_local = sin_local = None
@@ -704,7 +862,13 @@ def llama_prefill_kv_pp(
             pos = (row0 + jnp.arange(chunk)).astype(jnp.float32)
             angles = pos[:, None] * inv_freq[None, :]
             angles = jnp.concatenate([angles, angles], axis=-1)
-            return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+            sc = jnp.float32(
+                config.attention_scaling if theta is None else 1.0
+            )
+            return (
+                (jnp.cos(angles) * sc).astype(dtype),
+                (jnp.sin(angles) * sc).astype(dtype),
+            )
 
         def tick(carry, t):
             cache_k, cache_v, h_in = carry
@@ -857,16 +1021,29 @@ def _layer_decode(
         keep &= cols > position - window
     keep |= cols == k_full.shape[1] - 1
     logits = jnp.where(keep[None, None, :], logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+    if config.attn_sinks:
+        # gpt_oss: the softmax runs over [scores, sink] and the sink
+        # column is dropped from the value combine (it absorbs mass).
+        sink_col = lp["sinks"].astype(jnp.float32)[:, None, None]
+        logits = jnp.concatenate(
+            [logits, jnp.broadcast_to(sink_col, (n_q, 1, 1))], axis=-1
+        )
+    probs_full = jax.nn.softmax(logits, axis=-1)
     # Per-head attention entropy (nats) of the new token — the sharpness
     # observable the end-metric studies condition on (experiment 8).
-    p32 = probs.astype(jnp.float32)
+    # With sinks this is the entropy of the FULL distribution including
+    # the sink outcome: that is the real softmax the head computes, and
+    # the sink's mass is exactly the part no cache row influences.
+    p32 = probs_full.astype(jnp.float32)
     entropy = -jnp.sum(
         jnp.where(p32 > 0, p32 * jnp.log(p32), 0.0), axis=(-2, -1)
     )  # (n_q,)
+    probs = (
+        probs_full[..., :-1] if config.attn_sinks else probs_full
+    ).astype(vf.dtype)
     attn = jnp.einsum("hqk,hkd->hqd", probs, vf)  # (n_q, 1, D)
     attn = attn.transpose(1, 0, 2).reshape(1, n_q * d)
-    attn_out = attn @ lp["o"]
+    attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
     if config.sandwich_norms:
@@ -931,7 +1108,11 @@ def llama_decode_step(
         inv_freq = jnp.asarray(_rope_frequencies(config, theta))
         angles = position.astype(jnp.float32) * inv_freq  # (D/2,)
         angles = jnp.concatenate([angles, angles])[None, :]  # (1, D)
-        return jnp.cos(angles).astype(h.dtype), jnp.sin(angles).astype(h.dtype)
+        sc = jnp.float32(config.attention_scaling if theta is None else 1.0)
+        return (
+            (jnp.cos(angles) * sc).astype(h.dtype),
+            (jnp.sin(angles) * sc).astype(h.dtype),
+        )
 
     cos, sin = rope_row()
     cos_local = sin_local = None
@@ -1100,7 +1281,7 @@ def load_llama_params(
             x = x.T
         return np.ascontiguousarray(x.astype(np_dtype))
 
-    bias_keys = ("q_bias", "k_bias", "v_bias")
+    bias_keys = ("q_bias", "k_bias", "v_bias", "o_bias")
     moe = bool(config.num_local_experts)
     layer_map = {
         k: v
@@ -1111,12 +1292,23 @@ def load_llama_params(
         k: [] for k in (*layer_map, *bias_keys, "input_norm", "post_norm")
     }
     if moe:
-        for k in ("router", "w1", "w2", "w3"):
+        moe_keys = (
+            (
+                "router", "router_bias", "gate_up", "gate_up_bias",
+                "moe_down", "moe_down_bias",
+            )
+            if config.moe_style == "gpt_oss"
+            else ("router", "w1", "w2", "w3")
+        )
+        for k in moe_keys:
             layers[k] = []
+    if config.attn_sinks:
+        layers["sinks"] = []
     bias_dims = {
         "q_bias": config.num_attention_heads * config.head_dim,
         "k_bias": config.num_key_value_heads * config.head_dim,
         "v_bias": config.num_key_value_heads * config.head_dim,
+        "o_bias": config.hidden_size,
     }
     n_q_cols = config.num_attention_heads * config.head_dim
     n_kv_cols = config.num_key_value_heads * config.head_dim
@@ -1140,7 +1332,24 @@ def load_llama_params(
                 layers[short].append(np.ascontiguousarray(split_cols[short]))
             else:
                 layers[short].append(arr(f"{prefix}.{hf}.weight", transpose=True))
-        if moe:
+        if moe and config.moe_style == "gpt_oss":
+            # GPT-OSS MoE block: router is a biased (E, hidden) linear ->
+            # our (hidden, E); experts ship PRE-STACKED with matmul-ready
+            # layouts — gate_up_proj (E, hidden, 2*inter) interleaved,
+            # down_proj (E, inter, hidden) — no transposes needed.
+            layers["router"].append(
+                arr(f"{prefix}.mlp.router.weight", transpose=True)
+            )
+            layers["router_bias"].append(arr(f"{prefix}.mlp.router.bias"))
+            layers["gate_up"].append(arr(f"{prefix}.mlp.experts.gate_up_proj"))
+            layers["gate_up_bias"].append(
+                arr(f"{prefix}.mlp.experts.gate_up_proj_bias")
+            )
+            layers["moe_down"].append(arr(f"{prefix}.mlp.experts.down_proj"))
+            layers["moe_down_bias"].append(
+                arr(f"{prefix}.mlp.experts.down_proj_bias")
+            )
+        elif moe:
             # Mixtral sparse-MoE block: gate (router) is (E, hidden) -> our
             # (hidden, E); each expert's w1/w3 are (ffn, hidden) -> (hidden,
             # ffn) and w2 is (hidden, ffn) -> (ffn, hidden), stacked (E, ...).
@@ -1159,6 +1368,8 @@ def load_llama_params(
                         ]
                     )
                 )
+        if config.attn_sinks:
+            layers["sinks"].append(arr(f"{prefix}.self_attn.sinks"))
         for bk in bias_keys:
             # Qwen2-family attention projections carry biases; Llama/Mistral
             # checkpoints don't ship the tensor — use zeros.
@@ -1216,6 +1427,7 @@ def init_random_llama(
         "k_bias": jnp.zeros((n_l, n_kv * d), dtype=dtype),
         "v_bias": jnp.zeros((n_l, n_kv * d), dtype=dtype),
         "o": w(n_l, n_q * d, h),
+        "o_bias": jnp.zeros((n_l, h), dtype=dtype),
         "gate": w(n_l, h, i_sz),
         "up": w(n_l, h, i_sz),
         "down": w(n_l, i_sz, h),
@@ -1225,11 +1437,27 @@ def init_random_llama(
     if config.num_local_experts:
         e = config.num_local_experts
         layers["router"] = w(n_l, h, e)
-        layers["w1"] = w(n_l, e, h, i_sz)
-        layers["w3"] = w(n_l, e, h, i_sz)
-        layers["w2"] = w(n_l, e, i_sz, h)
+        if config.moe_style == "gpt_oss":
+            layers["router_bias"] = w(n_l, e)
+            layers["gate_up"] = w(n_l, e, h, 2 * i_sz)
+            layers["gate_up_bias"] = w(n_l, e, 2 * i_sz)
+            layers["moe_down"] = w(n_l, e, i_sz, h)
+            layers["moe_down_bias"] = w(n_l, e, h)
+        else:
+            layers["w1"] = w(n_l, e, h, i_sz)
+            layers["w3"] = w(n_l, e, h, i_sz)
+            layers["w2"] = w(n_l, e, i_sz, h)
         for k in ("gate", "up", "down"):
             del layers[k]
+    if config.attn_sinks:
+        layers["sinks"] = w(n_l, n_q)
+        # gpt_oss attention projections all carry biases — random so tests
+        # exercise the bias paths.
+        for bk, dim in (
+            ("q_bias", n_q * d), ("k_bias", n_kv * d),
+            ("v_bias", n_kv * d), ("o_bias", h),
+        ):
+            layers[bk] = w(n_l, dim)
     if config.qk_norm:
         layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
@@ -1273,6 +1501,12 @@ def shard_llama_params(
         "k_bias": P(None, axis),
         "v_bias": P(None, axis),
         "o": P(None, axis, None),
+        # The o bias adds AFTER the row-parallel matmul's all-reduce —
+        # replicate it (splitting it would add it once per shard).
+        "o_bias": P(None, None),
+        # Per-head sink logits follow the head split (HF tp_plan:
+        # local_rowwise).
+        "sinks": P(None, axis),
         "input_norm": P(None, None),
         "post_norm": P(None, None),
     }
@@ -1289,7 +1523,19 @@ def shard_llama_params(
         # The router's (hidden, E) output feeds a full-expert softmax on
         # every device — replicate it (it is tiny) rather than gather logits.
         specs["router"] = P(None, None, None)
-        if expert_axis is not None:
+        if "gate_up" in lp:
+            # GPT-OSS experts: shard the EXPERT axis when asked (each
+            # device computes E/ep experts; the combine contracts the
+            # expert axis in one all-reduce). Under plain TP the expert
+            # tensors replicate: the interleaved gate/up columns cannot be
+            # Megatron-split without separating (gate, up) pairs.
+            specs["router_bias"] = P(None, None)
+            e_ax = expert_axis  # None -> replicate
+            specs["gate_up"] = P(None, e_ax, None, None)
+            specs["gate_up_bias"] = P(None, e_ax, None)
+            specs["moe_down"] = P(None, e_ax, None, None)
+            specs["moe_down_bias"] = P(None, e_ax, None)
+        elif expert_axis is not None:
             specs["w1"] = P(None, expert_axis, None, None)
             specs["w3"] = P(None, expert_axis, None, None)
             specs["w2"] = P(None, expert_axis, None, None)

@@ -1153,3 +1153,153 @@ def test_shard_llama_params_rejects_expert_axis_on_dense_model():
     mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
     with pytest.raises(ValueError, match="no MoE leaves"):
         shard_llama_params(params, mesh, axis=None, expert_axis="ep")
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_gpt_oss(tmp_path_factory):
+    """A random tiny HF GPT-OSS saved to disk (no network).
+
+    Biases and sinks are re-randomized after init (HF zeros Linear biases)
+    so the q/k/v/o bias paths and the sink logits all carry signal the
+    parity test would catch if mishandled.
+    """
+    cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=16,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=3, max_position_embeddings=64,
+        tie_word_embeddings=True, attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    model = transformers.GptOssForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                getattr(layer.self_attn, proj).bias.normal_(std=0.5)
+            layer.self_attn.sinks.normal_(std=1.0)
+            layer.mlp.router.bias.normal_(std=0.5)
+    d = tmp_path_factory.mktemp("tiny_gpt_oss")
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def test_kv_parity_with_hf_gpt_oss(tiny_hf_gpt_oss):
+    """GPT-OSS (11th family): attention sinks (softmax over [scores, sink],
+    sink column dropped), alternating sliding/full layers, YaRN rope with
+    the attention factor on cos/sin, biased q/k/v/o projections, and the
+    interleaved clamped-swiglu MoE. Layer 1's KV sees layer 0's full
+    output, so parity covers sinks + MoE + biases end to end."""
+    d, model = tiny_hf_gpt_oss
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    assert config.attn_sinks and config.moe_style == "gpt_oss"
+    assert config.num_local_experts == 4
+    assert config.layer_windows == (3, None)  # alternating, sliding first
+    assert config.yarn_factor == 32.0 and config.yarn_truncate is False
+    assert config.attention_scaling == pytest.approx(
+        0.1 * np.log(32.0) + 1.0
+    )
+    assert params["layers"]["gate_up"].shape == (2, 4, 32, 32)
+    assert params["layers"]["sinks"].shape == (2, 4)
+    assert float(np.abs(params["layers"]["o_bias"]).max()) > 0
+
+    ids = np.array([3, 17, 42, 9, 9, 120, 64, 5], dtype=np.int32)
+    # Explicit full DynamicCache: HF's default cache TRIMS sliding layers
+    # to the window, while this framework's extraction contract is the
+    # full post-RoPE KV for every layer.
+    with torch.no_grad():
+        out = model(
+            torch.from_numpy(ids)[None].long(), use_cache=True,
+            past_key_values=transformers.DynamicCache(),
+        )
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    assert keys.shape == (2, 2, 8, 8)
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3, err_msg=f"keys layer {layer_idx}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3, err_msg=f"values layer {layer_idx}",
+        )
+
+
+def test_gpt_oss_yarn_rope_matches_hf(tiny_hf_gpt_oss):
+    """The yarn branch of _rope_frequencies and the attention factor must
+    equal HF's _compute_yarn_parameters for the saved config."""
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from nerf_attention_tpu.models.llama_jax import _rope_frequencies
+
+    d, model = tiny_hf_gpt_oss
+    config, _ = load_llama_params(d, dtype=jnp.float32)
+    hf_inv, hf_factor = ROPE_INIT_FUNCTIONS["yarn"](model.config, "cpu")
+    np.testing.assert_allclose(
+        _rope_frequencies(config), hf_inv.numpy(), rtol=1e-6
+    )
+    assert config.attention_scaling == pytest.approx(hf_factor)
+
+
+def test_gpt_oss_decode_rollout_consistency(tiny_hf_gpt_oss):
+    """Decode/rollout through sinks + window + MoE: rolling the prefill's
+    tokens over a pre-allocated buffer refills exactly the prefill's KV
+    rows, and the sink-aware entropy is within the enlarged support's
+    bound (log of cache+self+sink outcomes)."""
+    from nerf_attention_tpu.models.llama_jax import (
+        llama_decode_rollout,
+        llama_decode_step,
+    )
+
+    d, _ = tiny_hf_gpt_oss
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = jnp.arange(12, dtype=jnp.int32)
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    s_pfx, t_roll = 8, 4
+    pad = jnp.zeros(k_ref.shape[:2] + (t_roll, k_ref.shape[3]), k_ref.dtype)
+    k_buf = jnp.concatenate([k_ref[:, :, :s_pfx, :], pad], axis=2)
+    v_buf = jnp.concatenate([v_ref[:, :, :s_pfx, :], pad], axis=2)
+    hs, (k_fill, v_fill), _, ents = llama_decode_rollout(
+        config, params, ids[s_pfx:], s_pfx, k_buf, v_buf
+    )
+    np.testing.assert_allclose(np.asarray(k_fill), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_fill), np.asarray(v_ref), atol=1e-4)
+
+    h1, _, ent1 = llama_decode_step(
+        config, params, ids[s_pfx], s_pfx, k_buf, v_buf
+    )
+    np.testing.assert_allclose(np.asarray(hs[0]), np.asarray(h1), atol=1e-5)
+    # Entropy support: sliding layer sees min(window, pos)+self+sink
+    # outcomes, full layer pos+self+sink.
+    assert np.all(np.asarray(ents) >= 0.0)
+    assert np.all(np.asarray(ents) <= np.log(12 + 2))
+
+
+def test_gpt_oss_ep_and_tp_prefill_parity(tiny_hf_gpt_oss):
+    """EP: gpt_oss expert tensors shard their expert axis (combine closes
+    with one all-reduce). TP: attention Megatron-splits while the
+    interleaved experts replicate. Both must match the unsharded oracle."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    d, _ = tiny_hf_gpt_oss
+    config, params = load_llama_params(d, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([3, 17, 42, 9, 9, 120, 64, 5], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    ep_mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    ep = shard_llama_params(params, ep_mesh, axis=None, expert_axis="ep")
+    k_ep, v_ep = llama_prefill_kv(config, ep, ids)
+    np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
+
+    tp_mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    tp = shard_llama_params(params, tp_mesh, axis="tp")
+    k_tp, v_tp = llama_prefill_kv(config, tp, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
