@@ -211,6 +211,26 @@ def main() -> None:
         "measure router flip rate along the serving budget axis",
     )
     parser.add_argument(
+        "--hp_moe_style", type=str, default="mixtral",
+        choices=["mixtral", "gpt_oss"],
+        help="head_policy: sparse-MoE routing flavor when --hp_experts is "
+        "set (gpt_oss = top-k of raw biased logits then softmax over the "
+        "k, the GPT-OSS order)",
+    )
+    parser.add_argument(
+        "--hp_sinks", action="store_true",
+        help="head_policy: give every head a learnable attention SINK "
+        "(GPT-OSS attention) with induced per-head sink-logit offsets, "
+        "capture per-head sink mass from the true decode, and add the "
+        "sink-aware law_sink / cache_mass_asc rankings to the sweep",
+    )
+    parser.add_argument(
+        "--hp_sink_offsets", type=float, nargs=2, default=[-2.0, 6.0],
+        metavar=("LO", "HI"),
+        help="head_policy: sink-logit offset range inducing the sink-mass "
+        "spread (with --hp_sinks)",
+    )
+    parser.add_argument(
         "--hp_seed", type=int, default=0,
         help="head_policy: model init / gain-shuffle / fit seed (the "
         "3-seed replication in benchmarks/r4/head_policy uses 0, 1, 2)",
@@ -445,6 +465,10 @@ def main() -> None:
             gain_lo=args.hp_gains[0],
             gain_hi=args.hp_gains[1],
             num_local_experts=args.hp_experts,
+            moe_style=args.hp_moe_style,
+            attn_sinks=args.hp_sinks,
+            sink_lo=args.hp_sink_offsets[0],
+            sink_hi=args.hp_sink_offsets[1],
             seed=args.hp_seed,
             schemes=(
                 tuple(s.strip() for s in args.schemes.split(",") if s.strip())

@@ -37,11 +37,22 @@ Protocol (hermetic — random-init model, no weights in this environment):
   as its own curve for every payload, and ``serve_plan_validation``
   records cumulative-sum-vs-measured cost along it, pricing the plan
   tool's cut rule against ground truth;
-* with ``num_local_experts`` set (Mixtral-style sparse-MoE FFNs), the
-  router's top-k expert selections are replayed outside the forward
-  from captured router inputs (``route_weights``) and the FLIP RATE —
-  the stack's one discontinuous error channel — is measured along the
-  same budget axis (``moe_routing``).
+* with ``num_local_experts`` set (sparse-MoE FFNs — Mixtral-style
+  softmax-then-top-k or GPT-OSS-style top-k-then-softmax via
+  ``moe_style``), the router's top-k expert selections are replayed
+  outside the forward from captured router inputs (``route_weights`` /
+  ``route_weights_gpt_oss``) and the FLIP RATE — the stack's one
+  discontinuous error channel — is measured along the same budget axis
+  (``moe_routing``);
+* with ``attn_sinks`` (GPT-OSS attention), per-unit sink-logit offsets
+  induce sink-mass diversity decorrelated from the gain axis, the true
+  decode captures each head's SINK MASS (the softmax fraction no cache
+  row can influence), and the sink-aware rankings ``law_sink``
+  ((1-proxy) * e^(-H_cache) * cache_mass on the cache-conditional
+  entropy) and ``cache_mass_asc`` join the sweep — the falsifiable
+  prediction being that the sink-blind law misprices sink-dominated
+  heads (their full-distribution entropy reads sharp = expensive while
+  their cache rows carry no mass = actually free).
 
 Writes ``head_policy_results.json`` + a two-panel figure.
 """
@@ -78,6 +89,63 @@ def assign_head_gains(
     gains = np.logspace(np.log10(lo), np.log10(hi), n)
     np.random.RandomState(seed).shuffle(gains)
     return gains.reshape(n_layers, n_kv).astype(np.float64)
+
+
+def assign_sink_offsets(
+    n_layers: int, n_kv: int, *, lo: float = -2.0, hi: float = 6.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Linearly spaced per-(layer, kv-head) sink-logit offsets, shuffled.
+
+    Sinks are LOGITS, so the knob is additive and linear (gains on K are
+    multiplicative because they scale a dot product). Shuffled with a
+    seed offset so sink dominance decorrelates from the K-gain sharpness
+    axis — the sink leg needs heads that are sharp-but-sinkless and
+    diffuse-but-sink-dominated to tell the rankings apart.
+    """
+    n = n_layers * n_kv
+    offsets = np.linspace(lo, hi, n)
+    np.random.RandomState(seed + 101).shuffle(offsets)
+    return offsets.reshape(n_layers, n_kv).astype(np.float64)
+
+
+def apply_sink_offsets(config, params: dict, offsets: np.ndarray) -> dict:
+    """Add per-(layer, kv-head) offsets to the learnable sink logits.
+
+    The sink competes with the cache columns inside one softmax
+    (`models/llama_jax.py:_layer_decode`), so raising a head's sink
+    logit moves probability mass off every cache row — the per-head
+    "how much of this head can a cache reconstruction even touch" knob.
+    Offsets repeat across each kv head's GQA query group.
+    """
+    import jax.numpy as jnp
+
+    group = config.num_attention_heads // config.num_key_value_heads
+    off = np.repeat(np.asarray(offsets, np.float32), group, axis=1)
+    layers = dict(params["layers"])
+    layers["sinks"] = layers["sinks"] + jnp.asarray(off)
+    return {**params, "layers": layers}
+
+
+def cache_conditional_entropy(
+    ent_full: np.ndarray, sink_mass: np.ndarray
+) -> np.ndarray:
+    """Entropy of the cache-row distribution given the full-softmax stats.
+
+    With sink mass p and full entropy H (both over [cache rows, sink]),
+    the renormalized cache-row distribution q_i = p_i / (1-p) has
+
+        H_cache = (H + p*ln(p)) / (1-p) + ln(1-p)
+
+    (H + p*ln(p) is exactly the cache rows' unnormalized -sum p_i ln p_i).
+    p=0 reduces to H; p->1 is guarded (a fully sink-dominated head has no
+    cache distribution to speak of — entropy reported as 0).
+    """
+    p = np.clip(np.asarray(sink_mass, np.float64), 0.0, 1.0 - 1e-9)
+    c = 1.0 - p
+    plogp = np.where(p > 0, p * np.log(np.maximum(p, 1e-300)), 0.0)
+    return np.maximum((np.asarray(ent_full, np.float64) + plogp) / c
+                      + np.log(c), 0.0)
 
 
 def apply_head_gains(config, params: dict, gains: np.ndarray) -> dict:
@@ -137,6 +205,31 @@ def route_weights(
     return weights, np.sort(idx, axis=-1)
 
 
+def route_weights_gpt_oss(
+    ffn_x: np.ndarray, routers: np.ndarray, router_bias: np.ndarray,
+    top_k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recompute GPT-OSS MoE combine weights from captured router inputs.
+
+    GPT-OSS routing reverses Mixtral's order (`models/llama_jax.py:
+    _ffn_gpt_oss`): top-k runs on the raw BIASED logits, then softmax
+    normalizes over just the k survivors. Same return contract as
+    `route_weights`: (weights (T, L, E), top_idx (T, L, top_k) ascending).
+    """
+    x = np.asarray(ffn_x, np.float32)[:, :, 0, :]
+    logits = np.einsum(
+        "tlh,lhe->tle", x, np.asarray(routers, np.float32)
+    ) + np.asarray(router_bias, np.float32)[None]
+    idx = np.argsort(-logits, kind="stable", axis=-1)[..., :top_k]
+    vals = np.take_along_axis(logits, idx, axis=-1)
+    z = vals - vals.max(axis=-1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=-1, keepdims=True)
+    weights = np.zeros_like(logits)
+    np.put_along_axis(weights, idx, p, axis=-1)
+    return weights, np.sort(idx, axis=-1)
+
+
 def policy_orders(
     entropy_u: np.ndarray,
     proxy_u: np.ndarray,
@@ -145,8 +238,18 @@ def policy_orders(
     n_kv: int,
     n_random: int = 3,
     seed: int = 0,
+    cache_entropy_u: np.ndarray | None = None,
+    cache_mass_u: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
-    """Unit orderings (first = first slice served from parameters)."""
+    """Unit orderings (first = first slice served from parameters).
+
+    ``cache_entropy_u``/``cache_mass_u`` (set together, sink models only)
+    add the sink-aware rankings: ``law_sink`` prices a unit at
+    (1 - proxy) * e^(-H_cache) * cache_mass — the law evaluated on the
+    distribution a reconstruction can actually touch, weighted by how
+    much of the softmax that is — and ``cache_mass_asc`` serves the most
+    sink-dominated heads first (mass alone, quality-blind).
+    """
     n = entropy_u.size
     pred_cost = (1.0 - proxy_u) * np.exp(-entropy_u)
     layer_of = np.arange(n) // n_kv
@@ -158,6 +261,12 @@ def policy_orders(
         "late_first": np.lexsort((-entropy_u, -layer_of)),
         "entropy_asc": np.argsort(entropy_u, kind="stable"),
     }
+    if cache_entropy_u is not None:
+        sink_cost = (
+            (1.0 - proxy_u) * np.exp(-cache_entropy_u) * cache_mass_u
+        )
+        orders["law_sink"] = np.argsort(sink_cost, kind="stable")
+        orders["cache_mass_asc"] = np.argsort(cache_mass_u, kind="stable")
     rng = np.random.RandomState(seed)
     for i in range(n_random):
         orders[f"random_{i}"] = rng.permutation(n)
@@ -211,6 +320,10 @@ def run_head_policy_experiment(
     gain_lo: float = 1.0,
     gain_hi: float = 64.0,
     num_local_experts: int | None = None,
+    moe_style: str = "mixtral",
+    attn_sinks: bool = False,
+    sink_lo: float = -2.0,
+    sink_hi: float = 6.0,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
     qat_epochs: int = 300,
     budget_points: int = 8,
@@ -265,12 +378,24 @@ def run_head_policy_experiment(
         num_key_value_heads=num_kv_heads,
         head_dim=head_dim,
         num_local_experts=num_local_experts,
+        moe_style=moe_style,
+        attn_sinks=attn_sinks,
     )
     n_l, n_kv, d, s = num_layers, num_kv_heads, head_dim, seq_len
     n_units = n_l * n_kv
 
     gains = assign_head_gains(n_l, n_kv, lo=gain_lo, hi=gain_hi, seed=seed)
     params = apply_head_gains(config, init_random_llama(config, seed=seed), gains)
+    sink_offsets = None
+    if attn_sinks:
+        # A second, decorrelated per-unit axis: how much of each head's
+        # softmax the SINK absorbs. Random-init sink logits sit in the
+        # same range as the (gained) cache logits, so without offsets
+        # sink mass would just mirror the gain axis.
+        sink_offsets = assign_sink_offsets(
+            n_l, n_kv, lo=sink_lo, hi=sink_hi, seed=seed
+        )
+        params = apply_sink_offsets(config, params, sink_offsets)
 
     rng = np.random.RandomState(seed)
     # Queries are the last n_queries IN-PREFIX tokens (each re-decoded at
@@ -287,11 +412,13 @@ def run_head_policy_experiment(
     @jax.jit
     def decode_true(p, toks, pos, k_c, v_c):
         fn = jax.vmap(
-            lambda t, q: llama_decode_step(config, p, t, q, k_c, v_c),
+            lambda t, q: llama_decode_step(
+                config, p, t, q, k_c, v_c, capture_sink_mass=True
+            ),
             in_axes=(0, 0),
         )
-        h, _, ent = fn(toks, pos)
-        return h, ent
+        h, _, ent, smass = fn(toks, pos)
+        return h, ent, smass
 
     @jax.jit
     def decode_masked(p, toks, pos, k_c, v_c, k_hat, v_hat, unit_masks, h_ref):
@@ -315,8 +442,19 @@ def run_head_policy_experiment(
         )
         return num / den
 
-    h_true, ent_true = decode_true(params, tokens, positions, ck, cv)
+    h_true, ent_true, smass_true = decode_true(params, tokens, positions, ck, cv)
     ent_u = kv_head_entropy(np.asarray(ent_true), n_kv).reshape(-1)  # (units,)
+    cache_ent_u = cache_mass_u = None
+    if attn_sinks:
+        # Per-token, per-query-head cache-conditional stats FIRST (the
+        # entropy identity is nonlinear), then the same GQA group-mean
+        # the full entropy uses.
+        cache_ent = cache_conditional_entropy(
+            np.asarray(ent_true), np.asarray(smass_true)
+        )
+        cache_ent_u = kv_head_entropy(cache_ent, n_kv).reshape(-1)
+        sink_u = kv_head_entropy(np.asarray(smass_true), n_kv).reshape(-1)
+        cache_mass_u = 1.0 - sink_u
 
     # --- fit every slice in one batched program (K rows then V rows) ---
     targets = np.concatenate([np.asarray(ck), np.asarray(cv)]).reshape(
@@ -336,7 +474,8 @@ def run_head_policy_experiment(
         )
 
     orders = policy_orders(
-        ent_u, proxy_u, n_layers=n_l, n_kv=n_kv, n_random=n_random, seed=seed
+        ent_u, proxy_u, n_layers=n_l, n_kv=n_kv, n_random=n_random, seed=seed,
+        cache_entropy_u=cache_ent_u, cache_mass_u=cache_mass_u,
     )
     step = max(1, n_units // budget_points)
     budgets = list(range(0, n_units + 1, step))
@@ -456,11 +595,13 @@ def run_head_policy_experiment(
         if verbose:
             half = budgets[len(budgets) // 2]
             j = len(budgets) // 2
+            shown = DEFAULT_POLICIES + tuple(
+                n for n in ("law_sink", "cache_mass_asc") if n in curve_idx
+            )
             print(
                 f"  {scheme}: full swap {cos_all[curve_idx['law'][-1]]:.4f} | "
                 f"@{half}/{n_units} " + " ".join(
-                    f"{n}={cos_all[curve_idx[n][j]]:.4f}"
-                    for n in DEFAULT_POLICIES
+                    f"{n}={cos_all[curve_idx[n][j]]:.4f}" for n in shown
                 ) + f" solo_asc={serve_cos[j]:.4f}"
             )
 
@@ -501,6 +642,42 @@ def run_head_policy_experiment(
             print(
                 f"  two-factor law: log(cost) = {coef[0]:.2f} {coef[1]:+.3f}*H "
                 f"{coef[2]:+.3f}*log(1-proxy)  R^2={law2['r2']:.3f}"
+            )
+    law_cache = law_sink3 = None
+    if attn_sinks and fit_mask.sum() >= 4:
+        # The sink question: the full-distribution entropy H counts the
+        # sink as sharpness, so a sink-dominated head looks expensive to
+        # the plain law while its cache rows (the only thing a swap
+        # touches) barely matter. Re-fit on the cache-conditional stats.
+        y = np.log(solo_cost[fit_mask])
+        xc = cache_ent_u[fit_mask]
+        lc = np.log(np.maximum(cache_mass_u[fit_mask], 1e-12))
+        slope_c, icpt_c = np.polyfit(xc, y, 1)
+        law_cache = {
+            "slope": float(slope_c),
+            "intercept": float(icpt_c),
+            "r2": float(np.corrcoef(xc, y)[0, 1] ** 2),
+            "n_points": int(fit_mask.sum()),
+        }
+        lq = np.log(np.maximum(1.0 - proxy_u[fit_mask], 1e-12))
+        design = np.stack([np.ones_like(xc), xc, lq, lc], axis=1)
+        coef3, *_ = np.linalg.lstsq(design, y, rcond=None)
+        resid = y - design @ coef3
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        law_sink3 = {
+            "intercept": float(coef3[0]),
+            "cache_entropy_slope": float(coef3[1]),
+            "log1mproxy_slope": float(coef3[2]),
+            "log_cache_mass_slope": float(coef3[3]),
+            "r2": 1.0 - float((resid**2).sum()) / ss_tot if ss_tot else 1.0,
+            "n_points": int(fit_mask.sum()),
+        }
+        if verbose:
+            print(
+                f"  sink-aware law: log(cost) vs H_cache R^2="
+                f"{law_cache['r2']:.3f} (full-H R^2={law['r2']:.3f}); "
+                f"3-factor [H_cache, log(1-proxy), log(cache_mass)] "
+                f"R^2={law_sink3['r2']:.3f}"
             )
 
     # Calibration: is the budget curve the SUM of its served units' solo
@@ -627,16 +804,18 @@ def run_head_policy_experiment(
         k_hat_m, v_hat_m = payloads["master"]["k_hat"], payloads["master"]["v_hat"]
 
         def routing_for(mask: np.ndarray):
-            return route_weights(
-                np.asarray(
-                    decode_ffn_masked(
-                        params, tokens, positions, ck, cv,
-                        k_hat_m, v_hat_m, jnp.asarray(mask),
-                    )
-                ),
-                routers,
-                top_k,
+            ffn_x = np.asarray(
+                decode_ffn_masked(
+                    params, tokens, positions, ck, cv,
+                    k_hat_m, v_hat_m, jnp.asarray(mask),
+                )
             )
+            if config.moe_style == "gpt_oss":
+                return route_weights_gpt_oss(
+                    ffn_x, routers,
+                    np.asarray(params["layers"]["router_bias"]), top_k,
+                )
+            return route_weights(ffn_x, routers, top_k)
 
         w_true, idx_true = routing_for(np.zeros(n_units, dtype=bool))
         # Flip rate along BOTH serving orders the additivity calibrations
@@ -678,6 +857,7 @@ def run_head_policy_experiment(
             }
         moe_routing = {
             "num_experts": int(num_local_experts),
+            "moe_style": moe_style,
             "top_k": top_k,
             "payload": "master",
             "budgets": [int(m) for m in budgets],
@@ -708,6 +888,16 @@ def run_head_policy_experiment(
             "value_fit_cosine": float(v_cos[u]),
             "solo_output_cosine": float(solo_cos[u]),
             "solo_cost": float(solo_cost[u]),
+            **(
+                {
+                    "sink_offset": float(sink_offsets.reshape(-1)[u]),
+                    "sink_mass": float(1.0 - cache_mass_u[u]),
+                    "cache_mass": float(cache_mass_u[u]),
+                    "cache_entropy_nats": float(cache_ent_u[u]),
+                }
+                if attn_sinks
+                else {}
+            ),
         }
         for u in range(n_units)
     ]
@@ -722,6 +912,8 @@ def run_head_policy_experiment(
             "seq_len": s,
             "n_queries": n_queries,
             "num_local_experts": num_local_experts,
+            "moe_style": moe_style if num_local_experts else None,
+            "attn_sinks": attn_sinks,
         },
         "net": net.name,
         "epochs": epochs,
@@ -734,6 +926,10 @@ def run_head_policy_experiment(
         "units": units,
         "entropy_law_solo": law,
         "entropy_law_solo_2factor": law2,
+        "entropy_law_solo_cache": law_cache,
+        "entropy_law_solo_sink3": law_sink3,
+        "sink_lo": sink_lo if attn_sinks else None,
+        "sink_hi": sink_hi if attn_sinks else None,
         "law_curve_additivity": additivity,
         "serve_plan_validation": serve_validation,
         "tiered_plan_validation": tiered_validation,
@@ -786,6 +982,20 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
             zorder=2,
         )
         ax_law.legend(fontsize=8)
+    law_c = results.get("entropy_law_solo_cache")
+    if law_c and "cache_entropy_nats" in units[0]:
+        hc = np.array([u["cache_entropy_nats"] for u in units])
+        ax_law.scatter(
+            hc, np.maximum(cost, 1e-12), s=22, alpha=0.6, marker="^",
+            color="C1", zorder=3,
+            label=f"cache-conditional H ($R^2$ {law_c['r2']:.2f})",
+        )
+        xs = np.linspace(hc.min(), hc.max(), 50)
+        ax_law.plot(
+            xs, np.exp(law_c["intercept"] + law_c["slope"] * xs),
+            ":", color="C1", zorder=2,
+        )
+        ax_law.legend(fontsize=8)
     ax_law.set_yscale("log")
     ax_law.set_xlabel("measured head entropy (nats)")
     ax_law.set_ylabel("solo-swap output cost (1 − cosine)")
@@ -802,7 +1012,7 @@ def plot_head_policy(results: dict, figures_dir: Path) -> None:
             frac, randoms.min(axis=0), randoms.max(axis=0),
             color="0.8", label=f"random (n={randoms.shape[0]})",
         )
-    for name in DEFAULT_POLICIES + ("solo_asc",):
+    for name in DEFAULT_POLICIES + ("law_sink", "cache_mass_asc", "solo_asc"):
         if name in master:
             ax_pol.plot(frac, master[name]["output_cosine"], "-o", ms=3.5,
                         label=name)

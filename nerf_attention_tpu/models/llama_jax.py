@@ -1038,9 +1038,18 @@ def _layer_decode(
     entropy = -jnp.sum(
         jnp.where(p32 > 0, p32 * jnp.log(p32), 0.0), axis=(-2, -1)
     )  # (n_q,)
-    probs = (
-        probs_full[..., :-1] if config.attn_sinks else probs_full
-    ).astype(vf.dtype)
+    if config.attn_sinks:
+        probs = probs_full[..., :-1].astype(vf.dtype)
+        # Per-head sink mass — the probability the head assigns to the
+        # sink outcome, i.e. exactly the fraction of its softmax that NO
+        # cache row (true or reconstructed) can influence. The serving
+        # studies condition on it: a sink-dominated head is cheap to
+        # serve from parameters regardless of how sharp its full
+        # distribution looks (head_policy's sink leg).
+        sink_mass = p32[..., -1].reshape(n_q)
+    else:
+        probs = probs_full.astype(vf.dtype)
+        sink_mass = jnp.zeros((n_q,), jnp.float32)
     attn = jnp.einsum("hqk,hkd->hqd", probs, vf)  # (n_q, 1, D)
     attn = attn.transpose(1, 0, 2).reshape(1, n_q * d)
     attn_out = attn @ lp["o"] + lp["o_bias"]
@@ -1061,10 +1070,13 @@ def _layer_decode(
         h = h + attn_out
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
         h = h + _ffn(config, x, lp, act)
-    return h, (k, v, entropy, x)
+    return h, (k, v, entropy, sink_mass, x)
 
 
-@partial(jax.jit, static_argnames=("config", "capture_ffn_input"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "capture_ffn_input", "capture_sink_mass"),
+)
 def llama_decode_step(
     config: LlamaConfig,
     params: dict,
@@ -1073,6 +1085,7 @@ def llama_decode_step(
     cache_keys: jax.Array,
     cache_values: jax.Array,
     capture_ffn_input: bool = False,
+    capture_sink_mass: bool = False,
 ):
     """One autoregressive decode step over a per-layer KV cache.
 
@@ -1093,11 +1106,15 @@ def llama_decode_step(
     the decode step returns the final hidden state before any output
     norm/readout.
 
-    ``capture_ffn_input=True`` (static) appends a fourth output: each
+    ``capture_ffn_input=True`` (static) appends an output: each
     layer's normed FFN input (num_layers, 1, hidden) — the tensor a
     sparse-MoE router reads, so routing-sensitivity diagnostics can
     recompute expert selections outside the forward (head_policy's MoE
-    flip-rate leg).
+    flip-rate leg). ``capture_sink_mass=True`` (static) appends, last,
+    the per-head sink mass (num_layers, num_attention_heads) — the
+    probability each head assigns to its attention sink (zeros for
+    families without ``attn_sinks``), the fraction of the softmax no
+    cache row can influence (head_policy's sink leg).
     """
     h = params["embed"][token_id][None, :]
     if config.scale_embeddings:
@@ -1128,12 +1145,15 @@ def llama_decode_step(
         return h, kv
 
     layers = _scanned_layers(config, params)
-    h, (k_new, v_new, entropy, ffn_x) = jax.lax.scan(
+    h, (k_new, v_new, entropy, sink_mass, ffn_x) = jax.lax.scan(
         scan_layer, h, (layers, cache_keys, cache_values)
     )
+    out = [h[0], (k_new, v_new), entropy]
     if capture_ffn_input:
-        return h[0], (k_new, v_new), entropy, ffn_x
-    return h[0], (k_new, v_new), entropy
+        out.append(ffn_x)
+    if capture_sink_mass:
+        out.append(sink_mass)
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("config",))

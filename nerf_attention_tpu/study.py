@@ -164,6 +164,17 @@ def main(argv: list[str] | None = None) -> None:
         "(experiments head_policy --hp_experts)",
     )
     parser.add_argument(
+        "--hp_moe_style", type=str, default="mixtral",
+        choices=["mixtral", "gpt_oss"],
+        help="serving: MoE routing flavor for --hp_experts "
+        "(experiments head_policy --hp_moe_style)",
+    )
+    parser.add_argument(
+        "--hp_sinks", action="store_true",
+        help="serving: run the policy study with GPT-OSS attention sinks "
+        "and the sink-aware rankings (experiments head_policy --hp_sinks)",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run the whole study on FM-SIRENs (per-unit first-layer "
         "frequencies, equal parameter count): the fit sweep trains FM nets, "
@@ -274,7 +285,12 @@ def main(argv: list[str] | None = None) -> None:
             "head_policy", args, root, kv_dir, fits_dir, geometry=False
         )
         if args.hp_experts is not None:
-            hp_argv += ["--hp_experts", str(args.hp_experts)]
+            hp_argv += [
+                "--hp_experts", str(args.hp_experts),
+                "--hp_moe_style", args.hp_moe_style,
+            ]
+        if args.hp_sinks:
+            hp_argv += ["--hp_sinks"]
         _delegate_experiments(hp_argv)
 
         from nerf_attention_tpu.serve_plan import main as serve_plan_main

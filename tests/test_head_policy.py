@@ -15,6 +15,8 @@ import pytest
 
 from nerf_attention_tpu.experiments.head_policy import (
     assign_head_gains,
+    assign_sink_offsets,
+    cache_conditional_entropy,
     kv_head_entropy,
     policy_orders,
     route_weights,
@@ -262,6 +264,9 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
             "--schemes", "fp16,int8_g32",
             "--hp_seed", "2",
             "--hp_experts", "4",
+            "--hp_moe_style", "gpt_oss",
+            "--hp_sinks",
+            "--hp_sink_offsets", "-1", "4",
         ],
     )
     cli.main()
@@ -274,6 +279,9 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
     assert calls["schemes"] == ("fp16", "int8_g32")
     assert calls["seed"] == 2
     assert calls["num_local_experts"] == 4
+    assert calls["moe_style"] == "gpt_oss"
+    assert calls["attn_sinks"] is True
+    assert calls["sink_lo"] == -1.0 and calls["sink_hi"] == 4.0
 
 
 def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):
@@ -282,3 +290,152 @@ def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):
             tmp_path, seq_len=16, epochs=1, num_layers=1,
             schemes=("fp16_qat",), verbose=False,
         )
+
+
+def test_assign_sink_offsets_shape_range_decorrelation():
+    off = assign_sink_offsets(8, 4, lo=-2.0, hi=6.0, seed=3)
+    off2 = assign_sink_offsets(8, 4, lo=-2.0, hi=6.0, seed=3)
+    assert off.shape == (8, 4)
+    np.testing.assert_array_equal(off, off2)
+    assert off.min() == pytest.approx(-2.0)
+    assert off.max() == pytest.approx(6.0)
+    # decorrelated from the gain axis: a DIFFERENT shuffle than the gains
+    # at the same seed (same-rank alignment would re-couple the axes)
+    gains = assign_head_gains(8, 4, seed=3)
+    rank_g = np.argsort(np.argsort(gains.reshape(-1)))
+    rank_o = np.argsort(np.argsort(off.reshape(-1)))
+    assert not np.array_equal(rank_g, rank_o)
+
+
+def test_cache_conditional_entropy_identity():
+    """The (H, sink_mass) -> H_cache closed form must equal the entropy
+    of the explicitly renormalized cache-row distribution."""
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        logits = rng.randn(12)
+        sink_logit = rng.randn() * 3
+        z = np.concatenate([logits, [sink_logit]])
+        p = np.exp(z - z.max())
+        p /= p.sum()
+        h_full = -np.sum(p * np.log(p))
+        p_sink = p[-1]
+        q = p[:-1] / (1.0 - p_sink)
+        h_cache_direct = -np.sum(q * np.log(q))
+        h_cache = cache_conditional_entropy(
+            np.array([h_full]), np.array([p_sink])
+        )[0]
+        assert h_cache == pytest.approx(h_cache_direct, abs=1e-10)
+    # degenerate guards
+    assert cache_conditional_entropy(np.array([2.0]), np.array([0.0]))[
+        0
+    ] == pytest.approx(2.0)
+    assert np.isfinite(
+        cache_conditional_entropy(np.array([0.01]), np.array([1.0]))
+    ).all()
+
+
+def test_policy_orders_sink_rankings():
+    rng = np.random.RandomState(1)
+    n_l, n_kv = 4, 2
+    n = n_l * n_kv
+    ent = rng.uniform(1.0, 7.0, n)
+    proxy = rng.uniform(0.4, 0.99, n)
+    cache_ent = rng.uniform(0.5, 6.0, n)
+    cache_mass = rng.uniform(0.05, 1.0, n)
+    orders = policy_orders(
+        ent, proxy, n_layers=n_l, n_kv=n_kv, n_random=1, seed=0,
+        cache_entropy_u=cache_ent, cache_mass_u=cache_mass,
+    )
+    assert "law_sink" in orders and "cache_mass_asc" in orders
+    for name, order in orders.items():
+        assert sorted(order.tolist()) == list(range(n)), name
+    sink_cost = (1 - proxy) * np.exp(-cache_ent) * cache_mass
+    assert sink_cost[orders["law_sink"][0]] == sink_cost.min()
+    assert cache_mass[orders["cache_mass_asc"][0]] == cache_mass.min()
+    # without the sink stats the rankings must not appear
+    base = policy_orders(ent, proxy, n_layers=n_l, n_kv=n_kv, n_random=0)
+    assert "law_sink" not in base and "cache_mass_asc" not in base
+
+
+def test_route_weights_gpt_oss_matches_ffn_gpt_oss_routing():
+    """The numpy replay must agree with `_ffn_gpt_oss`'s routing lines
+    (top-k of raw biased logits, softmax over the k) on random inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.experiments.head_policy import (
+        route_weights_gpt_oss,
+    )
+
+    rng = np.random.RandomState(0)
+    t, n_l, h, e, k = 5, 3, 8, 6, 2
+    ffn_x = rng.randn(t, n_l, 1, h).astype(np.float32)
+    routers = rng.randn(n_l, h, e).astype(np.float32)
+    bias = rng.randn(n_l, e).astype(np.float32)
+
+    w_np, idx_np = route_weights_gpt_oss(ffn_x, routers, bias, k)
+    assert w_np.shape == (t, n_l, e) and idx_np.shape == (t, n_l, k)
+    np.testing.assert_allclose(w_np.sum(axis=-1), 1.0, atol=1e-6)
+
+    # the model's own routing lines (models/llama_jax.py:_ffn_gpt_oss)
+    x = jnp.asarray(ffn_x[:, :, 0, :])
+    logits = jnp.einsum("tlh,lhe->tle", x, jnp.asarray(routers)) + jnp.asarray(
+        bias
+    )
+    top_vals, top_idx = jax.lax.top_k(logits, k)
+    top_vals = jax.nn.softmax(top_vals, axis=-1)
+    w_jax = np.zeros((t, n_l, e), np.float32)
+    np.put_along_axis(w_jax, np.asarray(top_idx), np.asarray(top_vals), -1)
+
+    np.testing.assert_array_equal(idx_np, np.sort(np.asarray(top_idx), -1))
+    np.testing.assert_allclose(w_np, w_jax, atol=1e-6)
+
+
+def test_run_head_policy_experiment_tiny_sinks_gpt_oss(tmp_path: Path):
+    """GPT-OSS stack (attention sinks + top-k-then-softmax MoE): the sink
+    leg captures per-head sink mass, the sink-aware rankings join the
+    sweep, and the cache-conditional law fields land in the artifact."""
+    res = run_head_policy_experiment(
+        tmp_path,
+        seq_len=48,
+        n_queries=4,
+        epochs=10,
+        config_name="tiny",
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        hidden_size=64,
+        intermediate_size=128,
+        num_local_experts=4,
+        moe_style="gpt_oss",
+        attn_sinks=True,
+        sink_lo=-2.0,
+        sink_hi=6.0,
+        schemes=(),
+        budget_points=2,
+        n_random=1,
+        seed=0,
+        verbose=False,
+    )
+    assert res["model"]["attn_sinks"] is True
+    assert res["model"]["moe_style"] == "gpt_oss"
+    assert res["moe_routing"]["moe_style"] == "gpt_oss"
+    assert res["moe_routing"]["flip_rate"][0] == 0.0
+    for u in res["units"]:
+        assert 0.0 <= u["sink_mass"] <= 1.0
+        assert u["cache_mass"] == pytest.approx(1.0 - u["sink_mass"])
+        assert 0.0 <= u["cache_entropy_nats"] <= np.log(49) + 1e-6
+    # induced diversity: the offsets must actually spread the sink mass
+    masses = np.array([u["sink_mass"] for u in res["units"]])
+    assert masses.max() - masses.min() > 0.2
+    pol = res["payloads"]["master"]["policies"]
+    assert "law_sink" in pol and "cache_mass_asc" in pol
+    # every policy curve ends at the same full-swap point
+    ends = {name: p["output_cosine"][-1] for name, p in pol.items()}
+    assert max(ends.values()) - min(ends.values()) < 1e-6
+    data = json.loads((tmp_path / "head_policy_results.json").read_text())
+    assert data["sink_lo"] == -2.0 and data["sink_hi"] == 6.0
+    # tiny runs may not have 4+ units above the cost floor; fields exist
+    assert "entropy_law_solo_cache" in data
+    assert "entropy_law_solo_sink3" in data

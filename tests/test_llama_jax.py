@@ -1303,3 +1303,68 @@ def test_gpt_oss_ep_and_tp_prefill_parity(tiny_hf_gpt_oss):
     k_tp, v_tp = llama_prefill_kv(config, tp, ids)
     np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
+def test_decode_step_capture_sink_mass():
+    """capture_sink_mass exposes per-head sink probabilities without
+    changing the default outputs; sink mass lives in [0, 1] for a sink
+    model and is exactly zero for families without sinks. Raising one
+    head's sink logit must raise ITS mass and no other head's."""
+    from nerf_attention_tpu.models.llama_jax import llama_decode_step
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, attn_sinks=True,
+    )
+    params = init_random_llama(config, seed=5)
+    ids = jnp.arange(9, dtype=jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids[:8])
+
+    h_ref, (k_ref, v_ref), ent_ref = llama_decode_step(
+        config, params, ids[8], 8, keys, values
+    )
+    h_cap, kv_cap, ent_cap, smass = llama_decode_step(
+        config, params, ids[8], 8, keys, values, capture_sink_mass=True
+    )
+    assert smass.shape == (2, 4)
+    s = np.asarray(smass)
+    assert ((s >= 0.0) & (s <= 1.0)).all()
+    assert s.max() > 0.0  # random sinks hold SOME mass
+    np.testing.assert_array_equal(np.asarray(h_cap), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(ent_cap), np.asarray(ent_ref))
+
+    # drive one head's sink logit up: its mass -> ~1, others unchanged
+    boosted = {**params, "layers": dict(params["layers"])}
+    sinks = np.asarray(boosted["layers"]["sinks"]).copy()
+    sinks[1, 2] += 30.0
+    boosted["layers"]["sinks"] = jnp.asarray(sinks)
+    *_, s_boost = llama_decode_step(
+        config, boosted, ids[8], 8, keys, values, capture_sink_mass=True
+    )
+    s_boost = np.asarray(s_boost)
+    assert s_boost[1, 2] > 0.999
+    mask = np.ones_like(s, dtype=bool)
+    mask[1, 2] = False
+    np.testing.assert_allclose(s_boost[mask], s[mask], atol=1e-6)
+
+    # both captures compose: ffn_x then sink mass, in that order
+    _, _, _, ffn_x, smass2 = llama_decode_step(
+        config, params, ids[8], 8, keys, values,
+        capture_ffn_input=True, capture_sink_mass=True,
+    )
+    assert ffn_x.shape == (2, 1, 16)
+    np.testing.assert_array_equal(np.asarray(smass2), s)
+
+    # sink-free family: the capture is all zeros
+    config_ns = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4,
+    )
+    params_ns = init_random_llama(config_ns, seed=5)
+    k_ns, v_ns = llama_prefill_kv(config_ns, params_ns, ids[:8])
+    *_, s_ns = llama_decode_step(
+        config_ns, params_ns, ids[8], 8, k_ns, v_ns, capture_sink_mass=True
+    )
+    assert np.asarray(s_ns).sum() == 0.0
