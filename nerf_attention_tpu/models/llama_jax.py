@@ -63,10 +63,17 @@ class LlamaConfig:
     num_local_experts: int | None = None
     num_experts_per_tok: int = 2
     # MoE flavor: "mixtral" (softmax-over-all-experts then top-k,
-    # bias-free SwiGLU experts) or "gpt_oss" (top-k of raw logits then
-    # softmax over the k, biased router, interleaved gate_up experts with
-    # clamped swiglu — HF GptOssTopKRouter/GptOssExperts).
+    # bias-free SwiGLU experts), "qwen3_moe" (same forward, HF
+    # Qwen3MoeSparseMoeBlock's "only diff with mixtral" being the
+    # norm_topk_prob gate below plus different checkpoint key names), or
+    # "gpt_oss" (top-k of raw logits then softmax over the k, biased
+    # router, interleaved gate_up experts with clamped swiglu — HF
+    # GptOssTopKRouter/GptOssExperts).
     moe_style: str = "mixtral"
+    # Mixtral always renormalizes the top-k probabilities; Qwen3-MoE only
+    # when the checkpoint's norm_topk_prob is true (HF config default is
+    # false, published Qwen3-30B-A3B ships true).
+    moe_renormalize: bool = True
     # GPT-OSS extensions
     attn_sinks: bool = False  # per-head learnable sink logit: softmax runs
     #                           over [scores, sink] and the sink column is
@@ -183,8 +190,8 @@ class LlamaConfig:
     # shared experts this FFN doesn't have — silently extracting with the
     # wrong architecture would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
-        None, "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
-        "gemma3_text", "phi3", "mixtral", "gpt_oss",
+        None, "llama", "mistral", "qwen2", "qwen3", "qwen3_moe",
+        "gemma", "gemma2", "gemma3_text", "phi3", "mixtral", "gpt_oss",
     }
 
     @classmethod
@@ -193,8 +200,17 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, mixtral, qwen2, qwen3, gemma, gemma2, "
-                f"gemma3_text, phi3, gpt_oss)"
+                f"llama, mistral, mixtral, qwen2, qwen3, qwen3_moe, "
+                f"gemma, gemma2, gemma3_text, phi3, gpt_oss)"
+            )
+        if model_type == "qwen3_moe" and (
+            d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
+        ):
+            # A mixed dense/sparse layer stack cannot share one scanned
+            # per-layer pytree; no published Qwen3-MoE checkpoint uses it.
+            raise NotImplementedError(
+                "qwen3_moe with mlp_only_layers or decoder_sparse_step != 1 "
+                "(mixed dense/MoE layers) is not supported"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -236,7 +252,13 @@ class LlamaConfig:
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
-            intermediate_size=d["intermediate_size"],
+            # Qwen3-MoE experts are sized by moe_intermediate_size (the
+            # dense intermediate_size is unused when every layer is MoE).
+            intermediate_size=(
+                d.get("moe_intermediate_size", 768)
+                if model_type == "qwen3_moe"
+                else d["intermediate_size"]
+            ),
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=num_heads,
             num_key_value_heads=d.get("num_key_value_heads", num_heads),
@@ -250,7 +272,7 @@ class LlamaConfig:
             hidden_act=hidden_act,
             norm_offset=gemma_like,
             scale_embeddings=gemma_like,
-            qk_norm=model_type in ("qwen3", "gemma3_text"),
+            qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
             attn_scale=attn_scale,
             attn_logit_softcap=(
                 d.get("attn_logit_softcapping", 50.0)
@@ -277,12 +299,24 @@ class LlamaConfig:
                 if model_type == "mixtral"
                 else d.get("num_local_experts", 128)
                 if model_type == "gpt_oss"
+                else d.get("num_experts", 128)  # HF Qwen3MoeConfig default
+                if model_type == "qwen3_moe"
                 else None
             ),
             num_experts_per_tok=d.get(
-                "num_experts_per_tok", 4 if model_type == "gpt_oss" else 2
+                "num_experts_per_tok",
+                {"gpt_oss": 4, "qwen3_moe": 8}.get(model_type, 2),
             ),
-            moe_style="gpt_oss" if model_type == "gpt_oss" else "mixtral",
+            moe_style=(
+                model_type
+                if model_type in ("gpt_oss", "qwen3_moe")
+                else "mixtral"
+            ),
+            moe_renormalize=(
+                d.get("norm_topk_prob", False)
+                if model_type == "qwen3_moe"
+                else True
+            ),
             attn_sinks=model_type == "gpt_oss",
             yarn_factor=scaling.get("factor") if is_yarn else None,
             yarn_beta_fast=scaling.get("beta_fast") or 32.0,
@@ -416,7 +450,8 @@ def _ffn(config: LlamaConfig, x: jax.Array, lp: dict, act) -> jax.Array:
     logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)  # (S, E) fp32, like HF
     top_vals, top_idx = jax.lax.top_k(probs, config.num_experts_per_tok)
-    top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    if config.moe_renormalize:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
     weights = (
         jnp.zeros_like(probs)
         .at[jnp.arange(x.shape[0])[:, None], top_idx]
@@ -1373,15 +1408,27 @@ def load_llama_params(
             # Mixtral sparse-MoE block: gate (router) is (E, hidden) -> our
             # (hidden, E); each expert's w1/w3 are (ffn, hidden) -> (hidden,
             # ffn) and w2 is (hidden, ffn) -> (ffn, hidden), stacked (E, ...).
+            # Qwen3-MoE ships the same tensors under SwiGLU names
+            # (mlp.gate / mlp.experts.{j}.{gate,down,up}_proj); the forward
+            # is shared, so the loader just maps names.
+            if config.moe_style == "qwen3_moe":
+                block, names_map = "mlp", {
+                    "w1": "gate_proj", "w2": "down_proj", "w3": "up_proj",
+                }
+            else:
+                block, names_map = "block_sparse_moe", {
+                    "w1": "w1", "w2": "w2", "w3": "w3",
+                }
             layers["router"].append(
-                arr(f"{prefix}.block_sparse_moe.gate.weight", transpose=True)
+                arr(f"{prefix}.{block}.gate.weight", transpose=True)
             )
             for wn in ("w1", "w2", "w3"):
                 layers[wn].append(
                     np.stack(
                         [
                             arr(
-                                f"{prefix}.block_sparse_moe.experts.{j}.{wn}.weight",
+                                f"{prefix}.{block}.experts.{j}."
+                                f"{names_map[wn]}.weight",
                                 transpose=True,
                             )
                             for j in range(config.num_local_experts)

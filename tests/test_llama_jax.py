@@ -1368,3 +1368,80 @@ def test_decode_step_capture_sink_mass():
         config_ns, params_ns, ids[8], 8, k_ns, v_ns, capture_sink_mass=True
     )
     assert np.asarray(s_ns).sum() == 0.0
+
+
+def test_kv_parity_with_hf_qwen3_moe(tmp_path):
+    """Qwen3-MoE: qwen3 attention (pre-RoPE QK-norm, no biases) over a
+    Mixtral-style sparse-MoE FFN whose experts are sized by
+    moe_intermediate_size and whose top-k weights are NOT renormalized
+    when norm_topk_prob is false (HF Qwen3MoeSparseMoeBlock's "only diff
+    with mixtral"). Layer 1's KV sees layer 0's MoE output, so parity
+    covers the un-renormalized routing math."""
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, rope_theta=10000.0,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(13)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.qk_norm
+    assert config.moe_style == "qwen3_moe"
+    assert config.moe_renormalize is False
+    assert config.num_local_experts == 4 and config.num_experts_per_tok == 2
+    # experts sized by moe_intermediate_size, stacked in mixtral layout
+    assert params["layers"]["w1"].shape == (2, 4, 32, 48)
+    assert params["layers"]["w2"].shape == (2, 4, 48, 32)
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    # the renormalize gate must bite: flipping it diverges layer-1 KV
+    import dataclasses
+
+    config_rn = dataclasses.replace(config, moe_renormalize=True)
+    keys_rn, _ = llama_prefill_kv(config_rn, params, jnp.asarray(ids))
+    assert float(np.abs(np.asarray(keys_rn[1]) - np.asarray(keys[1])).max()) > 1e-4
+
+
+def test_qwen3_moe_rejects_mixed_dense_sparse_stacks():
+    """mlp_only_layers / decoder_sparse_step produce mixed dense+MoE layer
+    stacks that cannot share one scanned pytree — reject, never mis-load."""
+    base = {
+        "model_type": "qwen3_moe", "vocab_size": 128, "hidden_size": 32,
+        "intermediate_size": 64, "moe_intermediate_size": 48,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 8,
+        "num_experts": 4, "num_experts_per_tok": 2,
+    }
+    with pytest.raises(NotImplementedError, match="mixed dense/MoE"):
+        LlamaConfig.from_hf_dict({**base, "mlp_only_layers": [0]})
+    with pytest.raises(NotImplementedError, match="mixed dense/MoE"):
+        LlamaConfig.from_hf_dict({**base, "decoder_sparse_step": 2})
+    cfg = LlamaConfig.from_hf_dict(base)  # all-sparse default loads
+    assert cfg.moe_style == "qwen3_moe"
+    assert cfg.intermediate_size == 48  # experts sized by moe_intermediate
