@@ -88,6 +88,7 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
 from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
 from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
+    apply_layer_windows,
     build_plan,
     build_tiered_plan,
     fit_reprice,
@@ -163,6 +164,7 @@ __all__ = [
     "split_scheme",
     "qat_finetune_batch",
     "build_plan",
+    "apply_layer_windows",
     "build_tiered_plan",
     "measure_model_entropy",
     "law_cost",

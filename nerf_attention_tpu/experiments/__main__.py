@@ -225,7 +225,7 @@ def main() -> None:
         "sink-aware law_sink / cache_mass_asc rankings to the sweep",
     )
     parser.add_argument(
-        "--hp_sink_offsets", type=float, nargs=2, default=[-2.0, 6.0],
+        "--hp_sink_offsets", type=float, nargs=2, default=[-4.0, 18.0],
         metavar=("LO", "HI"),
         help="head_policy: sink-logit offset range inducing the sink-mass "
         "spread (with --hp_sinks)",

@@ -92,7 +92,7 @@ def assign_head_gains(
 
 
 def assign_sink_offsets(
-    n_layers: int, n_kv: int, *, lo: float = -2.0, hi: float = 6.0,
+    n_layers: int, n_kv: int, *, lo: float = -4.0, hi: float = 18.0,
     seed: int = 0,
 ) -> np.ndarray:
     """Linearly spaced per-(layer, kv-head) sink-logit offsets, shuffled.
@@ -101,7 +101,13 @@ def assign_sink_offsets(
     multiplicative because they scale a dot product). Shuffled with a
     seed offset so sink dominance decorrelates from the K-gain sharpness
     axis — the sink leg needs heads that are sharp-but-sinkless and
-    diffuse-but-sink-dominated to tell the rankings apart.
+    diffuse-but-sink-dominated to tell the rankings apart. The default
+    range is calibrated against the default gain range at S=512: the
+    sink competes with ~logsumexp(cache logits) (= ln S for gain-1
+    heads, tens of nats for gain-64 ones), and [-4, 18] spreads the
+    measured sink mass over quartiles ~0.004/0.27/0.996 — a narrow
+    [-2, 6] leaves the median head at 0.004 mass and the sink axis
+    unmeasurable (benchmarks/r4/head_policy_sinks/narrow_*).
     """
     n = n_layers * n_kv
     offsets = np.linspace(lo, hi, n)
@@ -322,8 +328,8 @@ def run_head_policy_experiment(
     num_local_experts: int | None = None,
     moe_style: str = "mixtral",
     attn_sinks: bool = False,
-    sink_lo: float = -2.0,
-    sink_hi: float = 6.0,
+    sink_lo: float = -4.0,
+    sink_hi: float = 18.0,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
     qat_epochs: int = 300,
     budget_points: int = 8,

@@ -211,6 +211,40 @@ def tiered_units_from_policy_json(
     return units
 
 
+def apply_layer_windows(
+    units: list[dict], layer_windows: list[int | None], seq_len: int
+) -> list[dict]:
+    """Cap each unit's raw-byte accounting at its layer's sliding window.
+
+    A sliding-attention layer only ever reads its last min(S, W) cache
+    rows (`models/llama_jax.py:_causal_attention` window mask), so
+    serving it from parameters frees at most that many rows of true
+    cache — pricing its raw slice at the full S overstates the plan's
+    net memory. For alternating-window stacks (GPT-OSS W=128, Gemma-2/3)
+    at long context the overstatement on the sliding half is S/W — orders
+    of magnitude. ``layer_windows`` holds one entry per layer (None or 0
+    = full attention); ``seq_len`` is the context the units' raw bytes
+    were priced at. Stored bytes are untouched: a SIREN payload's size
+    does not depend on which rows the attention reads.
+    """
+    n_layers = 1 + max(u["layer"] for u in units)
+    if len(layer_windows) < n_layers:
+        raise ValueError(
+            f"layer_windows has {len(layer_windows)} entries for "
+            f"{n_layers} layers"
+        )
+    out = []
+    for u in units:
+        w = layer_windows[u["layer"]]
+        nu = dict(u)
+        if w:
+            rows = min(int(w), int(seq_len))
+            nu["raw_bytes"] = int(round(u["raw_bytes"] * rows / seq_len))
+            nu["window_rows"] = rows
+        out.append(nu)
+    return out
+
+
 def build_tiered_plan(
     units: list[dict],
     *,
@@ -239,10 +273,20 @@ def build_tiered_plan(
             units[i]["kv_head"],
         ),
     )
+    n_net_negative = 0
     for i in order:
-        best = min(
-            units[i]["options"], key=lambda o: (o["cost"], o["stored_bytes"])
-        )
+        # Never serve a unit no tier can shrink: with window-capped raw
+        # bytes (apply_layer_windows) a sliding layer's raw slice can be
+        # SMALLER than any stored payload, so "serving" it would spend
+        # quality budget to GROW memory.
+        saving = [
+            o for o in units[i]["options"]
+            if o["stored_bytes"] < units[i]["raw_bytes"]
+        ]
+        if not saving:
+            n_net_negative += 1
+            continue
+        best = min(saving, key=lambda o: (o["cost"], o["stored_bytes"]))
         if safety * (cum + best["cost"]) <= cost_target:
             choice[i] = best
             cum += best["cost"]
@@ -298,6 +342,7 @@ def build_tiered_plan(
         "safety": safety,
         "n_units": len(units),
         "n_served": n_served,
+        "n_skipped_net_negative": n_net_negative,
         "predicted_cost_at_cut": float(cum),
         "predicted_output_cosine_at_cut": float(1.0 - cum),
         "raw_bytes_served": int(raw_served),
@@ -710,6 +755,20 @@ def main(argv: list[str] | None = None) -> None:
         "step 2 of the re-pricing recipe (the ranking transfers across "
         "context growth, only the cut needs fresh pricing)",
     )
+    parser.add_argument(
+        "--layer_windows", type=str, default=None,
+        help="per-layer sliding windows for the raw-byte accounting: a "
+        "comma list with one entry per layer (0 or 'full' = full "
+        "attention, e.g. '128,0,128,0'), or one value broadcast to every "
+        "layer. A sliding layer only reads its last min(S, W) cache rows, "
+        "so its raw slice is priced at the window, not the full context; "
+        "tiered plans then skip units no tier can shrink below that",
+    )
+    parser.add_argument(
+        "--window_seq_len", type=int, default=None,
+        help="context length the raw bytes were priced at (default: the "
+        "policy artifact's model.seq_len, or the fit records' seq_len)",
+    )
     parser.add_argument("--cost_target", type=float, default=0.01)
     parser.add_argument(
         "--safety", type=float, default=1.0,
@@ -827,6 +886,34 @@ def main(argv: list[str] | None = None) -> None:
         units = units_from_fits(
             records, entropy, config_name=args.config, law=law,
             scheme=args.scheme or "fp32",
+        )
+
+    if args.layer_windows is not None:
+        tokens = [t.strip().lower() for t in args.layer_windows.split(",")]
+        windows = [
+            None if t in ("0", "full", "none", "") else int(t)
+            for t in tokens
+        ]
+        n_layers = 1 + max(u["layer"] for u in units)
+        if len(windows) == 1:
+            windows = windows * n_layers
+        seq_len = args.window_seq_len
+        if seq_len is None and args.policy_json is not None:
+            s_art = data.get("model", {}).get("seq_len")
+            seq_len = int(s_art) if s_art else None
+        if seq_len is None and args.fits is not None:
+            with_s = [r for r in records if "seq_len" in r]
+            seq_len = int(with_s[0]["seq_len"]) if with_s else None
+        if seq_len is None:
+            parser.error(
+                "--layer_windows needs the pricing context: pass "
+                "--window_seq_len (the inputs carry no seq_len)"
+            )
+        units = apply_layer_windows(units, windows, seq_len)
+        capped = sum(1 for u in units if "window_rows" in u)
+        print(
+            f"Raw-byte accounting window-capped on {capped}/{len(units)} "
+            f"units (S={seq_len})"
         )
 
     builder = build_tiered_plan if args.tiered else build_plan

@@ -586,3 +586,78 @@ def test_cli_reprice_warns_when_probes_break_the_rescale(tmp_path, capsys):
     plan = json.loads(out.read_text())
     assert plan["reprice_model"]["rms_log_residual"] > 1.0
     assert any("RANKING SUSPECT" in c for c in plan["caveats"])
+
+
+def test_apply_layer_windows_caps_raw_bytes():
+    from nerf_attention_tpu.serve_plan import apply_layer_windows
+
+    units = [_unit(0, 0, 0.001), _unit(1, 0, 0.001)]
+    capped = apply_layer_windows(units, [128, None], 512)
+    assert capped[0]["raw_bytes"] == 250  # 1000 * 128/512
+    assert capped[0]["window_rows"] == 128
+    assert capped[1]["raw_bytes"] == 1000
+    assert "window_rows" not in capped[1]
+    # a window past the context is no cap at all
+    same = apply_layer_windows(units, [4096, 0], 512)
+    assert same[0]["raw_bytes"] == 1000
+    # inputs are not mutated
+    assert units[0]["raw_bytes"] == 1000
+    with pytest.raises(ValueError, match="entries for"):
+        apply_layer_windows(units, [128], 512)
+
+
+def test_build_tiered_plan_skips_net_negative_units():
+    """Window-capped raw slices smaller than every stored tier must not be
+    served: spending quality budget to GROW memory is never right."""
+    from nerf_attention_tpu.serve_plan import apply_layer_windows
+
+    units = tiered_units_from_policy_json(_tiered_artifact())
+    # 16 of 512 rows: layer-0 raw 4000 -> 125 B, below even int8's 150 B
+    capped = apply_layer_windows(units, [16, None], 512)
+    plan = build_tiered_plan(capped, cost_target=0.02)
+    assert plan["n_skipped_net_negative"] == 2
+    served = [r for r in plan["plan"] if r["serve"]]
+    assert all(r["layer"] == 1 for r in served)
+    assert plan["net_bytes_saved"] > 0
+    # uncapped, the same budget serves the two layer-0 units first
+    uncapped = build_tiered_plan(units, cost_target=0.02)
+    assert uncapped["n_served"] == 3
+    assert uncapped["n_skipped_net_negative"] == 0
+
+
+def test_cli_layer_windows(tmp_path, capsys):
+    art = _tiered_artifact()
+    art["model"] = {"seq_len": 512}
+    policy = tmp_path / "head_policy_results.json"
+    policy.write_text(json.dumps(art))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--policy_json", str(policy), "--tiered",
+            "--layer_windows", "16,full",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    assert "window-capped on 2/4 units (S=512)" in capsys.readouterr().out
+    plan = json.loads(out.read_text())
+    assert plan["n_skipped_net_negative"] == 2
+
+    # one value broadcasts; --window_seq_len covers artifacts w/o model
+    del art["model"]
+    policy.write_text(json.dumps(art))
+    main(
+        [
+            "--policy_json", str(policy), "--tiered",
+            "--layer_windows", "16", "--window_seq_len", "512",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    assert json.loads(out.read_text())["n_skipped_net_negative"] == 4
+
+    with pytest.raises(SystemExit):  # no seq_len anywhere
+        main(
+            [
+                "--policy_json", str(policy), "--tiered",
+                "--layer_windows", "16",
+            ]
+        )
