@@ -12,8 +12,8 @@ Protocol (the head-policy experiment's measurement, productized —
 the last ``--queries`` in-prefix tokens over the full cache
 (``llama_decode_step`` returns each token's per-head attention entropy in
 nats), and average per (layer, kv-head) with GQA grouping
-(``kv_head_entropy``). Works on any of the 8 supported HF checkpoint
-families (``--model``) or on a hermetic random-init model
+(``kv_head_entropy``). Works on any of the 12 supported HF checkpoint
+families (``--model``; sink families also get cache-conditional stats) or on a hermetic random-init model
 (``--random_init``, for demos and tests — random init has near-uniform
 entropies; real checkpoints are the point).
 
@@ -32,18 +32,34 @@ from pathlib import Path
 import numpy as np
 
 
-def measure_model_entropy(config, params, token_ids, *, n_queries: int = 8):
+def measure_model_entropy(
+    config, params, token_ids, *, n_queries: int = 8,
+    sink_stats: bool = False,
+):
     """(num_layers, num_kv_heads) mean attention entropy in nats.
 
     ``token_ids`` (S,) is the prefix; the last ``n_queries`` tokens are
     re-decoded at their own positions over the full prefill cache (each
     sees only rows strictly before itself plus its own concat column —
     the decode-mask contract of ``llama_decode_step``).
+
+    ``sink_stats=True`` (attention-sink families, ``config.attn_sinks``)
+    returns ``(entropy, cache_entropy, cache_mass)``: each head's sink
+    mass is captured from the same decodes and the cache-conditional
+    entropy is computed per (query, head) BEFORE the GQA group-mean
+    (the identity is nonlinear — `head_policy.cache_conditional_entropy`).
+    Sink-model serving plans must price on the cache-conditional stats:
+    the full-distribution entropy counts the sink as sharpness, while
+    the sink's mass is exactly the softmax fraction no cache row (and so
+    no reconstruction error) can touch.
     """
     import jax
     import jax.numpy as jnp
 
-    from nerf_attention_tpu.experiments.head_policy import kv_head_entropy
+    from nerf_attention_tpu.experiments.head_policy import (
+        cache_conditional_entropy,
+        kv_head_entropy,
+    )
     from nerf_attention_tpu.models.llama_jax import (
         llama_decode_step,
         llama_prefill_kv,
@@ -62,14 +78,24 @@ def measure_model_entropy(config, params, token_ids, *, n_queries: int = 8):
     @jax.jit
     def decode_all(toks, pos):
         fn = jax.vmap(
-            lambda t, q: llama_decode_step(config, params, t, q, ck, cv),
+            lambda t, q: llama_decode_step(
+                config, params, t, q, ck, cv, capture_sink_mass=True
+            ),
             in_axes=(0, 0),
         )
-        _, _, ent = fn(toks, pos)
-        return ent  # (n_queries, num_layers, num_attention_heads)
+        _, _, ent, smass = fn(toks, pos)
+        return ent, smass  # each (n_queries, num_layers, num_heads)
 
-    ent = np.asarray(decode_all(toks, pos))
-    return kv_head_entropy(ent, config.num_key_value_heads)
+    ent, smass = (np.asarray(a) for a in decode_all(toks, pos))
+    n_kv = config.num_key_value_heads
+    if not sink_stats:
+        return kv_head_entropy(ent, n_kv)
+    cache_ent = cache_conditional_entropy(ent, smass)
+    return (
+        kv_head_entropy(ent, n_kv),
+        kv_head_entropy(cache_ent, n_kv),
+        1.0 - kv_head_entropy(smass, n_kv),
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -82,7 +108,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument(
         "--model", type=str, default=None,
-        help="HF checkpoint directory (any of the 8 supported families)",
+        help="HF checkpoint directory (any of the 12 supported families)",
     )
     parser.add_argument(
         "--random_init", action="store_true",
@@ -99,6 +125,12 @@ def main(argv: list[str] | None = None) -> None:
         help="path to a prompt file (default: the built-in sample text)",
     )
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--sinks", action="store_true",
+        help="random_init only: give every head a learnable attention sink "
+        "(GPT-OSS attention) so the sink-aware output fields are "
+        "exercised; checkpoints carry attn_sinks in their own config",
+    )
     # Hermetic-model geometry (--random_init only; None sentinels let the
     # CLI reject these under --model instead of silently ignoring them).
     parser.add_argument("--layers", type=int, default=None)
@@ -123,6 +155,11 @@ def main(argv: list[str] | None = None) -> None:
         "vocab": args.vocab, "seed": args.seed,
     }
     if args.model is not None:
+        if args.sinks:
+            parser.error(
+                "--sinks only applies to --random_init; a checkpoint's "
+                "config says whether it has attention sinks"
+            )
         set_flags = [f"--{k}" for k, v in geometry.items() if v is not None]
         if set_flags:
             parser.error(
@@ -152,6 +189,7 @@ def main(argv: list[str] | None = None) -> None:
             num_attention_heads=args.heads or 8,
             num_key_value_heads=args.kv_heads or 4,
             head_dim=args.head_dim or 32,
+            attn_sinks=args.sinks,
         )
         params = init_random_llama(config, seed=seed)
         ids = np.random.RandomState(seed).randint(
@@ -188,9 +226,28 @@ def main(argv: list[str] | None = None) -> None:
         config, params = load_llama_params(Path(args.model))
         source = str(args.model)
 
-    ent = measure_model_entropy(config, params, ids, n_queries=args.queries)
+    sink_extra = {}
+    if config.attn_sinks:
+        ent, cache_ent, cache_mass = measure_model_entropy(
+            config, params, ids, n_queries=args.queries, sink_stats=True
+        )
+        sink_extra = {
+            "cache_entropy_nats": [
+                [float(e) for e in row] for row in cache_ent
+            ],
+            "cache_mass": [[float(m) for m in row] for row in cache_mass],
+            "sink_mass": [
+                [float(1.0 - m) for m in row] for row in cache_mass
+            ],
+        }
+    else:
+        ent = measure_model_entropy(
+            config, params, ids, n_queries=args.queries
+        )
     result = {
         "entropy_nats": [[float(e) for e in row] for row in ent],
+        "attn_sinks": bool(config.attn_sinks),
+        **sink_extra,
         "model": source,
         "num_hidden_layers": int(config.num_hidden_layers),
         "num_key_value_heads": int(config.num_key_value_heads),

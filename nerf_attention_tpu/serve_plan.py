@@ -93,31 +93,37 @@ def law_cost(entropy_nats, proxy, law: dict) -> np.ndarray:
     return np.clip(np.exp(log_cost), 0.0, 2.0)
 
 
-def load_entropy_json(path: Path) -> dict[tuple[int, int], float]:
-    """(layer, kv_head) -> entropy_nats from either accepted layout.
+def load_entropy_json(
+    path: Path, field: str = "entropy_nats"
+) -> dict[tuple[int, int], float]:
+    """(layer, kv_head) -> ``field`` from either accepted layout.
 
     ``{"entropy_nats": [[...], ...]}`` — dense (n_layers, n_kv) array — or
     ``{"units": [{"layer": l, "kv_head": h, "entropy_nats": e}, ...]}``
     (the head_policy results schema is a superset of the sparse form).
+    ``field`` selects other per-unit stats written by the same tools
+    (sink models: ``cache_entropy_nats`` / ``cache_mass``).
     """
     with open(path) as f:
         data = json.load(f)
     out: dict[tuple[int, int], float] = {}
-    if "entropy_nats" in data:
-        arr = np.asarray(data["entropy_nats"], np.float64)
+    if field in data:
+        arr = np.asarray(data[field], np.float64)
         if arr.ndim != 2:
             raise ValueError(
-                f"entropy_nats must be (n_layers, n_kv_heads), got {arr.shape}"
+                f"{field} must be (n_layers, n_kv_heads), got {arr.shape}"
             )
         for l in range(arr.shape[0]):
             for h in range(arr.shape[1]):
                 out[(l, h)] = float(arr[l, h])
     elif "units" in data:
         for u in data["units"]:
-            out[(int(u["layer"]), int(u["kv_head"]))] = float(u["entropy_nats"])
+            if field not in u:
+                raise ValueError(f"{path}: units lack {field!r}")
+            out[(int(u["layer"]), int(u["kv_head"]))] = float(u[field])
     else:
         raise ValueError(
-            f"{path} has neither 'entropy_nats' nor 'units'"
+            f"{path} has neither {field!r} nor 'units'"
         )
     return out
 
@@ -524,12 +530,21 @@ def units_from_fits(
     config_name: str = "medium",
     law: dict | None = None,
     scheme: str = "fp32",
+    cache_mass: dict[tuple[int, int], float] | None = None,
 ) -> list[dict]:
     """Plan units with LAW-PREDICTED costs from fit records + entropies.
 
     Each (layer, head) needs both its key and value record at
     ``config_name`` (the sweep always fits K and V together —
     `fit.py`'s L{l}_H{h}_{kv}_{config} grid); proxy is their mean.
+
+    ``cache_mass`` (attention-sink models) makes the pricing sink-aware:
+    ``entropy`` should then hold the CACHE-CONDITIONAL entropies and each
+    law cost is weighted by the head's cache mass — the softmax fraction
+    a reconstruction can actually touch (a sink-dominated head is nearly
+    free to serve however sharp its full distribution looks). Both come
+    from ``measure-entropy`` on a sink checkpoint (``cache_entropy_nats``
+    / ``cache_mass`` fields).
     """
     law = DEFAULT_LAW if law is None else law
     by_unit: dict[tuple[int, int], dict[str, dict]] = {}
@@ -553,6 +568,12 @@ def units_from_fits(
             f"entropy_json lacks measured entropies for fitted units "
             f"{missing_ent}"
         )
+    if cache_mass is not None:
+        missing_cm = sorted(set(by_unit) - set(cache_mass))
+        if missing_cm:
+            raise ValueError(
+                f"cache_mass lacks entries for fitted units {missing_cm}"
+            )
     units = []
     for (layer, head), recs in sorted(by_unit.items()):
         proxy = 0.5 * (
@@ -560,14 +581,25 @@ def units_from_fits(
             + float(recs["value"]["final_cosine_mean"])
         )
         h_nats = entropy[(layer, head)]
+        cost = float(law_cost(h_nats, proxy, law)[()])
+        extra = {}
+        if cache_mass is not None:
+            cm = float(cache_mass[(layer, head)])
+            cost *= cm
+            extra = {"cache_mass": cm}
         units.append(
             {
                 "layer": layer,
                 "kv_head": head,
                 "entropy_nats": h_nats,
                 "proxy": proxy,
-                "cost": float(law_cost(h_nats, proxy, law)[()]),
-                "cost_source": "law_predicted",
+                "cost": cost,
+                "cost_source": (
+                    "law_predicted_sink"
+                    if cache_mass is not None
+                    else "law_predicted"
+                ),
+                **extra,
                 "raw_bytes": int(recs["key"]["raw_size_bytes"])
                 + int(recs["value"]["raw_size_bytes"]),
                 "stored_bytes": _stored_bytes_for_record(recs["key"], scheme)
@@ -614,7 +646,7 @@ def build_plan(
         "(benchmarks/r4/head_policy/, serve_plan_validation) — "
         "--safety 1.25 covers the upper edge",
     ]
-    if any(r["cost_source"] == "law_predicted" for r in plan_rows):
+    if any(r["cost_source"].startswith("law_predicted") for r in plan_rows):
         caveats.append(
             "costs are law-predicted from fit quality + entropy; measure "
             "solo costs on your model (experiments head_policy protocol) "
@@ -861,7 +893,23 @@ def main(argv: list[str] | None = None) -> None:
     else:
         with open(args.fits) as f:
             records = json.load(f)
-        entropy = load_entropy_json(Path(args.entropy_json))
+        ent_path = Path(args.entropy_json)
+        with open(ent_path) as f:
+            ent_meta = json.load(f)
+        cache_mass = None
+        if ent_meta.get("attn_sinks") and "cache_entropy_nats" in ent_meta:
+            # Sink checkpoint: price the law on the cache-conditional
+            # entropy and weight each cost by the head's cache mass —
+            # the sink-blind full-H law misprices sink-dominated heads
+            # (measured: benchmarks/r4/head_policy_sinks/).
+            entropy = load_entropy_json(ent_path, field="cache_entropy_nats")
+            cache_mass = load_entropy_json(ent_path, field="cache_mass")
+            print(
+                "Sink model: pricing on cache-conditional entropies, "
+                "costs weighted by cache mass"
+            )
+        else:
+            entropy = load_entropy_json(ent_path)
         law = None
         if args.law_json is not None:
             with open(args.law_json) as f:
@@ -885,7 +933,7 @@ def main(argv: list[str] | None = None) -> None:
             law = {**law, "source": args.law_json}
         units = units_from_fits(
             records, entropy, config_name=args.config, law=law,
-            scheme=args.scheme or "fp32",
+            scheme=args.scheme or "fp32", cache_mass=cache_mass,
         )
 
     if args.layer_windows is not None:

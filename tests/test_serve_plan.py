@@ -661,3 +661,66 @@ def test_cli_layer_windows(tmp_path, capsys):
                 "--layer_windows", "16",
             ]
         )
+
+
+def test_cli_fits_mode_sink_aware_pricing(tmp_path, capsys):
+    """A sink-model entropy JSON switches the law onto cache-conditional
+    entropies and weights each cost by cache mass."""
+    fits = tmp_path / "fit_results.json"
+    fits.write_text(json.dumps(_fit_records()))
+    ent = tmp_path / "entropy.json"
+    ent.write_text(
+        json.dumps(
+            {
+                "attn_sinks": True,
+                "entropy_nats": [[1.0, 1.0]],  # sink-blind H: both sharp
+                "cache_entropy_nats": [[6.0, 2.0]],
+                "cache_mass": [[0.05, 1.0]],
+            }
+        )
+    )
+    # reshape the records onto a 1-layer, 2-head grid
+    recs = _fit_records()
+    for r in recs:
+        if r["layer"] == 8:
+            r["layer"], r["head"] = 0, 1
+            r["name"] = r["name"].replace("L8_H1", "L0_H1")
+    fits.write_text(json.dumps(recs))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--fits", str(fits), "--entropy_json", str(ent),
+            "--out", str(out),
+        ]
+    )
+    assert "Sink model" in capsys.readouterr().out
+    plan = json.loads(out.read_text())
+    by = {
+        (r["layer"], r["kv_head"]): r for r in plan["plan"]
+    }
+    assert by[(0, 0)]["cost_source"] == "law_predicted_sink"
+    assert by[(0, 0)]["cache_mass"] == pytest.approx(0.05)
+    # cost = law(H_cache, proxy) * cache_mass
+    expected = float(law_cost(6.0, 0.825, DEFAULT_LAW)) * 0.05
+    assert by[(0, 0)]["cost"] == pytest.approx(expected)
+    assert any("law-predicted" in c for c in plan["caveats"])
+
+
+def test_load_entropy_json_field_selection(tmp_path):
+    p = tmp_path / "e.json"
+    p.write_text(
+        json.dumps(
+            {"entropy_nats": [[2.0]], "cache_mass": [[0.5]]}
+        )
+    )
+    from nerf_attention_tpu.serve_plan import load_entropy_json
+
+    assert load_entropy_json(p)[(0, 0)] == 2.0
+    assert load_entropy_json(p, field="cache_mass")[(0, 0)] == 0.5
+    sparse = tmp_path / "s.json"
+    sparse.write_text(
+        json.dumps({"units": [{"layer": 0, "kv_head": 0, "entropy_nats": 3.0}]})
+    )
+    assert load_entropy_json(sparse)[(0, 0)] == 3.0
+    with pytest.raises(ValueError, match="units lack"):
+        load_entropy_json(sparse, field="cache_mass")
