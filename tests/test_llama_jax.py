@@ -1445,3 +1445,34 @@ def test_qwen3_moe_rejects_mixed_dense_sparse_stacks():
     cfg = LlamaConfig.from_hf_dict(base)  # all-sparse default loads
     assert cfg.moe_style == "qwen3_moe"
     assert cfg.intermediate_size == 48  # experts sized by moe_intermediate
+
+
+def test_qwen3_moe_expert_parallel_prefill_parity(tmp_path):
+    """Qwen3-MoE shares Mixtral's stacked expert layout, so the EP
+    sharding specs apply unchanged: expert-sharded prefill must match
+    the unsharded one (un-renormalized top-k combine included)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=64, use_sliding_window=False,
+    )
+    torch.manual_seed(21)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([3, 17, 42, 9, 9, 120, 64, 5], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    ep_mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    sharded = shard_llama_params(params, ep_mesh, axis=None, expert_axis="ep")
+    k_ep, v_ep = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
