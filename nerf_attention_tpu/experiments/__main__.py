@@ -231,6 +231,14 @@ def main() -> None:
         "spread (with --hp_sinks)",
     )
     parser.add_argument(
+        "--hp_window", type=int, default=None,
+        help="head_policy: give the hermetic model GPT-OSS-style "
+        "alternating sliding/full attention layers with this window "
+        "(layers 0, 2, ... sliding); raw-byte accounting and the "
+        "executed tiered plans then cap sliding slices at min(S, W) "
+        "rows and skip net-negative units",
+    )
+    parser.add_argument(
         "--hp_seed", type=int, default=0,
         help="head_policy: model init / gain-shuffle / fit seed (the "
         "3-seed replication in benchmarks/r4/head_policy uses 0, 1, 2)",
@@ -469,6 +477,7 @@ def main() -> None:
             attn_sinks=args.hp_sinks,
             sink_lo=args.hp_sink_offsets[0],
             sink_hi=args.hp_sink_offsets[1],
+            sliding_window=args.hp_window,
             seed=args.hp_seed,
             schemes=(
                 tuple(s.strip() for s in args.schemes.split(",") if s.strip())

@@ -330,6 +330,7 @@ def run_head_policy_experiment(
     attn_sinks: bool = False,
     sink_lo: float = -4.0,
     sink_hi: float = 18.0,
+    sliding_window: int | None = None,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
     qat_epochs: int = 300,
     budget_points: int = 8,
@@ -375,6 +376,17 @@ def run_head_policy_experiment(
     # reconstructed cache perturbs hidden states, which can FLIP router
     # top-k selections — a DISCONTINUOUS error channel the dense stack
     # lacks. Does the (1-proxy)*e^(-H) law survive it?
+    # GPT-OSS layer alternation: sliding unless (i+1) is even (the HF
+    # GptOssConfig derivation _resolve_windows reproduces) — layers
+    # 0, 2, 4, ... window-masked, the rest full attention.
+    layer_windows = (
+        tuple(
+            sliding_window if (i + 1) % 2 else None
+            for i in range(num_layers)
+        )
+        if sliding_window
+        else None
+    )
     config = LlamaConfig(
         vocab_size=512,
         hidden_size=hidden_size,
@@ -386,6 +398,7 @@ def run_head_policy_experiment(
         num_local_experts=num_local_experts,
         moe_style=moe_style,
         attn_sinks=attn_sinks,
+        layer_windows=layer_windows,
     )
     n_l, n_kv, d, s = num_layers, num_kv_heads, head_dim, seq_len
     n_units = n_l * n_kv
@@ -523,7 +536,17 @@ def run_head_policy_experiment(
         return out
 
     # --- payload views: master fit + each stored scheme ---
-    raw_slice_bytes = 2 * s * d * 2  # one unit's K+V at raw fp16
+    raw_slice_bytes = 2 * s * d * 2  # one unit's K+V at raw fp16, full S
+    # Per-unit serving-relevant raw bytes: a sliding layer only ever
+    # reads its last min(S, W) cache rows, so that is all the true cache
+    # a served unit frees (`serve_plan.apply_layer_windows` semantics).
+    window_of = [
+        layer_windows[u // n_kv] if layer_windows else None
+        for u in range(n_units)
+    ]
+    raw_bytes_u = [
+        2 * min(s, w or s) * d * 2 for w in window_of
+    ]
     # Stored schemes decode their policy-curve masks AND the n_units solo
     # masks: per-(unit, scheme) solo costs are what lets a TIERED serving
     # plan assign each unit its cheapest-bytes scheme under a shared
@@ -579,6 +602,11 @@ def run_head_policy_experiment(
         results_payloads[scheme] = {
             "stored_bytes_per_unit": unit_bytes,
             "raw_bytes_per_unit": raw_slice_bytes,
+            **(
+                {"raw_bytes_units": list(raw_bytes_u)}
+                if layer_windows
+                else {}
+            ),
             "solo_cost": [float(c) for c in scheme_solo_cost],
             "policies": {
                 **{
@@ -738,6 +766,14 @@ def run_head_policy_experiment(
             "payloads": results_payloads,
         }
     )
+    if layer_windows:
+        # Honest byte accounting for the executed plans: sliding layers'
+        # raw slices are window-capped, and units no tier can shrink
+        # below that are SKIPPED (the planner's net-negative rule) —
+        # this is the rule's executed validation.
+        from nerf_attention_tpu.serve_plan import apply_layer_windows
+
+        tiered_units = apply_layer_windows(tiered_units, layer_windows, s)
     total_master_cost = float(solo_cost.sum())
     tiered_validation = []
     for frac in (0.02, 0.1, 0.5):
@@ -769,6 +805,9 @@ def run_head_policy_experiment(
                 "n_served": plan["n_served"],
                 "scheme_counts": counts,
                 "stored_bytes_served": plan["stored_bytes_served"],
+                "raw_bytes_served": plan["raw_bytes_served"],
+                "net_bytes_saved": plan["net_bytes_saved"],
+                "n_skipped_net_negative": plan["n_skipped_net_negative"],
                 "predicted_cost": plan["predicted_cost_at_cut"],
                 "measured_cost": float(max(1.0 - cos, 0.0)),
             }
@@ -896,6 +935,14 @@ def run_head_policy_experiment(
             "solo_cost": float(solo_cost[u]),
             **(
                 {
+                    "window": window_of[u],
+                    "raw_bytes": int(raw_bytes_u[u]),
+                }
+                if layer_windows
+                else {}
+            ),
+            **(
+                {
                     "sink_offset": float(sink_offsets.reshape(-1)[u]),
                     "sink_mass": float(1.0 - cache_mass_u[u]),
                     "cache_mass": float(cache_mass_u[u]),
@@ -920,6 +967,9 @@ def run_head_policy_experiment(
             "num_local_experts": num_local_experts,
             "moe_style": moe_style if num_local_experts else None,
             "attn_sinks": attn_sinks,
+            "layer_windows": (
+                [w or 0 for w in layer_windows] if layer_windows else None
+            ),
         },
         "net": net.name,
         "epochs": epochs,

@@ -936,15 +936,24 @@ def main(argv: list[str] | None = None) -> None:
             scheme=args.scheme or "fp32", cache_mass=cache_mass,
         )
 
+    windows = None
     if args.layer_windows is not None:
         tokens = [t.strip().lower() for t in args.layer_windows.split(",")]
         windows = [
             None if t in ("0", "full", "none", "") else int(t)
             for t in tokens
         ]
-        n_layers = 1 + max(u["layer"] for u in units)
         if len(windows) == 1:
-            windows = windows * n_layers
+            windows = windows * (1 + max(u["layer"] for u in units))
+    elif args.policy_json is not None:
+        # Artifacts from a windowed head_policy run record the layer map;
+        # apply it automatically so the plan's byte accounting matches
+        # the model the costs were measured on.
+        lw = data.get("model", {}).get("layer_windows")
+        if lw:
+            windows = [int(w) or None for w in lw]
+            print("Layer windows read from the policy artifact")
+    if windows is not None:
         seq_len = args.window_seq_len
         if seq_len is None and args.policy_json is not None:
             s_art = data.get("model", {}).get("seq_len")

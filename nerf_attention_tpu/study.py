@@ -175,6 +175,11 @@ def main(argv: list[str] | None = None) -> None:
         "and the sink-aware rankings (experiments head_policy --hp_sinks)",
     )
     parser.add_argument(
+        "--hp_window", type=int, default=None,
+        help="serving: alternating sliding/full layers with this window "
+        "(experiments head_policy --hp_window)",
+    )
+    parser.add_argument(
         "--fm_mult", type=float, default=None,
         help="run the whole study on FM-SIRENs (per-unit first-layer "
         "frequencies, equal parameter count): the fit sweep trains FM nets, "
@@ -291,6 +296,8 @@ def main(argv: list[str] | None = None) -> None:
             ]
         if args.hp_sinks:
             hp_argv += ["--hp_sinks"]
+        if args.hp_window is not None:
+            hp_argv += ["--hp_window", str(args.hp_window)]
         _delegate_experiments(hp_argv)
 
         from nerf_attention_tpu.serve_plan import main as serve_plan_main

@@ -267,6 +267,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
             "--hp_moe_style", "gpt_oss",
             "--hp_sinks",
             "--hp_sink_offsets", "-1", "4",
+            "--hp_window", "96",
         ],
     )
     cli.main()
@@ -282,6 +283,7 @@ def test_head_policy_cli_wiring(tmp_path, monkeypatch):
     assert calls["moe_style"] == "gpt_oss"
     assert calls["attn_sinks"] is True
     assert calls["sink_lo"] == -1.0 and calls["sink_hi"] == 4.0
+    assert calls["sliding_window"] == 96
 
 
 def test_head_policy_rejects_bad_qat_scheme_before_fitting(tmp_path):
@@ -439,3 +441,53 @@ def test_run_head_policy_experiment_tiny_sinks_gpt_oss(tmp_path: Path):
     # tiny runs may not have 4+ units above the cost floor; fields exist
     assert "entropy_law_solo_cache" in data
     assert "entropy_law_solo_sink3" in data
+
+
+def test_run_head_policy_experiment_tiny_windows(tmp_path: Path):
+    """Alternating sliding/full layers (GPT-OSS pattern): sliding units'
+    raw bytes are window-capped, their measured entropy respects the
+    window bound, and the executed tiered plan skips units no tier can
+    shrink below the capped raw slice."""
+    res = run_head_policy_experiment(
+        tmp_path,
+        seq_len=48,
+        n_queries=4,
+        epochs=10,
+        config_name="tiny",
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        hidden_size=64,
+        intermediate_size=128,
+        sliding_window=8,
+        schemes=(),
+        budget_points=2,
+        n_random=1,
+        seed=0,
+        verbose=False,
+    )
+    assert res["model"]["layer_windows"] == [8, 0]  # layer 0 sliding
+    full_raw = 2 * 48 * 16 * 2
+    capped_raw = 2 * 8 * 16 * 2
+    for u in res["units"]:
+        if u["layer"] == 0:
+            assert u["window"] == 8 and u["raw_bytes"] == capped_raw
+            # sliding softmax runs over <= window rows + self
+            assert u["entropy_nats"] <= np.log(9) + 1e-6
+        else:
+            assert u["window"] is None and u["raw_bytes"] == full_raw
+    assert res["payloads"]["master"]["raw_bytes_units"] == [
+        u["raw_bytes"] for u in res["units"]
+    ]
+    # the executed tiered plans apply the net-negative skip rule against
+    # the CAPPED raws: every unit whose cheapest tier stores at least its
+    # (window-capped) raw slice is skipped, never served
+    stored = res["payloads"]["master"]["stored_bytes_per_unit"]
+    expect_skipped = sum(
+        1 for u in res["units"] if stored >= u["raw_bytes"]
+    )
+    for row in res["tiered_plan_validation"]:
+        assert row["n_skipped_net_negative"] == expect_skipped
+        assert row["n_served"] <= 4 - expect_skipped
+        assert row["net_bytes_saved"] >= 0  # skip rule guarantees this

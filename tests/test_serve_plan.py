@@ -724,3 +724,33 @@ def test_load_entropy_json_field_selection(tmp_path):
     assert load_entropy_json(sparse)[(0, 0)] == 3.0
     with pytest.raises(ValueError, match="units lack"):
         load_entropy_json(sparse, field="cache_mass")
+
+
+def test_cli_windows_auto_from_artifact(tmp_path, capsys):
+    """A windowed head_policy artifact carries model.layer_windows; the
+    plan applies them without any flag (explicit --layer_windows wins)."""
+    art = _tiered_artifact()
+    art["model"] = {"seq_len": 512, "layer_windows": [16, 0]}
+    policy = tmp_path / "head_policy_results.json"
+    policy.write_text(json.dumps(art))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--policy_json", str(policy), "--tiered",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    text = capsys.readouterr().out
+    assert "read from the policy artifact" in text
+    assert "window-capped on 2/4 units" in text
+    plan = json.loads(out.read_text())
+    assert plan["n_skipped_net_negative"] == 2
+    # explicit flag overrides the artifact's layer map
+    main(
+        [
+            "--policy_json", str(policy), "--tiered",
+            "--layer_windows", "full,full",
+            "--cost_target", "0.02", "--out", str(out),
+        ]
+    )
+    assert json.loads(out.read_text())["n_skipped_net_negative"] == 0
