@@ -244,10 +244,19 @@ def main(argv: list[str] | None = None) -> None:
         ent = measure_model_entropy(
             config, params, ids, n_queries=args.queries
         )
+    lw = (
+        [w or 0 for w in config.layer_windows]
+        if config.layer_windows is not None
+        else [config.sliding_window or 0] * config.num_hidden_layers
+    )
     result = {
         "entropy_nats": [[float(e) for e in row] for row in ent],
         "attn_sinks": bool(config.attn_sinks),
         **sink_extra,
+        # The checkpoint's sliding-window layer map (0 = full attention):
+        # serve-plan caps raw-byte accounting with it (--layer_windows
+        # semantics) so windowed models plan with honest net memory.
+        "layer_windows": lw,
         "model": source,
         "num_hidden_layers": int(config.num_hidden_layers),
         "num_key_value_heads": int(config.num_key_value_heads),

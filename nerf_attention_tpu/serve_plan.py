@@ -953,6 +953,12 @@ def main(argv: list[str] | None = None) -> None:
         if lw:
             windows = [int(w) or None for w in lw]
             print("Layer windows read from the policy artifact")
+    else:
+        # measure-entropy records the checkpoint's window layer map.
+        lw = ent_meta.get("layer_windows")
+        if lw and any(lw):
+            windows = [int(w) or None for w in lw]
+            print("Layer windows read from the entropy JSON")
     if windows is not None:
         seq_len = args.window_seq_len
         if seq_len is None and args.policy_json is not None:

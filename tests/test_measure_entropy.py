@@ -50,6 +50,7 @@ def test_cli_random_init_writes_serve_plan_compatible_json(tmp_path):
     arr = np.asarray(data["entropy_nats"])
     assert arr.shape == (2, 2)
     assert data["uniform_entropy_nats"] == pytest.approx(np.log(48))
+    assert data["layer_windows"] == [0, 0]  # windowless hermetic model
 
     # the dense layout feeds straight into serve_plan's loader
     from nerf_attention_tpu.serve_plan import load_entropy_json

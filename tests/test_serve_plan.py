@@ -754,3 +754,41 @@ def test_cli_windows_auto_from_artifact(tmp_path, capsys):
         ]
     )
     assert json.loads(out.read_text())["n_skipped_net_negative"] == 0
+
+
+def test_cli_fits_mode_windows_from_entropy_json(tmp_path, capsys):
+    """measure-entropy's layer_windows map caps raw bytes in fits mode."""
+    recs = _fit_records()
+    for r in recs:  # put both units on layers 0/1 of a 2-layer model
+        if r["layer"] == 8:
+            r["layer"], r["head"] = 1, 0
+            r["name"] = r["name"].replace("L8_H1", "L1_H0")
+        else:
+            r["head"] = 0
+            r["name"] = r["name"].replace("H0", "H0")
+    fits = tmp_path / "fit_results.json"
+    fits.write_text(json.dumps(recs))
+    ent = tmp_path / "entropy.json"
+    ent.write_text(
+        json.dumps(
+            {
+                "entropy_nats": [[6.0], [2.0]],
+                "layer_windows": [128, 0],
+                "seq_len": 2048,
+            }
+        )
+    )
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--fits", str(fits), "--entropy_json", str(ent),
+            "--window_seq_len", "2048", "--out", str(out),
+        ]
+    )
+    assert "read from the entropy JSON" in capsys.readouterr().out
+    plan = json.loads(out.read_text())
+    by = {(r["layer"], r["kv_head"]): r for r in plan["plan"]}
+    full_raw = 2 * (2048 * 128 * 2)
+    assert by[(1, 0)]["raw_bytes"] == full_raw
+    assert by[(0, 0)]["raw_bytes"] == round(full_raw * 128 / 2048)
+    assert by[(0, 0)]["window_rows"] == 128
