@@ -44,6 +44,14 @@ class LlamaConfig:
     norm_offset: bool = False  # Gemma RMSNorm scales by (1 + w), not w
     scale_embeddings: bool = False  # Gemma multiplies embeddings by sqrt(h)
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on Q/K before RoPE
+    # OLMo-2: RMSNorm on the FLAT q/k projections (the whole
+    # heads*head_dim vector, before the head reshape and RoPE) — a
+    # different operator than the per-head qk_norm above.
+    qk_norm_full: bool = False
+    # OLMo-2 layer wiring: NO pre-norms anywhere; RMSNorm runs on each
+    # sublayer's OUTPUT before its residual add
+    # (h += norm(attn(h)); h += norm(mlp(h)) — Olmo2DecoderLayer).
+    norm_after_only: bool = False
     # Gemma2 extensions
     attn_scale: float | None = None  # None -> rsqrt(head_dim); Gemma2 uses
     #                                  query_pre_attn_scalar ** -0.5
@@ -192,6 +200,7 @@ class LlamaConfig:
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen3", "qwen3_moe",
         "gemma", "gemma2", "gemma3_text", "phi3", "mixtral", "gpt_oss",
+        "olmo2",
     }
 
     @classmethod
@@ -201,7 +210,7 @@ class LlamaConfig:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
                 f"llama, mistral, mixtral, qwen2, qwen3, qwen3_moe, "
-                f"gemma, gemma2, gemma3_text, phi3, gpt_oss)"
+                f"gemma, gemma2, gemma3_text, phi3, gpt_oss, olmo2)"
             )
         if model_type == "qwen3_moe" and (
             d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
@@ -273,6 +282,8 @@ class LlamaConfig:
             norm_offset=gemma_like,
             scale_embeddings=gemma_like,
             qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
+            qk_norm_full=model_type == "olmo2",
+            norm_after_only=model_type == "olmo2",
             attn_scale=attn_scale,
             attn_logit_softcap=(
                 d.get("attn_logit_softcapping", 50.0)
@@ -617,11 +628,24 @@ def _layer_forward(
         cos = jnp.where(use_local, cos_local, cos)
         sin = jnp.where(use_local, sin_local, sin)
 
-    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
+    # OLMo-2 runs attention on the RAW residual stream (its only norms
+    # sit on sublayer outputs); everyone else pre-norms.
+    x = (
+        h
+        if config.norm_after_only
+        else _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
+    )
     # QKV biases: zeros for Llama/Mistral, loaded for Qwen2-family
     # checkpoints (their attention projections carry biases).
-    q = (x @ lp["q"] + lp["q_bias"]).reshape(s, n_q, d).transpose(1, 0, 2)
-    k = (x @ lp["k"] + lp["k_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
+    q_flat = x @ lp["q"] + lp["q_bias"]
+    k_flat = x @ lp["k"] + lp["k_bias"]
+    if config.qk_norm_full:
+        # OLMo-2: RMSNorm over the whole flat projection, pre-reshape
+        # (q_norm(q_proj(x)) — Olmo2Attention.forward).
+        q_flat = _rms_norm(q_flat, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
+        k_flat = _rms_norm(k_flat, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+    q = q_flat.reshape(s, n_q, d).transpose(1, 0, 2)
+    k = k_flat.reshape(s, n_kv, d).transpose(1, 0, 2)
     v = (x @ lp["v"] + lp["v_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
 
     if config.qk_norm:
@@ -654,14 +678,20 @@ def _layer_forward(
     attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
-    if config.sandwich_norms:
+    if config.sandwich_norms or config.norm_after_only:
         # Gemma2 wiring: post-attention norm on the attention OUTPUT, then
         # pre/post-feedforward norms around the MLP (Gemma2DecoderLayer).
+        # OLMo-2 is the same minus the pre-FFN norm (the MLP reads the
+        # raw residual stream — Olmo2DecoderLayer).
         h = h + _rms_norm(
             attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
         )
-        x = _rms_norm(
-            h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+        x = (
+            h
+            if config.norm_after_only
+            else _rms_norm(
+                h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+            )
         )
         h = h + _rms_norm(
             _ffn(config, x, lp, act), lp["post_ffn_norm"],
@@ -1009,9 +1039,18 @@ def _layer_decode(
         cos = jnp.where(use_local, cos_local, cos)
         sin = jnp.where(use_local, sin_local, sin)
 
-    x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
-    q = (x @ lp["q"] + lp["q_bias"]).reshape(1, n_q, d).transpose(1, 0, 2)
-    k = (x @ lp["k"] + lp["k_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
+    x = (
+        h
+        if config.norm_after_only
+        else _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
+    )
+    q_flat = x @ lp["q"] + lp["q_bias"]
+    k_flat = x @ lp["k"] + lp["k_bias"]
+    if config.qk_norm_full:
+        q_flat = _rms_norm(q_flat, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
+        k_flat = _rms_norm(k_flat, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+    q = q_flat.reshape(1, n_q, d).transpose(1, 0, 2)
+    k = k_flat.reshape(1, n_kv, d).transpose(1, 0, 2)
     v = (x @ lp["v"] + lp["v_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
 
     if config.qk_norm:
@@ -1090,12 +1129,16 @@ def _layer_decode(
     attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
-    if config.sandwich_norms:
+    if config.sandwich_norms or config.norm_after_only:
         h = h + _rms_norm(
             attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
         )
-        x = _rms_norm(
-            h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+        x = (
+            h
+            if config.norm_after_only
+            else _rms_norm(
+                h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
+            )
         )
         h = h + _rms_norm(
             _ffn(config, x, lp, act), lp["post_ffn_norm"],
@@ -1446,9 +1489,18 @@ def load_llama_params(
                 if name in names
                 else np.zeros(bias_dims[bk], dtype=np_dtype)
             )
-        layers["input_norm"].append(arr(f"{prefix}.input_layernorm.weight"))
+        if config.norm_after_only:
+            # OLMo-2 has no input norm; keep the leaf as ones so the
+            # scanned pytree stays uniform (the forward never reads it).
+            layers["input_norm"].append(
+                np.ones(config.hidden_size, dtype=np_dtype)
+            )
+        else:
+            layers["input_norm"].append(
+                arr(f"{prefix}.input_layernorm.weight")
+            )
         layers["post_norm"].append(arr(f"{prefix}.post_attention_layernorm.weight"))
-        if config.qk_norm:
+        if config.qk_norm or config.qk_norm_full:
             layers.setdefault("q_norm", []).append(
                 arr(f"{prefix}.self_attn.q_norm.weight")
             )
@@ -1459,6 +1511,7 @@ def load_llama_params(
             layers.setdefault("pre_ffn_norm", []).append(
                 arr(f"{prefix}.pre_feedforward_layernorm.weight")
             )
+        if config.sandwich_norms or config.norm_after_only:
             layers.setdefault("post_ffn_norm", []).append(
                 arr(f"{prefix}.post_feedforward_layernorm.weight")
             )
@@ -1528,8 +1581,12 @@ def init_random_llama(
     if config.qk_norm:
         layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
+    if config.qk_norm_full:
+        layers["q_norm"] = jnp.ones((n_l, n_q * d), dtype=dtype)
+        layers["k_norm"] = jnp.ones((n_l, n_kv * d), dtype=dtype)
     if config.sandwich_norms:
         layers["pre_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
+    if config.sandwich_norms or config.norm_after_only:
         layers["post_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
     return {"embed": w(config.vocab_size, h), "layers": layers}
 

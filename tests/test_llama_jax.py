@@ -1476,3 +1476,103 @@ def test_qwen3_moe_expert_parallel_prefill_parity(tmp_path):
     k_ep, v_ep = llama_prefill_kv(config, sharded, ids)
     np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
+
+
+def test_kv_parity_with_hf_olmo2(tmp_path):
+    """OLMo-2: RMSNorm on the FLAT q/k projections (whole heads*head_dim
+    vector, before the head reshape and RoPE) and norm-AFTER-sublayer
+    wiring (no pre-norms; h += norm(attn(h)), h += norm(mlp(h))). Layer
+    1's KV sees layer 0's reordered residual stream, so parity covers
+    the wiring."""
+    cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+    )
+    torch.manual_seed(17)
+    model = transformers.Olmo2ForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.post_attention_layernorm.weight.normal_(mean=1.0, std=0.3)
+            layer.post_feedforward_layernorm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.qk_norm_full and config.norm_after_only
+    assert not config.qk_norm and not config.sandwich_norms
+    # flat norms: q over n_q*d=32, k over n_kv*d=16
+    assert params["layers"]["q_norm"].shape == (2, 32)
+    assert params["layers"]["k_norm"].shape == (2, 16)
+    assert params["layers"]["post_ffn_norm"].shape == (2, 32)
+    # the unused input-norm leaf is ones (uniform scanned pytree)
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["input_norm"]), 1.0
+    )
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_olmo2_decode_rollout_consistency():
+    """OLMo-2 decode path: rollout over a random tiny model refills the
+    same rows prefill computes (the reordered norms and flat QK-norm run
+    identically in both paths)."""
+    import dataclasses
+
+    from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, qk_norm_full=True, norm_after_only=True,
+    )
+    params = init_random_llama(config, seed=9)
+    # random norm weights so the flat-norm path actually bites
+    import jax
+
+    lay = dict(params["layers"])
+    for nm in ("q_norm", "k_norm", "post_norm", "post_ffn_norm"):
+        lay[nm] = lay[nm] + 0.3 * jax.random.normal(
+            jax.random.PRNGKey(hash(nm) % 2**31), lay[nm].shape
+        )
+    params = {**params, "layers": lay}
+
+    ids = jnp.arange(12, dtype=jnp.int32)
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    s_pfx = 8
+    k_buf = jnp.where(
+        (jnp.arange(12) < s_pfx)[None, None, :, None], k_ref, 0.0
+    )
+    v_buf = jnp.where(
+        (jnp.arange(12) < s_pfx)[None, None, :, None], v_ref, 0.0
+    )
+    hs, (k_fill, v_fill), _, _ = llama_decode_rollout(
+        config, params, ids[s_pfx:], s_pfx, k_buf, v_buf
+    )
+    assert np.isfinite(np.asarray(hs)).all()
+    np.testing.assert_allclose(
+        np.asarray(k_fill), np.asarray(k_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_fill), np.asarray(v_ref), atol=1e-4
+    )
+    # the flat QK-norm must bite: disabling it diverges the keys
+    config_off = dataclasses.replace(config, qk_norm_full=False)
+    k_off, _ = llama_prefill_kv(config_off, params, ids)
+    assert float(np.abs(np.asarray(k_off) - np.asarray(k_ref)).max()) > 1e-3
