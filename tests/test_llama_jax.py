@@ -1576,3 +1576,37 @@ def test_olmo2_decode_rollout_consistency():
     config_off = dataclasses.replace(config, qk_norm_full=False)
     k_off, _ = llama_prefill_kv(config_off, params, ids)
     assert float(np.abs(np.asarray(k_off) - np.asarray(k_ref)).max()) > 1e-3
+
+
+def test_olmo2_tp_prefill_parity(tmp_path):
+    """OLMo-2 under tensor parallelism: the flat whole-projection QK-norm
+    reduces across the Megatron head split (mean of squares over ALL
+    n_q*d columns), so TP parity specifically exercises the cross-shard
+    normalization GSPMD must insert."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(23)
+    model = transformers.Olmo2ForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+
+    ids = jnp.asarray(np.array([5, 3, 8, 1, 2, 99], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_llama_params(params, mesh)
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
