@@ -73,7 +73,9 @@ class LlamaConfig:
     # MoE flavor: "mixtral" (softmax-over-all-experts then top-k,
     # bias-free SwiGLU experts), "qwen3_moe" (same forward, HF
     # Qwen3MoeSparseMoeBlock's "only diff with mixtral" being the
-    # norm_topk_prob gate below plus different checkpoint key names), or
+    # norm_topk_prob gate below plus different checkpoint key names),
+    # "qwen2_moe" (qwen3_moe layout plus the sigmoid-gated shared
+    # expert), or
     # "gpt_oss" (top-k of raw logits then softmax over the k, biased
     # router, interleaved gate_up experts with clamped swiglu — HF
     # GptOssTopKRouter/GptOssExperts).
@@ -82,6 +84,10 @@ class LlamaConfig:
     # when the checkpoint's norm_topk_prob is true (HF config default is
     # false, published Qwen3-30B-A3B ships true).
     moe_renormalize: bool = True
+    # Qwen2-MoE: a SHARED SwiGLU expert (its own intermediate size) runs
+    # on every token alongside the routed experts, gated by
+    # sigmoid(shared_expert_gate(x)) — HF Qwen2MoeSparseMoeBlock.
+    shared_expert_intermediate_size: int | None = None
     # GPT-OSS extensions
     attn_sinks: bool = False  # per-head learnable sink logit: softmax runs
     #                           over [scores, sink] and the sink column is
@@ -198,9 +204,9 @@ class LlamaConfig:
     # shared experts this FFN doesn't have — silently extracting with the
     # wrong architecture would produce plausible-looking but wrong KV.
     _SUPPORTED_MODEL_TYPES = {
-        None, "llama", "mistral", "qwen2", "qwen3", "qwen3_moe",
-        "gemma", "gemma2", "gemma3_text", "phi3", "mixtral", "gpt_oss",
-        "olmo2",
+        None, "llama", "mistral", "qwen2", "qwen2_moe", "qwen3",
+        "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3", "mixtral",
+        "gpt_oss", "olmo2",
     }
 
     @classmethod
@@ -209,17 +215,18 @@ class LlamaConfig:
         if model_type not in cls._SUPPORTED_MODEL_TYPES:
             raise NotImplementedError(
                 f"model_type {model_type!r} is not supported (have: "
-                f"llama, mistral, mixtral, qwen2, qwen3, qwen3_moe, "
-                f"gemma, gemma2, gemma3_text, phi3, gpt_oss, olmo2)"
+                f"llama, mistral, mixtral, qwen2, qwen2_moe, qwen3, "
+                f"qwen3_moe, gemma, gemma2, gemma3_text, phi3, gpt_oss, "
+                f"olmo2)"
             )
-        if model_type == "qwen3_moe" and (
+        if model_type in ("qwen3_moe", "qwen2_moe") and (
             d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
         ):
             # A mixed dense/sparse layer stack cannot share one scanned
-            # per-layer pytree; no published Qwen3-MoE checkpoint uses it.
+            # per-layer pytree; no published Qwen MoE checkpoint uses it.
             raise NotImplementedError(
-                "qwen3_moe with mlp_only_layers or decoder_sparse_step != 1 "
-                "(mixed dense/MoE layers) is not supported"
+                f"{model_type} with mlp_only_layers or decoder_sparse_step "
+                f"!= 1 (mixed dense/MoE layers) is not supported"
             )
         if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
             raise NotImplementedError(
@@ -264,8 +271,11 @@ class LlamaConfig:
             # Qwen3-MoE experts are sized by moe_intermediate_size (the
             # dense intermediate_size is unused when every layer is MoE).
             intermediate_size=(
-                d.get("moe_intermediate_size", 768)
-                if model_type == "qwen3_moe"
+                d.get(
+                    "moe_intermediate_size",
+                    768 if model_type == "qwen3_moe" else 1408,
+                )
+                if model_type in ("qwen3_moe", "qwen2_moe")
                 else d["intermediate_size"]
             ),
             num_hidden_layers=d["num_hidden_layers"],
@@ -310,23 +320,33 @@ class LlamaConfig:
                 if model_type == "mixtral"
                 else d.get("num_local_experts", 128)
                 if model_type == "gpt_oss"
-                else d.get("num_experts", 128)  # HF Qwen3MoeConfig default
-                if model_type == "qwen3_moe"
+                else d.get(
+                    # HF Qwen3MoeConfig / Qwen2MoeConfig defaults
+                    "num_experts", 128 if model_type == "qwen3_moe" else 60
+                )
+                if model_type in ("qwen3_moe", "qwen2_moe")
                 else None
             ),
             num_experts_per_tok=d.get(
                 "num_experts_per_tok",
-                {"gpt_oss": 4, "qwen3_moe": 8}.get(model_type, 2),
+                {"gpt_oss": 4, "qwen3_moe": 8, "qwen2_moe": 4}.get(
+                    model_type, 2
+                ),
             ),
             moe_style=(
                 model_type
-                if model_type in ("gpt_oss", "qwen3_moe")
+                if model_type in ("gpt_oss", "qwen3_moe", "qwen2_moe")
                 else "mixtral"
             ),
             moe_renormalize=(
                 d.get("norm_topk_prob", False)
-                if model_type == "qwen3_moe"
+                if model_type in ("qwen3_moe", "qwen2_moe")
                 else True
+            ),
+            shared_expert_intermediate_size=(
+                d.get("shared_expert_intermediate_size", 5632)
+                if model_type == "qwen2_moe"
+                else None
             ),
             attn_sinks=model_type == "gpt_oss",
             yarn_factor=scaling.get("factor") if is_yarn else None,
@@ -473,7 +493,14 @@ def _ffn(config: LlamaConfig, x: jax.Array, lp: dict, act) -> jax.Array:
         "sh,ehi->esi", x, lp["w3"]
     )
     expert_out = jnp.einsum("esi,eih->esh", gated, lp["w2"])
-    return jnp.einsum("se,esh->sh", weights, expert_out)
+    out = jnp.einsum("se,esh->sh", weights, expert_out)
+    if "sh_gate" in lp:
+        # Qwen2-MoE shared expert: a full SwiGLU on EVERY token, scaled
+        # by a scalar sigmoid gate (hidden -> 1 linear), added to the
+        # routed combine (HF Qwen2MoeSparseMoeBlock.forward tail).
+        shared = act(x @ lp["sh_w1"]) * (x @ lp["sh_w3"]) @ lp["sh_w2"]
+        out = out + jax.nn.sigmoid(x @ lp["sh_gate"]) * shared
+    return out
 
 
 def _ffn_gpt_oss(config: LlamaConfig, x: jax.Array, lp: dict) -> jax.Array:
@@ -1396,6 +1423,11 @@ def load_llama_params(
                 "moe_down", "moe_down_bias",
             )
             if config.moe_style == "gpt_oss"
+            else (
+                "router", "w1", "w2", "w3",
+                "sh_gate", "sh_w1", "sh_w2", "sh_w3",
+            )
+            if config.shared_expert_intermediate_size
             else ("router", "w1", "w2", "w3")
         )
         for k in moe_keys:
@@ -1454,7 +1486,7 @@ def load_llama_params(
             # Qwen3-MoE ships the same tensors under SwiGLU names
             # (mlp.gate / mlp.experts.{j}.{gate,down,up}_proj); the forward
             # is shared, so the loader just maps names.
-            if config.moe_style == "qwen3_moe":
+            if config.moe_style in ("qwen3_moe", "qwen2_moe"):
                 block, names_map = "mlp", {
                     "w1": "gate_proj", "w2": "down_proj", "w3": "up_proj",
                 }
@@ -1477,6 +1509,21 @@ def load_llama_params(
                             for j in range(config.num_local_experts)
                         ]
                     )
+                )
+            if config.shared_expert_intermediate_size:
+                # Qwen2-MoE shared expert + its scalar sigmoid gate
+                # (hidden -> 1 linear, transposed like every projection).
+                for ours, hf in (
+                    ("sh_w1", "shared_expert.gate_proj"),
+                    ("sh_w3", "shared_expert.up_proj"),
+                    ("sh_w2", "shared_expert.down_proj"),
+                ):
+                    layers[ours].append(
+                        arr(f"{prefix}.mlp.{hf}.weight", transpose=True)
+                    )
+                layers["sh_gate"].append(
+                    arr(f"{prefix}.mlp.shared_expert_gate.weight",
+                        transpose=True)
                 )
         if config.attn_sinks:
             layers["sinks"].append(arr(f"{prefix}.self_attn.sinks"))
@@ -1567,6 +1614,12 @@ def init_random_llama(
             layers["w1"] = w(n_l, e, h, i_sz)
             layers["w3"] = w(n_l, e, h, i_sz)
             layers["w2"] = w(n_l, e, i_sz, h)
+            if config.shared_expert_intermediate_size:
+                shi = config.shared_expert_intermediate_size
+                layers["sh_w1"] = w(n_l, h, shi)
+                layers["sh_w3"] = w(n_l, h, shi)
+                layers["sh_w2"] = w(n_l, shi, h)
+                layers["sh_gate"] = w(n_l, h, 1)
         for k in ("gate", "up", "down"):
             del layers[k]
     if config.attn_sinks:
@@ -1667,6 +1720,14 @@ def shard_llama_params(
             specs["w1"] = P(None, None, None, axis)
             specs["w3"] = P(None, None, None, axis)
             specs["w2"] = P(None, None, axis, None)
+        if "sh_gate" in lp:
+            # Qwen2-MoE shared expert: Megatron-split like a dense MLP
+            # (it runs on every token on every device); its scalar gate
+            # is a (hidden, 1) column — replicate.
+            specs["sh_w1"] = P(None, None, axis)
+            specs["sh_w3"] = P(None, None, axis)
+            specs["sh_w2"] = P(None, axis, None)
+            specs["sh_gate"] = P(None, None, None)
     # Qwen3 per-head Q/K norms are a single head_dim vector shared by every
     # head (head sharding doesn't split head_dim), and Gemma2's extra
     # hidden-size norms are norms — all replicate.

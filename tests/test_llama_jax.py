@@ -1610,3 +1610,101 @@ def test_olmo2_tp_prefill_parity(tmp_path):
     k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
     np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
+def test_kv_parity_with_hf_qwen2_moe(tmp_path):
+    """Qwen2-MoE: qwen2 attention (QKV biases) over a sparse-MoE FFN with
+    a sigmoid-gated SHARED expert added to every token's routed combine
+    (HF Qwen2MoeSparseMoeBlock) — previously an explicitly-rejected
+    architecture. Layer 1's KV sees layer 0's shared+routed output."""
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, use_sliding_window=False,
+    )
+    torch.manual_seed(29)
+    model = transformers.Qwen2MoeForCausalLM(cfg)
+    model.eval()
+    # HF zero-initializes projection biases; randomize so the qwen2-family
+    # bias path actually bites in the parity comparison.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.bias.normal_(std=0.1)
+            layer.self_attn.k_proj.bias.normal_(std=0.1)
+            layer.self_attn.v_proj.bias.normal_(std=0.1)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.moe_style == "qwen2_moe"
+    assert config.shared_expert_intermediate_size == 80
+    assert config.moe_renormalize is False
+    assert params["layers"]["w1"].shape == (2, 4, 32, 48)
+    assert params["layers"]["sh_w1"].shape == (2, 32, 80)
+    assert params["layers"]["sh_gate"].shape == (2, 32, 1)
+    # qwen2-family attention biases are real tensors, not zeros
+    assert float(np.abs(params["layers"]["q_bias"]).max()) > 0
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    # the shared expert must bite: zeroing its gate diverges layer-1 KV
+    lay = dict(params["layers"])
+    lay["sh_gate"] = lay["sh_gate"] - 100.0  # sigmoid -> ~0
+    keys_off, _ = llama_prefill_kv(config, {**params, "layers": lay}, jnp.asarray(ids))
+    assert float(np.abs(np.asarray(keys_off[1]) - np.asarray(keys[1])).max()) > 1e-4
+
+
+def test_qwen2_moe_tp_and_ep_prefill_parity(tmp_path):
+    """Shared-expert MoE under TP (shared expert Megatron-split) and EP
+    (routed experts sharded, shared expert replicated) must match the
+    unsharded prefill."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, use_sliding_window=False,
+    )
+    torch.manual_seed(31)
+    model = transformers.Qwen2MoeForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([3, 17, 42, 9, 9, 120, 64, 5], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+
+    tp_mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    k_tp, v_tp = llama_prefill_kv(
+        config, shard_llama_params(params, tp_mesh), ids
+    )
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+    ep_mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    k_ep, v_ep = llama_prefill_kv(
+        config, shard_llama_params(params, ep_mesh, axis=None, expert_axis="ep"),
+        ids,
+    )
+    np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
