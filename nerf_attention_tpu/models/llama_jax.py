@@ -43,6 +43,12 @@ class LlamaConfig:
     hidden_act: str = "silu"  # MLP activation (Gemma: gelu_pytorch_tanh)
     norm_offset: bool = False  # Gemma RMSNorm scales by (1 + w), not w
     scale_embeddings: bool = False  # Gemma multiplies embeddings by sqrt(h)
+    # Granite scalar multipliers ("main diff with Llama" — HF
+    # GraniteModel/GraniteDecoderLayer): embeddings scaled by a config
+    # constant, and every sublayer output scaled before its residual add.
+    # attention_multiplier rides the existing attn_scale field.
+    embedding_multiplier: float | None = None
+    residual_multiplier: float = 1.0
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on Q/K before RoPE
     # OLMo-2: RMSNorm on the FLAT q/k projections (the whole
     # heads*head_dim vector, before the head reshape and RoPE) — a
@@ -206,7 +212,7 @@ class LlamaConfig:
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen2_moe", "qwen3",
         "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3", "mixtral",
-        "gpt_oss", "olmo2",
+        "gpt_oss", "olmo2", "granite",
     }
 
     @classmethod
@@ -217,7 +223,7 @@ class LlamaConfig:
                 f"model_type {model_type!r} is not supported (have: "
                 f"llama, mistral, mixtral, qwen2, qwen2_moe, qwen3, "
                 f"qwen3_moe, gemma, gemma2, gemma3_text, phi3, gpt_oss, "
-                f"olmo2)"
+                f"olmo2, granite)"
             )
         if model_type in ("qwen3_moe", "qwen2_moe") and (
             d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
@@ -264,7 +270,11 @@ class LlamaConfig:
             # Gemma hub configs also carry — follow HF exactly, or real
             # checkpoints would extract KV with a different activation.
             hidden_act = d.get("hidden_act", "silu")
-            attn_scale = None
+            attn_scale = (
+                d.get("attention_multiplier", 1.0)
+                if model_type == "granite"
+                else None
+            )
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -294,6 +304,16 @@ class LlamaConfig:
             qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
             qk_norm_full=model_type == "olmo2",
             norm_after_only=model_type == "olmo2",
+            embedding_multiplier=(
+                d.get("embedding_multiplier", 1.0)
+                if model_type == "granite"
+                else None
+            ),
+            residual_multiplier=(
+                d.get("residual_multiplier", 1.0)
+                if model_type == "granite"
+                else 1.0
+            ),
             attn_scale=attn_scale,
             attn_logit_softcap=(
                 d.get("attn_logit_softcapping", 50.0)
@@ -725,9 +745,11 @@ def _layer_forward(
             config.rms_norm_eps, config.norm_offset,
         )
     else:
-        h = h + attn_out
+        rm = config.residual_multiplier
+        h = h + (attn_out if rm == 1.0 else attn_out * rm)
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
-        h = h + _ffn(config, x, lp, act)
+        ffn_out = _ffn(config, x, lp, act)
+        h = h + (ffn_out if rm == 1.0 else ffn_out * rm)
     return h, (k, v)
 
 
@@ -770,6 +792,8 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
         # Gemma scales embeddings by sqrt(hidden), cast to the compute dtype
         # BEFORE the multiply (HF casts the normalizer tensor to dtype).
         h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+    if config.embedding_multiplier is not None:
+        h = h * jnp.asarray(config.embedding_multiplier, dtype=h.dtype)
 
     def rope_table(theta=None):
         inv_freq = jnp.asarray(_rope_frequencies(config, theta))
@@ -842,6 +866,8 @@ def llama_prefill_kv_sp(
         h = params["embed"][ids_local]
         if config.scale_embeddings:
             h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+        if config.embedding_multiplier is not None:
+            h = h * jnp.asarray(config.embedding_multiplier, dtype=h.dtype)
 
         def rope_table(theta=None):
             # Same table as the single-device path, built at this shard's
@@ -971,6 +997,10 @@ def llama_prefill_kv_pp(
             h_embed = embed[ids_c]
             if config.scale_embeddings:
                 h_embed = h_embed * jnp.asarray(config.hidden_size**0.5, dtype)
+            if config.embedding_multiplier is not None:
+                h_embed = h_embed * jnp.asarray(
+                    config.embedding_multiplier, dtype
+                )
             h = jnp.where(stage == 0, h_embed, h_in)
             cos, sin = rope_chunk(row0)
             cos_local = sin_local = None
@@ -1172,9 +1202,11 @@ def _layer_decode(
             config.rms_norm_eps, config.norm_offset,
         )
     else:
-        h = h + attn_out
+        rm = config.residual_multiplier
+        h = h + (attn_out if rm == 1.0 else attn_out * rm)
         x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
-        h = h + _ffn(config, x, lp, act)
+        ffn_out = _ffn(config, x, lp, act)
+        h = h + (ffn_out if rm == 1.0 else ffn_out * rm)
     return h, (k, v, entropy, sink_mass, x)
 
 
@@ -1224,6 +1256,8 @@ def llama_decode_step(
     h = params["embed"][token_id][None, :]
     if config.scale_embeddings:
         h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+    if config.embedding_multiplier is not None:
+        h = h * jnp.asarray(config.embedding_multiplier, dtype=h.dtype)
     position = jnp.asarray(position, jnp.int32)
 
     def rope_row(theta=None):

@@ -1708,3 +1708,54 @@ def test_qwen2_moe_tp_and_ep_prefill_parity(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(k_ep), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_ep), np.asarray(v_ref), atol=1e-4)
+
+
+def test_kv_parity_with_hf_granite(tmp_path):
+    """Granite: scalar embedding/attention/residual multipliers ("main
+    diff with Llama" in HF's own comments). Non-default values on all
+    three so each knob bites; layer 1's KV sees layer 0's scaled
+    residual stream."""
+    cfg = transformers.GraniteConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=12.0, attention_multiplier=0.13,
+        residual_multiplier=0.22, max_position_embeddings=64,
+    )
+    torch.manual_seed(37)
+    model = transformers.GraniteForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.embedding_multiplier == 12.0
+    assert config.attn_scale == 0.13
+    assert config.residual_multiplier == 0.22
+
+    ids = np.array([7, 99, 3, 42, 5, 5, 18, 76], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    hf_layers = _hf_kv_layers(out.past_key_values)
+
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(hf_layers):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    # decode path consistency: rollout refills what prefill computed
+    from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
+
+    ids_j = jnp.asarray(np.concatenate([ids, [11, 23, 4, 90]]).astype(np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids_j)
+    mask = (jnp.arange(12) < 8)[None, None, :, None]
+    hs, (k_fill, v_fill), _, _ = llama_decode_rollout(
+        config, params, ids_j[8:], 8,
+        jnp.where(mask, k_ref, 0.0), jnp.where(mask, v_ref, 0.0),
+    )
+    np.testing.assert_allclose(np.asarray(k_fill), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_fill), np.asarray(v_ref), atol=1e-4)
