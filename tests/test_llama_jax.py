@@ -402,10 +402,11 @@ def test_kv_parity_with_hf_gemma(tmp_path):
 
 
 def test_unsupported_model_type_rejected():
-    # qwen2_moe adds shared experts the MoE FFN doesn't implement.
-    with pytest.raises(NotImplementedError, match="qwen2_moe"):
+    # dbrx's fused attention/MoE layouts diverge from every supported
+    # family; silently loading it would produce plausible-but-wrong KV.
+    with pytest.raises(NotImplementedError, match="dbrx"):
         LlamaConfig.from_hf_dict(
-            dict(model_type="qwen2_moe", vocab_size=8, hidden_size=8,
+            dict(model_type="dbrx", vocab_size=8, hidden_size=8,
                  intermediate_size=8, num_hidden_layers=1,
                  num_attention_heads=1)
         )
