@@ -116,6 +116,14 @@ class LlamaConfig:
     yarn_truncate: bool = True
     yarn_attention_factor: float | None = None
 
+    def __post_init__(self):
+        if self.qk_norm and self.qk_norm_full:
+            raise ValueError(
+                "qk_norm (per-head) and qk_norm_full (flat projection) are "
+                "mutually exclusive — no family uses both, and the forward "
+                "would apply two incompatible norm shapes"
+            )
+
     @property
     def attention_scaling(self) -> float:
         """YaRN's post-factor on cos/sin (1.0 for every non-yarn family)."""
@@ -1243,11 +1251,13 @@ def llama_decode_step(
     the decode step returns the final hidden state before any output
     norm/readout.
 
-    ``capture_ffn_input=True`` (static) appends an output: each
-    layer's normed FFN input (num_layers, 1, hidden) — the tensor a
-    sparse-MoE router reads, so routing-sensitivity diagnostics can
-    recompute expert selections outside the forward (head_policy's MoE
-    flip-rate leg). ``capture_sink_mass=True`` (static) appends, last,
+    ``capture_ffn_input=True`` (static) appends an output: the tensor
+    each layer's FFN actually reads (num_layers, 1, hidden) — the normed
+    pre-FFN hidden state, or the raw residual stream for
+    ``norm_after_only`` (OLMo-2) families — i.e. exactly what a
+    sparse-MoE router would consume, so routing-sensitivity diagnostics
+    can recompute expert selections outside the forward (head_policy's
+    MoE flip-rate leg). ``capture_sink_mass=True`` (static) appends, last,
     the per-head sink mass (num_layers, num_attention_heads) — the
     probability each head assigns to its attention sink (zeros for
     families without ``attn_sinks``), the fraction of the softmax no
@@ -1448,7 +1458,16 @@ def load_llama_params(
         if not (moe and k in ("gate", "up", "down"))
     }
     layers: dict[str, list] = {
-        k: [] for k in (*layer_map, *bias_keys, "input_norm", "post_norm")
+        k: []
+        for k in (
+            *layer_map,
+            *bias_keys,
+            # norm_after_only (OLMo-2) has no input norm at all — omit the
+            # leaf (the forward's if/else never reads it), same lazy
+            # pattern as pre_ffn_norm.
+            *(() if config.norm_after_only else ("input_norm",)),
+            "post_norm",
+        )
     }
     if moe:
         moe_keys = (
@@ -1570,13 +1589,7 @@ def load_llama_params(
                 if name in names
                 else np.zeros(bias_dims[bk], dtype=np_dtype)
             )
-        if config.norm_after_only:
-            # OLMo-2 has no input norm; keep the leaf as ones so the
-            # scanned pytree stays uniform (the forward never reads it).
-            layers["input_norm"].append(
-                np.ones(config.hidden_size, dtype=np_dtype)
-            )
-        else:
+        if not config.norm_after_only:
             layers["input_norm"].append(
                 arr(f"{prefix}.input_layernorm.weight")
             )
@@ -1671,6 +1684,8 @@ def init_random_llama(
     if config.qk_norm_full:
         layers["q_norm"] = jnp.ones((n_l, n_q * d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, n_kv * d), dtype=dtype)
+    if config.norm_after_only:
+        del layers["input_norm"]  # no input norm exists; forward skips it
     if config.sandwich_norms:
         layers["pre_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
     if config.sandwich_norms or config.norm_after_only:
@@ -1764,7 +1779,12 @@ def shard_llama_params(
             specs["sh_gate"] = P(None, None, None)
     # Qwen3 per-head Q/K norms are a single head_dim vector shared by every
     # head (head sharding doesn't split head_dim), and Gemma2's extra
-    # hidden-size norms are norms — all replicate.
+    # hidden-size norms are norms — all replicate. OLMo-2's FLAT q/k norms
+    # also land here replicated even though their feature dim is
+    # head-split: the flat RMSNorm's mean-of-squares spans every shard, so
+    # GSPMD inserts the cross-shard reduction (TP parity asserted by
+    # test_olmo2_tp_prefill_parity); a shard_map rewrite must keep that
+    # collective.
     for extra in ("q_norm", "k_norm", "pre_ffn_norm", "post_ffn_norm"):
         if extra in lp:
             specs[extra] = P(None, None)
