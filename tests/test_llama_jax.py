@@ -1758,3 +1758,72 @@ def test_kv_parity_with_hf_granite(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(k_fill), np.asarray(k_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_fill), np.asarray(v_ref), atol=1e-4)
+
+
+_FAMILY_SMOKE_DICTS = {
+    "llama": {},
+    "mistral": {"sliding_window": 6},
+    "qwen2": {"use_sliding_window": False},
+    "qwen2_moe": {
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 24, "shared_expert_intermediate_size": 40,
+        "use_sliding_window": False,
+    },
+    "qwen3": {"use_sliding_window": False},
+    "qwen3_moe": {
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 24, "use_sliding_window": False,
+    },
+    "gemma": {},
+    "gemma2": {"sliding_window": 6},
+    "gemma3_text": {"sliding_window": 6, "sliding_window_pattern": 2,
+                    "rope_local_base_freq": 10000.0},
+    "phi3": {},
+    "mixtral": {"num_local_experts": 4, "num_experts_per_tok": 2},
+    "gpt_oss": {"num_local_experts": 4, "num_experts_per_tok": 2,
+                "sliding_window": 6},
+    "olmo2": {},
+    "granite": {"embedding_multiplier": 4.0, "attention_multiplier": 0.2,
+                "residual_multiplier": 0.5},
+}
+
+
+@pytest.mark.parametrize("model_type", sorted(_FAMILY_SMOKE_DICTS))
+def test_family_config_prefill_decode_rollout_smoke(model_type):
+    """Every supported family's config round-trips from_hf_dict ->
+    init_random_llama -> prefill -> rollout, and the rollout refills
+    exactly the rows prefill computed — one guard over the shared
+    forward/decode code paths for all 15 architectures (DeepSeek MLA
+    lives in models/mla_jax.py with its own suite)."""
+    from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
+
+    d = {
+        "model_type": model_type,
+        "vocab_size": 64, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 4,
+        "max_position_embeddings": 64,
+        **_FAMILY_SMOKE_DICTS[model_type],
+    }
+    config = LlamaConfig.from_hf_dict(d)
+    params = init_random_llama(config, seed=3)
+    ids = jnp.arange(12, dtype=jnp.int32)
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    assert np.isfinite(np.asarray(k_ref)).all()
+    assert np.isfinite(np.asarray(v_ref)).all()
+
+    s_pfx = 8
+    mask = (jnp.arange(12) < s_pfx)[None, None, :, None]
+    hs, (k_fill, v_fill), _, _ = llama_decode_rollout(
+        config, params, ids[s_pfx:], s_pfx,
+        jnp.where(mask, k_ref, 0.0), jnp.where(mask, v_ref, 0.0),
+    )
+    assert np.isfinite(np.asarray(hs)).all()
+    np.testing.assert_allclose(
+        np.asarray(k_fill), np.asarray(k_ref), atol=1e-4, rtol=1e-4,
+        err_msg=model_type,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_fill), np.asarray(v_ref), atol=1e-4, rtol=1e-4,
+        err_msg=model_type,
+    )
