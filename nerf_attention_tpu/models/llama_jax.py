@@ -58,6 +58,25 @@ class LlamaConfig:
     # sublayer's OUTPUT before its residual add
     # (h += norm(attn(h)); h += norm(mlp(h)) — Olmo2DecoderLayer).
     norm_after_only: bool = False
+    # Cohere family: classic mean-centered LayerNorm (fp32, no bias —
+    # CohereLayerNorm) replaces RMSNorm everywhere a norm appears,
+    # including the per-head QK-norm, whose weights are PER-HEAD
+    # (num_heads, head_dim) rather than one shared head_dim vector.
+    layernorm: bool = False
+    # Cohere block wiring: attention and MLP both read ONE input norm and
+    # their outputs sum into the residual together
+    # (h = h + attn(norm(h)) + mlp(norm(h)) — CohereDecoderLayer); no
+    # post-attention norm leaf exists at all.
+    parallel_residual: bool = False
+    # Cohere rope convention: angle pairs (2i, 2i+1) share a frequency
+    # (repeat_interleave) and rotate-half swaps EVEN/ODD lanes, vs
+    # Llama's concatenated halves (CohereRotaryEmbedding's "diff from
+    # Llama: we interleave() instead of cat()").
+    rope_interleaved: bool = False
+    # Cohere2 NoPE: full-attention layers get NO positional encoding at
+    # all — Cohere2Attention applies rope only when the layer has a
+    # sliding window; full layers are position-blind.
+    rope_skip_full_layers: bool = False
     # Gemma2 extensions
     attn_scale: float | None = None  # None -> rsqrt(head_dim); Gemma2 uses
     #                                  query_pre_attn_scalar ** -0.5
@@ -177,17 +196,20 @@ class LlamaConfig:
         n_layers = d["num_hidden_layers"]
         layer_types = d.get("layer_types")
         if layer_types is None and d.get("model_type") in (
-            "gemma2", "gemma3_text", "gpt_oss",
+            "gemma2", "gemma3_text", "gpt_oss", "cohere2",
         ):
             # Hub configs serialized before transformers added layer_types
             # (i.e. the actual published gemma-2/3 checkpoints) omit the
             # field; derive it exactly as their HF configs do — sliding
             # unless (i+1) is a multiple of the period (gemma2: 2;
             # gemma3: sliding_window_pattern, default 6; gpt_oss: 2 —
-            # GptOssConfig derives alternating sliding/full).
+            # GptOssConfig derives alternating sliding/full; cohere2:
+            # sliding_window_pattern, default 4 — Cohere2Config).
             period = (
                 d.get("sliding_window_pattern", 6)
                 if d["model_type"] == "gemma3_text"
+                else d.get("sliding_window_pattern", 4)
+                if d["model_type"] == "cohere2"
                 else 2
             )
             layer_types = [
@@ -195,7 +217,13 @@ class LlamaConfig:
                 for i in range(n_layers)
             ]
         if layer_types:
-            sw = d.get("sliding_window")
+            # Cohere2Config defaults sliding_window to 4096 — an absent key
+            # must not read as "no window" for its sliding layers.
+            sw = (
+                d.get("sliding_window", 4096)
+                if d.get("model_type") == "cohere2"
+                else d.get("sliding_window")
+            )
             windows = tuple(
                 sw if t == "sliding_attention" else None for t in layer_types
             )
@@ -220,7 +248,7 @@ class LlamaConfig:
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen2_moe", "qwen3",
         "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3", "mixtral",
-        "gpt_oss", "olmo2", "granite",
+        "gpt_oss", "olmo2", "granite", "cohere", "cohere2",
     }
 
     @classmethod
@@ -231,7 +259,7 @@ class LlamaConfig:
                 f"model_type {model_type!r} is not supported (have: "
                 f"llama, mistral, mixtral, qwen2, qwen2_moe, qwen3, "
                 f"qwen3_moe, gemma, gemma2, gemma3_text, phi3, gpt_oss, "
-                f"olmo2, granite)"
+                f"olmo2, granite, cohere, cohere2)"
             )
         if model_type in ("qwen3_moe", "qwen2_moe") and (
             d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
@@ -268,6 +296,7 @@ class LlamaConfig:
         num_heads = d["num_attention_heads"]
         sliding_window, layer_windows = cls._resolve_windows(d)
         gemma_like = model_type in ("gemma", "gemma2", "gemma3_text")
+        cohere_like = model_type in ("cohere", "cohere2")
         if model_type in ("gemma2", "gemma3_text"):
             # Gemma2/3 MLP reads hidden_activation (their config default).
             hidden_act = d.get("hidden_activation", "gelu_pytorch_tanh")
@@ -303,15 +332,30 @@ class LlamaConfig:
             # Defaults mirror HF LlamaConfig: a config.json that omits these
             # (Llama-2-era checkpoints) must get HF's values, not Llama-3's.
             rope_theta=d.get("rope_theta", 10000.0),
-            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            # Cohere's norms read layer_norm_eps (CohereLayerNorm default
+            # 1e-5); the field rides the one eps slot every norm shares.
+            rms_norm_eps=(
+                d.get("layer_norm_eps", 1e-5)
+                if cohere_like
+                else d.get("rms_norm_eps", 1e-6)
+            ),
             sliding_window=sliding_window,
             layer_windows=layer_windows,
             hidden_act=hidden_act,
             norm_offset=gemma_like,
             scale_embeddings=gemma_like,
-            qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
+            qk_norm=(
+                model_type in ("qwen3", "qwen3_moe", "gemma3_text")
+                # Cohere v1's optional per-head LayerNorm QK-norm
+                # (command-r-plus ships true; cohere2 dropped it).
+                or (model_type == "cohere" and d.get("use_qk_norm", False))
+            ),
             qk_norm_full=model_type == "olmo2",
             norm_after_only=model_type == "olmo2",
+            layernorm=cohere_like,
+            parallel_residual=cohere_like,
+            rope_interleaved=cohere_like,
+            rope_skip_full_layers=model_type == "cohere2",
             embedding_multiplier=(
                 d.get("embedding_multiplier", 1.0)
                 if model_type == "granite"
@@ -457,12 +501,32 @@ def _rope_frequencies(
     return np.where(is_medium, interp, scaled).astype(np.float32)
 
 
-def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """HF-style rotate-half RoPE. x: (heads, S, D); cos/sin: (S, D)."""
-    d2 = x.shape[-1] // 2
-    x1, x2 = x[..., :d2], x[..., d2:]
-    rotated = jnp.concatenate([-x2, x1], axis=-1)
+def _apply_rope(
+    x: jax.Array, cos: jax.Array, sin: jax.Array, interleaved: bool = False
+) -> jax.Array:
+    """HF-style rotate-half RoPE. x: (heads, S, D); cos/sin: (S, D).
+
+    ``interleaved`` is Cohere's convention: lanes pair as (2i, 2i+1)
+    instead of (i, i + D/2), so rotate-half swaps even/odd lanes (and the
+    cos/sin tables repeat each angle twice — ``_duplicate_angles``).
+    """
+    if interleaved:
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        rotated = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    else:
+        d2 = x.shape[-1] // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
     return x * cos[None, :, :] + rotated * sin[None, :, :]
+
+
+def _duplicate_angles(config: LlamaConfig, angles: jax.Array) -> jax.Array:
+    """(…, D/2) rope angles -> (…, D), matching the family's rotate-half:
+    interleaved pairs for Cohere (repeat_interleave), concatenated halves
+    for everyone else."""
+    if config.rope_interleaved:
+        return jnp.repeat(angles, 2, axis=-1)
+    return jnp.concatenate([angles, angles], axis=-1)
 
 
 def _rms_norm(
@@ -474,6 +538,24 @@ def _rms_norm(
     if offset:
         w = 1.0 + w  # Gemma stores zero-centered norm weights
     return (norm * w).astype(x.dtype)
+
+
+def _layer_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Cohere's mean-centered LayerNorm: fp32, weight multiply, no bias
+    (CohereLayerNorm.forward)."""
+    xf = x.astype(jnp.float32)
+    xc = xf - jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _norm(config: LlamaConfig, x: jax.Array, weight: jax.Array) -> jax.Array:
+    """The family's norm operator: mean-centered LayerNorm for Cohere,
+    RMSNorm (with Gemma's 1+w offset where set) for everyone else."""
+    if config.layernorm:
+        return _layer_norm(x, weight, config.rms_norm_eps)
+    return _rms_norm(x, weight, config.rms_norm_eps, config.norm_offset)
 
 
 def _mlp_act(name: str):
@@ -682,14 +764,17 @@ def _layer_forward(
         use_local = lp["rope_local"] > 0
         cos = jnp.where(use_local, cos_local, cos)
         sin = jnp.where(use_local, sin_local, sin)
+    if "rope_skip" in lp:
+        # Cohere2 NoPE: full-attention layers are position-blind — rope
+        # with cos=1 / sin=0 is the identity, so the skip rides the scan
+        # as data like every other per-layer flag.
+        skip = lp["rope_skip"] > 0
+        cos = jnp.where(skip, jnp.ones_like(cos), cos)
+        sin = jnp.where(skip, jnp.zeros_like(sin), sin)
 
     # OLMo-2 runs attention on the RAW residual stream (its only norms
     # sit on sublayer outputs); everyone else pre-norms.
-    x = (
-        h
-        if config.norm_after_only
-        else _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
-    )
+    x = h if config.norm_after_only else _norm(config, h, lp["input_norm"])
     # QKV biases: zeros for Llama/Mistral, loaded for Qwen2-family
     # checkpoints (their attention projections carry biases).
     q_flat = x @ lp["q"] + lp["q_bias"]
@@ -697,8 +782,8 @@ def _layer_forward(
     if config.qk_norm_full:
         # OLMo-2: RMSNorm over the whole flat projection, pre-reshape
         # (q_norm(q_proj(x)) — Olmo2Attention.forward).
-        q_flat = _rms_norm(q_flat, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
-        k_flat = _rms_norm(k_flat, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+        q_flat = _norm(config, q_flat, lp["q_norm"])
+        k_flat = _norm(config, k_flat, lp["k_norm"])
     q = q_flat.reshape(s, n_q, d).transpose(1, 0, 2)
     k = k_flat.reshape(s, n_kv, d).transpose(1, 0, 2)
     v = (x @ lp["v"] + lp["v_bias"]).reshape(s, n_kv, d).transpose(1, 0, 2)
@@ -706,12 +791,18 @@ def _layer_forward(
     if config.qk_norm:
         # Qwen3/Gemma3: per-head RMSNorm over head_dim on Q and K, BEFORE
         # RoPE (q_norm(q_proj(x).view(...))). Gemma-family norms carry the
-        # (1 + w) offset.
-        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
-        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+        # (1 + w) offset. Cohere's QK-norm is a per-head LayerNorm with
+        # PER-HEAD weights (heads, head_dim) — align them with the
+        # (heads, S, head_dim) layout.
+        qw, kw = lp["q_norm"], lp["k_norm"]
+        if qw.ndim == 2:
+            qw, kw = qw[:, None, :], kw[:, None, :]
+        q = _norm(config, q, qw)
+        k = _norm(config, k, kw)
 
-    q = _apply_rope(q, cos, sin)
-    k = _apply_rope(k, cos, sin)  # cache holds post-RoPE keys, like HF
+    q = _apply_rope(q, cos, sin, config.rope_interleaved)
+    # cache holds post-RoPE keys, like HF
+    k = _apply_rope(k, cos, sin, config.rope_interleaved)
 
     k_att, v_att = (k, v) if kv_join is None else kv_join(k, v)
 
@@ -733,29 +824,27 @@ def _layer_forward(
     attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
-    if config.sandwich_norms or config.norm_after_only:
+    if config.parallel_residual:
+        # Cohere wiring: the MLP reads the SAME input-norm output the
+        # attention did, and both sublayers sum into the residual together
+        # (CohereDecoderLayer — no post-attention norm exists).
+        h = h + attn_out + _ffn(config, x, lp, act)
+    elif config.sandwich_norms or config.norm_after_only:
         # Gemma2 wiring: post-attention norm on the attention OUTPUT, then
         # pre/post-feedforward norms around the MLP (Gemma2DecoderLayer).
         # OLMo-2 is the same minus the pre-FFN norm (the MLP reads the
         # raw residual stream — Olmo2DecoderLayer).
-        h = h + _rms_norm(
-            attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
-        )
+        h = h + _norm(config, attn_out, lp["post_norm"])
         x = (
             h
             if config.norm_after_only
-            else _rms_norm(
-                h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
-            )
+            else _norm(config, h, lp["pre_ffn_norm"])
         )
-        h = h + _rms_norm(
-            _ffn(config, x, lp, act), lp["post_ffn_norm"],
-            config.rms_norm_eps, config.norm_offset,
-        )
+        h = h + _norm(config, _ffn(config, x, lp, act), lp["post_ffn_norm"])
     else:
         rm = config.residual_multiplier
         h = h + (attn_out if rm == 1.0 else attn_out * rm)
-        x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
+        x = _norm(config, h, lp["post_norm"])
         ffn_out = _ffn(config, x, lp, act)
         h = h + (ffn_out if rm == 1.0 else ffn_out * rm)
     return h, (k, v)
@@ -785,6 +874,18 @@ def _scanned_layers(config: LlamaConfig, params: dict) -> dict:
             ] * config.num_hidden_layers
         layers = dict(layers)
         layers["rope_local"] = jnp.asarray(local_flags, dtype=jnp.int32)
+    if config.rope_skip_full_layers:
+        # Cohere2 NoPE: rope applies only on sliding-window layers; full
+        # layers skip it (flag > 0 = skip). A uniform stack (layer_windows
+        # None) either ropes everywhere (uniform window) or nowhere.
+        if config.layer_windows is not None:
+            skip_flags = [0 if w else 1 for w in config.layer_windows]
+        else:
+            skip_flags = [
+                0 if config.sliding_window is not None else 1
+            ] * config.num_hidden_layers
+        layers = dict(layers)
+        layers["rope_skip"] = jnp.asarray(skip_flags, dtype=jnp.int32)
     return layers
 
 
@@ -807,7 +908,7 @@ def llama_prefill_kv(config: LlamaConfig, params: dict, input_ids: jax.Array):
         inv_freq = jnp.asarray(_rope_frequencies(config, theta))
         pos = jnp.arange(s, dtype=jnp.float32)
         angles = pos[:, None] * inv_freq[None, :]  # (S, D/2)
-        angles = jnp.concatenate([angles, angles], axis=-1)  # (S, D)
+        angles = _duplicate_angles(config, angles)  # (S, D)
         # YaRN's attention factor rides the cos/sin tables (HF convention);
         # 1.0 for every non-yarn family. Local-theta tables (Gemma3) are
         # built from an unscaled config, so the factor applies only here.
@@ -883,7 +984,7 @@ def llama_prefill_kv_sp(
             inv_freq = jnp.asarray(_rope_frequencies(config, theta))
             pos = (row0 + jnp.arange(local_s)).astype(jnp.float32)
             angles = pos[:, None] * inv_freq[None, :]
-            angles = jnp.concatenate([angles, angles], axis=-1)
+            angles = _duplicate_angles(config, angles)
             sc = jnp.float32(
                 config.attention_scaling if theta is None else 1.0
             )
@@ -987,7 +1088,7 @@ def llama_prefill_kv_pp(
             inv_freq = jnp.asarray(_rope_frequencies(config, theta))
             pos = (row0 + jnp.arange(chunk)).astype(jnp.float32)
             angles = pos[:, None] * inv_freq[None, :]
-            angles = jnp.concatenate([angles, angles], axis=-1)
+            angles = _duplicate_angles(config, angles)
             sc = jnp.float32(
                 config.attention_scaling if theta is None else 1.0
             )
@@ -1103,27 +1204,31 @@ def _layer_decode(
         use_local = lp["rope_local"] > 0
         cos = jnp.where(use_local, cos_local, cos)
         sin = jnp.where(use_local, sin_local, sin)
+    if "rope_skip" in lp:
+        # Cohere2 NoPE: full-attention layers skip rope (identity tables).
+        skip = lp["rope_skip"] > 0
+        cos = jnp.where(skip, jnp.ones_like(cos), cos)
+        sin = jnp.where(skip, jnp.zeros_like(sin), sin)
 
-    x = (
-        h
-        if config.norm_after_only
-        else _rms_norm(h, lp["input_norm"], config.rms_norm_eps, config.norm_offset)
-    )
+    x = h if config.norm_after_only else _norm(config, h, lp["input_norm"])
     q_flat = x @ lp["q"] + lp["q_bias"]
     k_flat = x @ lp["k"] + lp["k_bias"]
     if config.qk_norm_full:
-        q_flat = _rms_norm(q_flat, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
-        k_flat = _rms_norm(k_flat, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+        q_flat = _norm(config, q_flat, lp["q_norm"])
+        k_flat = _norm(config, k_flat, lp["k_norm"])
     q = q_flat.reshape(1, n_q, d).transpose(1, 0, 2)
     k = k_flat.reshape(1, n_kv, d).transpose(1, 0, 2)
     v = (x @ lp["v"] + lp["v_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
 
     if config.qk_norm:
-        q = _rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_offset)
-        k = _rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_offset)
+        qw, kw = lp["q_norm"], lp["k_norm"]
+        if qw.ndim == 2:  # Cohere per-head weights (heads, head_dim)
+            qw, kw = qw[:, None, :], kw[:, None, :]
+        q = _norm(config, q, qw)
+        k = _norm(config, k, kw)
 
-    q = _apply_rope(q, cos, sin)
-    k = _apply_rope(k, cos, sin)
+    q = _apply_rope(q, cos, sin, config.rope_interleaved)
+    k = _apply_rope(k, cos, sin, config.rope_interleaved)
 
     k_full = jnp.concatenate([cache_k, k], axis=1)  # (n_kv, S+1, D)
     v_full = jnp.concatenate([cache_v, v], axis=1)
@@ -1194,25 +1299,22 @@ def _layer_decode(
     attn_out = attn @ lp["o"] + lp["o_bias"]
 
     act = _mlp_act(config.hidden_act)
-    if config.sandwich_norms or config.norm_after_only:
-        h = h + _rms_norm(
-            attn_out, lp["post_norm"], config.rms_norm_eps, config.norm_offset
-        )
+    if config.parallel_residual:
+        # Cohere: MLP reads the same input-norm output attention did; the
+        # FFN-input capture (x) is exactly that tensor.
+        h = h + attn_out + _ffn(config, x, lp, act)
+    elif config.sandwich_norms or config.norm_after_only:
+        h = h + _norm(config, attn_out, lp["post_norm"])
         x = (
             h
             if config.norm_after_only
-            else _rms_norm(
-                h, lp["pre_ffn_norm"], config.rms_norm_eps, config.norm_offset
-            )
+            else _norm(config, h, lp["pre_ffn_norm"])
         )
-        h = h + _rms_norm(
-            _ffn(config, x, lp, act), lp["post_ffn_norm"],
-            config.rms_norm_eps, config.norm_offset,
-        )
+        h = h + _norm(config, _ffn(config, x, lp, act), lp["post_ffn_norm"])
     else:
         rm = config.residual_multiplier
         h = h + (attn_out if rm == 1.0 else attn_out * rm)
-        x = _rms_norm(h, lp["post_norm"], config.rms_norm_eps, config.norm_offset)
+        x = _norm(config, h, lp["post_norm"])
         ffn_out = _ffn(config, x, lp, act)
         h = h + (ffn_out if rm == 1.0 else ffn_out * rm)
     return h, (k, v, entropy, sink_mass, x)
@@ -1273,7 +1375,7 @@ def llama_decode_step(
     def rope_row(theta=None):
         inv_freq = jnp.asarray(_rope_frequencies(config, theta))
         angles = position.astype(jnp.float32) * inv_freq  # (D/2,)
-        angles = jnp.concatenate([angles, angles])[None, :]  # (1, D)
+        angles = _duplicate_angles(config, angles)[None, :]  # (1, D)
         sc = jnp.float32(config.attention_scaling if theta is None else 1.0)
         return (
             (jnp.cos(angles) * sc).astype(h.dtype),
@@ -1464,9 +1566,10 @@ def load_llama_params(
             *bias_keys,
             # norm_after_only (OLMo-2) has no input norm at all — omit the
             # leaf (the forward's if/else never reads it), same lazy
-            # pattern as pre_ffn_norm.
+            # pattern as pre_ffn_norm. parallel_residual (Cohere) has no
+            # post-attention norm — its block has exactly one norm.
             *(() if config.norm_after_only else ("input_norm",)),
-            "post_norm",
+            *(() if config.parallel_residual else ("post_norm",)),
         )
     }
     if moe:
@@ -1593,7 +1696,10 @@ def load_llama_params(
             layers["input_norm"].append(
                 arr(f"{prefix}.input_layernorm.weight")
             )
-        layers["post_norm"].append(arr(f"{prefix}.post_attention_layernorm.weight"))
+        if not config.parallel_residual:
+            layers["post_norm"].append(
+                arr(f"{prefix}.post_attention_layernorm.weight")
+            )
         if config.qk_norm or config.qk_norm_full:
             layers.setdefault("q_norm", []).append(
                 arr(f"{prefix}.self_attn.q_norm.weight")
@@ -1679,13 +1785,25 @@ def init_random_llama(
         ):
             layers[bk] = w(n_l, dim)
     if config.qk_norm:
-        layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
-        layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
+        if config.layernorm:
+            # Cohere's QK-norm weights are PER-HEAD (heads, head_dim) —
+            # random-ish so a transposed/misbroadcast mapping can't hide.
+            layers["q_norm"] = jnp.asarray(
+                1.0 + rng.randn(n_l, n_q, d) * 0.05, dtype=dtype
+            )
+            layers["k_norm"] = jnp.asarray(
+                1.0 + rng.randn(n_l, n_kv, d) * 0.05, dtype=dtype
+            )
+        else:
+            layers["q_norm"] = jnp.ones((n_l, d), dtype=dtype)
+            layers["k_norm"] = jnp.ones((n_l, d), dtype=dtype)
     if config.qk_norm_full:
         layers["q_norm"] = jnp.ones((n_l, n_q * d), dtype=dtype)
         layers["k_norm"] = jnp.ones((n_l, n_kv * d), dtype=dtype)
     if config.norm_after_only:
         del layers["input_norm"]  # no input norm exists; forward skips it
+    if config.parallel_residual:
+        del layers["post_norm"]  # Cohere blocks have ONE norm; forward skips
     if config.sandwich_norms:
         layers["pre_ffn_norm"] = jnp.ones((n_l, h), dtype=dtype)
     if config.sandwich_norms or config.norm_after_only:
@@ -1785,9 +1903,17 @@ def shard_llama_params(
     # GSPMD inserts the cross-shard reduction (TP parity asserted by
     # test_olmo2_tp_prefill_parity); a shard_map rewrite must keep that
     # collective.
+    # Cohere's per-head QK-norm weights (L, heads, head_dim) are the one
+    # exception: each head normalizes within its own head_dim with its own
+    # weight row, so the weight splits cleanly along the same head axis as
+    # its projection — no cross-shard reduction exists to preserve.
     for extra in ("q_norm", "k_norm", "pre_ffn_norm", "post_ffn_norm"):
         if extra in lp:
-            specs[extra] = P(None, None)
+            specs[extra] = (
+                P(None, axis, None)
+                if getattr(lp[extra], "ndim", 2) == 3
+                else P(None, None)
+            )
     sharded = {k: put(v, specs[k]) for k, v in lp.items()}
     return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
 

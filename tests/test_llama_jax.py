@@ -841,6 +841,19 @@ _DECODE_CONFIGS = {
         head_dim=4, norm_offset=True, rope_local_theta=1000.0,
         layer_windows=(4, None, 4),
     ),
+    "cohereish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, layernorm=True, parallel_residual=True,
+        rope_interleaved=True, qk_norm=True, rms_norm_eps=1e-5,
+    ),
+    "cohere2ish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, layernorm=True, parallel_residual=True,
+        rope_interleaved=True, rope_skip_full_layers=True,
+        layer_windows=(4, None, 4), rms_norm_eps=1e-5,
+    ),
 }
 
 
@@ -1760,6 +1773,135 @@ def test_kv_parity_with_hf_granite(tmp_path):
     np.testing.assert_allclose(np.asarray(v_fill), np.asarray(v_ref), atol=1e-4)
 
 
+def test_kv_parity_with_hf_cohere(tmp_path):
+    """Cohere (command-r): mean-centered LayerNorm everywhere (not RMS),
+    PARALLEL attention+MLP residual off one input norm, interleaved rope
+    (even/odd lane pairs), per-head LayerNorm QK-norm with per-head
+    weights, and biased attention projections — four operators no other
+    family uses, all feeding layer 1+'s KV through layer 0's output."""
+    cfg = transformers.CohereConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_qk_norm=True, attention_bias=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = transformers.CohereForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        # QK-norm weights init to ones — randomize so a transposed or
+        # misbroadcast per-head weight mapping cannot hide.
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.layernorm and config.parallel_residual
+    assert config.rope_interleaved and config.qk_norm
+    assert params["layers"]["q_norm"].shape == (3, 4, 8)
+    assert "post_norm" not in params["layers"]
+
+    ids = np.array([3, 17, 42, 9, 9, 57, 33, 5, 21, 60], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(_hf_kv_layers(out.past_key_values)):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_kv_parity_with_hf_cohere2(tmp_path):
+    """Cohere2 (command-r7b): cohere's block plus the sliding/full layer
+    pattern where full-attention layers get NO rope at all (NoPE) —
+    Cohere2Attention gates apply_rotary_pos_emb on the layer's window."""
+    cfg = transformers.Cohere2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=4,
+        sliding_window_pattern=2, attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    model = transformers.Cohere2ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.layer_windows == (4, None, 4, None)
+    assert config.rope_skip_full_layers
+
+    ids = np.array([3, 17, 42, 9, 9, 57, 33, 5, 21, 60], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+
+    # The NoPE gate must bite: roping the full layers too would shift
+    # their keys (probed: max diff ~0.3 without the skip).
+    no_skip = LlamaConfig(
+        **{**config.__dict__, "rope_skip_full_layers": False}
+    )
+    keys_roped, _ = llama_prefill_kv(no_skip, params, jnp.asarray(ids))
+    assert not np.allclose(
+        np.asarray(keys[1]), np.asarray(keys_roped[1]), atol=1e-3
+    )
+
+    # HF's sliding-window cache retains only the window tail; compare the
+    # kept rows (same convention as the Mistral sliding-window test).
+    for layer_idx, (hf_k, hf_v) in enumerate(_hf_kv_layers(out.past_key_values)):
+        hf_k = hf_k.squeeze(0).float().numpy()
+        hf_v = hf_v.squeeze(0).float().numpy()
+        kept = hf_k.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx])[:, -kept:], hf_k,
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx])[:, -kept:], hf_v,
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_cohere_tp_prefill_parity(tmp_path):
+    """Cohere under tensor parallelism: the per-head QK-norm weights
+    (heads, head_dim) shard along the SAME head axis as their projections
+    (each head normalizes within itself — no cross-shard reduction), and
+    the parallel-residual block must still sum both sublayers once."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cfg = transformers.CohereConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_qk_norm=True,
+    )
+    torch.manual_seed(29)
+    model = transformers.CohereForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+
+    ids = jnp.asarray(np.array([5, 3, 8, 1, 2, 77], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_llama_params(params, mesh)
+    assert sharded["layers"]["q_norm"].shape == (2, 4, 8)
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
 _FAMILY_SMOKE_DICTS = {
     "llama": {},
     "mistral": {"sliding_window": 6},
@@ -1785,6 +1927,8 @@ _FAMILY_SMOKE_DICTS = {
     "olmo2": {},
     "granite": {"embedding_multiplier": 4.0, "attention_multiplier": 0.2,
                 "residual_multiplier": 0.5},
+    "cohere": {"use_qk_norm": True, "layer_norm_eps": 1e-5},
+    "cohere2": {"sliding_window": 6, "sliding_window_pattern": 2},
 }
 
 
@@ -1793,7 +1937,7 @@ def test_family_config_prefill_decode_rollout_smoke(model_type):
     """Every supported family's config round-trips from_hf_dict ->
     init_random_llama -> prefill -> rollout, and the rollout refills
     exactly the rows prefill computed — one guard over the shared
-    forward/decode code paths for all 15 architectures (DeepSeek MLA
+    forward/decode code paths for all 17 architectures (DeepSeek MLA
     lives in models/mla_jax.py with its own suite)."""
     from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
 
