@@ -77,6 +77,12 @@ class LlamaConfig:
     # all — Cohere2Attention applies rope only when the layer has a
     # sliding window; full layers are position-blind.
     rope_skip_full_layers: bool = False
+    # Partial rotary (GLM/GLM-4 partial_rotary_factor 0.5, Phi-3 small
+    # variants): rope rotates only the FIRST rotary_dim lanes of each
+    # head; the rest pass through untouched. None = full head_dim. The
+    # rotated block pairs lanes per rope_interleaved (GLM interleaves,
+    # Phi-3 concatenates halves).
+    rotary_dim: int | None = None
     # Gemma2 extensions
     attn_scale: float | None = None  # None -> rsqrt(head_dim); Gemma2 uses
     #                                  query_pre_attn_scalar ** -0.5
@@ -248,7 +254,7 @@ class LlamaConfig:
     _SUPPORTED_MODEL_TYPES = {
         None, "llama", "mistral", "qwen2", "qwen2_moe", "qwen3",
         "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3", "mixtral",
-        "gpt_oss", "olmo2", "granite", "cohere", "cohere2",
+        "gpt_oss", "olmo2", "granite", "cohere", "cohere2", "glm", "glm4",
     }
 
     @classmethod
@@ -259,7 +265,7 @@ class LlamaConfig:
                 f"model_type {model_type!r} is not supported (have: "
                 f"llama, mistral, mixtral, qwen2, qwen2_moe, qwen3, "
                 f"qwen3_moe, gemma, gemma2, gemma3_text, phi3, gpt_oss, "
-                f"olmo2, granite, cohere, cohere2)"
+                f"olmo2, granite, cohere, cohere2, glm, glm4)"
             )
         if model_type in ("qwen3_moe", "qwen2_moe") and (
             d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1
@@ -269,10 +275,6 @@ class LlamaConfig:
             raise NotImplementedError(
                 f"{model_type} with mlp_only_layers or decoder_sparse_step "
                 f"!= 1 (mixed dense/MoE layers) is not supported"
-            )
-        if model_type == "phi3" and d.get("partial_rotary_factor", 1.0) != 1.0:
-            raise NotImplementedError(
-                "phi3 partial rotary embeddings are not supported"
             )
         if model_type == "gemma3_text" and d.get("use_bidirectional_attention"):
             raise NotImplementedError(
@@ -297,6 +299,13 @@ class LlamaConfig:
         sliding_window, layer_windows = cls._resolve_windows(d)
         gemma_like = model_type in ("gemma", "gemma2", "gemma3_text")
         cohere_like = model_type in ("cohere", "cohere2")
+        glm_like = model_type in ("glm", "glm4")
+        head_dim = d.get("head_dim") or d["hidden_size"] // num_heads
+        # Partial rotary: GLM-family configs default the factor to 0.5
+        # (GlmConfig/Glm4Config); Phi-3 small variants ship < 1.0. A
+        # factor of 1.0 is plain full-dim rope.
+        partial = d.get("partial_rotary_factor", 0.5 if glm_like else 1.0)
+        rotary_dim = int(head_dim * partial) if partial != 1.0 else None
         if model_type in ("gemma2", "gemma3_text"):
             # Gemma2/3 MLP reads hidden_activation (their config default).
             hidden_act = d.get("hidden_activation", "gelu_pytorch_tanh")
@@ -328,7 +337,8 @@ class LlamaConfig:
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=num_heads,
             num_key_value_heads=d.get("num_key_value_heads", num_heads),
-            head_dim=d.get("head_dim") or d["hidden_size"] // num_heads,
+            head_dim=head_dim,
+            rotary_dim=rotary_dim,
             # Defaults mirror HF LlamaConfig: a config.json that omits these
             # (Llama-2-era checkpoints) must get HF's values, not Llama-3's.
             rope_theta=d.get("rope_theta", 10000.0),
@@ -354,7 +364,9 @@ class LlamaConfig:
             norm_after_only=model_type == "olmo2",
             layernorm=cohere_like,
             parallel_residual=cohere_like,
-            rope_interleaved=cohere_like,
+            # GLM's rotate-half pairs even/odd lanes like Cohere's (HF
+            # modeling_glm rotate_half: x[..., 0::2] / x[..., 1::2]).
+            rope_interleaved=cohere_like or glm_like,
             rope_skip_full_layers=model_type == "cohere2",
             embedding_multiplier=(
                 d.get("embedding_multiplier", 1.0)
@@ -372,7 +384,10 @@ class LlamaConfig:
                 if model_type == "gemma2"
                 else None
             ),
-            sandwich_norms=model_type in ("gemma2", "gemma3_text"),
+            # GLM-4 wires gemma2's sandwich: extra norms on the attention
+            # and MLP OUTPUTS before their residual adds
+            # (Glm4DecoderLayer.post_self_attn/post_mlp_layernorm).
+            sandwich_norms=model_type in ("gemma2", "gemma3_text", "glm4"),
             rope_local_theta=(
                 d.get("rope_local_base_freq", 10000.0)
                 if model_type == "gemma3_text"
@@ -443,7 +458,11 @@ def _rope_frequencies(
     the GLOBAL table only, matching HF: Gemma3's rotary_emb_local is built
     from a config copy with rope_scaling stripped).
     """
-    d = config.head_dim
+    # Partial rotary (GLM, Phi-3 small): frequencies span only the
+    # rotated block — HF's ROPE_INIT computes dim = head_dim *
+    # partial_rotary_factor, so the table is (S, rotary_dim) and
+    # _apply_rope passes the remaining lanes through.
+    d = config.rotary_dim or config.head_dim
     base = config.rope_theta if theta is None else theta
     inv_freq = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
     if theta is None and config.rope_linear_factor is not None:
@@ -506,18 +525,28 @@ def _apply_rope(
 ) -> jax.Array:
     """HF-style rotate-half RoPE. x: (heads, S, D); cos/sin: (S, D).
 
-    ``interleaved`` is Cohere's convention: lanes pair as (2i, 2i+1)
-    instead of (i, i + D/2), so rotate-half swaps even/odd lanes (and the
-    cos/sin tables repeat each angle twice — ``_duplicate_angles``).
+    ``interleaved`` is the Cohere/GLM convention: lanes pair as
+    (2i, 2i+1) instead of (i, i + D/2), so rotate-half swaps even/odd
+    lanes (and the cos/sin tables repeat each angle twice —
+    ``_duplicate_angles``).
+
+    Partial rotary (GLM, Phi-3 small): when the tables are narrower than
+    the head, only the FIRST cos.shape[-1] lanes rotate; the tail passes
+    through unchanged (HF apply_rotary_pos_emb's q_rot/q_pass split).
     """
+    rd = cos.shape[-1]
+    xr = x if rd == x.shape[-1] else x[..., :rd]
     if interleaved:
-        x1, x2 = x[..., 0::2], x[..., 1::2]
-        rotated = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        rotated = jnp.stack([-x2, x1], axis=-1).reshape(xr.shape)
     else:
-        d2 = x.shape[-1] // 2
-        x1, x2 = x[..., :d2], x[..., d2:]
+        d2 = rd // 2
+        x1, x2 = xr[..., :d2], xr[..., d2:]
         rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return x * cos[None, :, :] + rotated * sin[None, :, :]
+    out = xr * cos[None, :, :] + rotated * sin[None, :, :]
+    if rd == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
 
 def _duplicate_angles(config: LlamaConfig, angles: jax.Array) -> jax.Array:
@@ -1604,12 +1633,15 @@ def load_llama_params(
         fused_gate_up = f"{prefix}.mlp.gate_up_proj.weight"
         split_cols: dict[str, np.ndarray] = {}
         if fused_qkv in names:
-            # Phi-3-family fused projections: qkv_proj columns are q|k|v,
-            # gate_up_proj columns are gate|up (HF Phi3Attention/Phi3MLP).
+            # Phi-3 fused attention projection: qkv_proj columns are q|k|v
+            # (HF Phi3Attention).
             qkv = arr(fused_qkv, transpose=True)
             split_cols["q"] = qkv[:, :n_q_cols]
             split_cols["k"] = qkv[:, n_q_cols : n_q_cols + n_kv_cols]
             split_cols["v"] = qkv[:, n_q_cols + n_kv_cols :]
+        if fused_gate_up in names and not moe:
+            # Fused MLP projection, columns gate|up — Phi-3 AND the GLM
+            # family (GlmMLP/Glm4MLP chunk(2): first half gates).
             gate_up = arr(fused_gate_up, transpose=True)
             split_cols["gate"] = gate_up[:, : config.intermediate_size]
             split_cols["up"] = gate_up[:, config.intermediate_size :]
@@ -1696,9 +1728,17 @@ def load_llama_params(
             layers["input_norm"].append(
                 arr(f"{prefix}.input_layernorm.weight")
             )
+        # GLM-4 serializes gemma2's sandwich under different names:
+        # post_self_attn_layernorm is the attention-output norm (our
+        # post_norm role), post_attention_layernorm the pre-FFN norm, and
+        # post_mlp_layernorm the FFN-output norm — presence-keyed so
+        # gemma2 checkpoints (pre/post_feedforward_layernorm) read theirs.
+        glm4_post = f"{prefix}.post_self_attn_layernorm.weight"
         if not config.parallel_residual:
             layers["post_norm"].append(
-                arr(f"{prefix}.post_attention_layernorm.weight")
+                arr(glm4_post)
+                if glm4_post in names
+                else arr(f"{prefix}.post_attention_layernorm.weight")
             )
         if config.qk_norm or config.qk_norm_full:
             layers.setdefault("q_norm", []).append(
@@ -1709,11 +1749,15 @@ def load_llama_params(
             )
         if config.sandwich_norms:
             layers.setdefault("pre_ffn_norm", []).append(
-                arr(f"{prefix}.pre_feedforward_layernorm.weight")
+                arr(f"{prefix}.post_attention_layernorm.weight")
+                if glm4_post in names
+                else arr(f"{prefix}.pre_feedforward_layernorm.weight")
             )
         if config.sandwich_norms or config.norm_after_only:
             layers.setdefault("post_ffn_norm", []).append(
-                arr(f"{prefix}.post_feedforward_layernorm.weight")
+                arr(f"{prefix}.post_mlp_layernorm.weight")
+                if glm4_post in names
+                else arr(f"{prefix}.post_feedforward_layernorm.weight")
             )
 
     params = {

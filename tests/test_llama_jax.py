@@ -854,6 +854,12 @@ _DECODE_CONFIGS = {
         rope_interleaved=True, rope_skip_full_layers=True,
         layer_windows=(4, None, 4), rms_norm_eps=1e-5,
     ),
+    "glm4ish": LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=4, rotary_dim=2, rope_interleaved=True,
+        sandwich_norms=True,
+    ),
 }
 
 
@@ -1867,6 +1873,126 @@ def test_kv_parity_with_hf_cohere2(tmp_path):
         )
 
 
+def test_kv_parity_with_hf_glm(tmp_path):
+    """GLM (glm-4 9B lineage): PARTIAL rotary — only the first
+    head_dim * partial_rotary_factor lanes rotate, interleaved
+    (even/odd) lane pairing, the rest pass through — plus a fused
+    gate_up MLP projection and biased q/k/v with an unbiased o."""
+    cfg = transformers.GlmConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, head_dim=8, pad_token_id=0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    model = transformers.GlmForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        # HF zero-inits attention biases; randomize so the glm bias path
+        # (biased q/k/v, unbiased o — GlmConfig attention_bias=True)
+        # actually bites in the comparison.
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.bias.normal_(std=0.05)
+            layer.self_attn.k_proj.bias.normal_(std=0.05)
+            layer.self_attn.v_proj.bias.normal_(std=0.05)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.rotary_dim == 4 and config.rope_interleaved
+    assert not config.sandwich_norms
+    assert float(np.abs(np.asarray(params["layers"]["k_bias"])).max()) > 0
+
+    ids = np.array([3, 17, 42, 9, 9, 57, 33, 5, 21, 60], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(_hf_kv_layers(out.past_key_values)):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_kv_parity_with_hf_glm4(tmp_path):
+    """GLM-4: glm's partial interleaved rotary plus gemma2's sandwich
+    wiring under DIFFERENT checkpoint names — post_self_attn_layernorm
+    norms the attention output before its residual add,
+    post_attention_layernorm is the pre-FFN norm, post_mlp_layernorm the
+    FFN-output norm (Glm4DecoderLayer)."""
+    cfg = transformers.Glm4Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, head_dim=8, pad_token_id=0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(17)
+    model = transformers.Glm4ForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        # All four norm families init to ones — randomize so a swapped
+        # sandwich-norm name mapping cannot hide.
+        for layer in model.model.layers:
+            layer.post_self_attn_layernorm.weight.normal_(mean=1.0, std=0.3)
+            layer.post_attention_layernorm.weight.normal_(mean=1.0, std=0.3)
+            layer.post_mlp_layernorm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.sandwich_norms and config.rotary_dim == 4
+
+    ids = np.array([3, 17, 42, 9, 9, 57, 33, 5, 21, 60], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(_hf_kv_layers(out.past_key_values)):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_kv_parity_with_hf_phi3_partial_rotary(tmp_path):
+    """Phi-3 with partial_rotary_factor < 1 (the phi-3-small layout):
+    the first rotary_dim lanes rotate with CONCATENATED-halves pairing
+    (unlike GLM's interleave), the tail passes through — previously an
+    explicitly-rejected configuration."""
+    cfg = transformers.Phi3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, partial_rotary_factor=0.5,
+        pad_token_id=0, attn_implementation="eager",
+    )
+    torch.manual_seed(19)
+    model = transformers.Phi3ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.rotary_dim == 4 and not config.rope_interleaved
+
+    ids = np.array([3, 17, 42, 9, 9, 57, 33, 5, 21, 60], dtype=np.int32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids)[None].long(), use_cache=True)
+    keys, values = llama_prefill_kv(config, params, jnp.asarray(ids))
+    for layer_idx, (hf_k, hf_v) in enumerate(_hf_kv_layers(out.past_key_values)):
+        np.testing.assert_allclose(
+            np.asarray(keys[layer_idx]), hf_k.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(values[layer_idx]), hf_v.squeeze(0).float().numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
 def test_cohere_tp_prefill_parity(tmp_path):
     """Cohere under tensor parallelism: the per-head QK-norm weights
     (heads, head_dim) shard along the SAME head axis as their projections
@@ -1929,6 +2055,8 @@ _FAMILY_SMOKE_DICTS = {
                 "residual_multiplier": 0.5},
     "cohere": {"use_qk_norm": True, "layer_norm_eps": 1e-5},
     "cohere2": {"sliding_window": 6, "sliding_window_pattern": 2},
+    "glm": {"partial_rotary_factor": 0.5},
+    "glm4": {"partial_rotary_factor": 0.5},
 }
 
 
@@ -1937,7 +2065,7 @@ def test_family_config_prefill_decode_rollout_smoke(model_type):
     """Every supported family's config round-trips from_hf_dict ->
     init_random_llama -> prefill -> rollout, and the rollout refills
     exactly the rows prefill computed — one guard over the shared
-    forward/decode code paths for all 17 architectures (DeepSeek MLA
+    forward/decode code paths for all 19 architectures (DeepSeek MLA
     lives in models/mla_jax.py with its own suite)."""
     from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
 
