@@ -1951,13 +1951,20 @@ def shard_llama_params(
     # exception: each head normalizes within its own head_dim with its own
     # weight row, so the weight splits cleanly along the same head axis as
     # its projection — no cross-shard reduction exists to preserve.
+    # A NamedSharding requires the head count to divide the mesh axis size;
+    # when it doesn't (tp > n_kv_heads, or non-divisor), fall back to
+    # replication — the norm is tiny and GSPMD still computes it correctly
+    # against the head-sharded activations.
+    ax_size = int(mesh.shape[axis]) if axis is not None else 1
     for extra in ("q_norm", "k_norm", "pre_ffn_norm", "post_ffn_norm"):
         if extra in lp:
-            specs[extra] = (
-                P(None, axis, None)
-                if getattr(lp[extra], "ndim", 2) == 3
-                else P(None, None)
-            )
+            if getattr(lp[extra], "ndim", 2) == 3:
+                heads = int(lp[extra].shape[1])
+                specs[extra] = (
+                    P(None, axis, None) if heads % ax_size == 0 else P(None, None, None)
+                )
+            else:
+                specs[extra] = P(None, None)
     sharded = {k: put(v, specs[k]) for k, v in lp.items()}
     return {"embed": put(params["embed"], P(None, None)), "layers": sharded}
 

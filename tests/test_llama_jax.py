@@ -2028,6 +2028,88 @@ def test_cohere_tp_prefill_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
 
 
+def test_cohere_tp_nondividing_kv_heads_falls_back_to_replication(tmp_path):
+    """Per-head QK-norm weights shard along the head axis ONLY when the mesh
+    axis divides the head count; otherwise NamedSharding placement would
+    fail outright, so shard_llama_params must fall back to replicating the
+    (tiny) norm while the projections stay sharded — and parity must hold."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cfg = transformers.CohereConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_qk_norm=True,
+    )
+    torch.manual_seed(31)
+    model = transformers.CohereForCausalLM(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.3)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.3)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+
+    ids = jnp.asarray(np.array([5, 3, 8, 1, 2, 77], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    # tp=4 divides q_norm's 4 heads but NOT k_norm's 2 kv-heads.
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sharded = shard_llama_params(params, mesh)
+    qspec = sharded["layers"]["q_norm"].sharding.spec
+    kspec = sharded["layers"]["k_norm"].sharding.spec
+    assert qspec[1] == "tp" and kspec[1] is None
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["glm", "glm4"])
+def test_glm_tp_prefill_parity(family, tmp_path):
+    """GLM/GLM-4 under tensor parallelism: partial interleaved rotary is
+    head-local (each head rotates its own first rotary_dim lanes), so the
+    Megatron head split must be exact — and for glm4 the sandwich norms
+    (full-hidden RMSNorms on the all-reduced sublayer outputs) must see the
+    complete activation, not a shard."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.models.llama_jax import shard_llama_params
+
+    cls_cfg, cls_model = (
+        (transformers.GlmConfig, transformers.GlmForCausalLM)
+        if family == "glm"
+        else (transformers.Glm4Config, transformers.Glm4ForCausalLM)
+    )
+    cfg = cls_cfg(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, head_dim=8, pad_token_id=0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(37)
+    model = cls_model(cfg)
+    model.eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.bias.normal_(std=0.05)
+            layer.self_attn.k_proj.bias.normal_(std=0.05)
+            layer.self_attn.v_proj.bias.normal_(std=0.05)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    config, params = load_llama_params(tmp_path, dtype=jnp.float32)
+    assert config.rotary_dim == 4 and config.rope_interleaved
+
+    ids = jnp.asarray(np.array([3, 17, 42, 9, 9, 57], np.int32))
+    k_ref, v_ref = llama_prefill_kv(config, params, ids)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_llama_params(params, mesh)
+    k_tp, v_tp = llama_prefill_kv(config, sharded, ids)
+    np.testing.assert_allclose(np.asarray(k_tp), np.asarray(k_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_ref), atol=1e-4)
+
+
 _FAMILY_SMOKE_DICTS = {
     "llama": {},
     "mistral": {"sliding_window": 6},
