@@ -85,6 +85,12 @@ from nerf_attention_tpu.ops.siren_attention_pallas import (
     siren_attention_decode,
     siren_attention_decode_fused,
 )
+from nerf_attention_tpu.ops.siren_quant_pallas import (
+    pack_resident_params,
+    resident_param_bytes,
+    siren_attention_decode_quant,
+    siren_decode_batch_quant,
+)
 from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
 from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
@@ -139,6 +145,10 @@ __all__ = [
     "siren_decode_batch",
     "siren_attention_decode",
     "siren_attention_decode_fused",
+    "siren_attention_decode_quant",
+    "siren_decode_batch_quant",
+    "pack_resident_params",
+    "resident_param_bytes",
     "llama_decode_rollout",
     "llama_decode_step",
     "llama_prefill_kv",

@@ -1,0 +1,172 @@
+"""Quantized-resident fused kernels vs the host-dequant plain kernels.
+
+The quant kernels (`ops/siren_quant_pallas.py`) ship bit-packed int codes
+as the HBM operands and dequantize in VMEM with the exact
+`ops/quantize.py` grid (fp16-valued fp32 scales), so against the plain
+kernels running on host-dequantized params the outputs must agree to fp32
+op-order noise — the dequantized weight matrices are bit-identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_attention_tpu.models.siren import init_siren
+from nerf_attention_tpu.ops.quantize import param_bytes, quantize_params
+from nerf_attention_tpu.ops.siren_pallas import siren_decode_batch
+from nerf_attention_tpu.ops.siren_quant_pallas import (
+    pack_resident_params,
+    resident_param_bytes,
+    siren_attention_decode_quant,
+    siren_decode_batch_quant,
+)
+from nerf_attention_tpu.types import SIRENConfig
+
+SCHEMES = ["int8_g32", "int6_g64", "int4_g128", "int4_g32", "int8_g32_l0fp32"]
+
+
+def _batched_params(n, config, out_features, seed=3):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    return jax.vmap(lambda k: init_siren(k, config, out_features))(keys)
+
+
+def _host_dequant(params, scheme):
+    """Per-network quantize_params dequant, restacked — the at-rest oracle."""
+    n = params[0][0].shape[0]
+    dq_nets = [
+        quantize_params(
+            [(np.asarray(w)[i], np.asarray(b)[i]) for w, b in params], scheme
+        )[1]
+        for i in range(n)
+    ]
+    return [
+        (
+            jnp.stack([dq_nets[i][li][0] for i in range(n)]),
+            jnp.stack([dq_nets[i][li][1] for i in range(n)]),
+        )
+        for li in range(len(params))
+    ]
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_quant_decode_matches_host_dequant(scheme):
+    config = SIRENConfig(128, 2, 30.0, "small")
+    params = _batched_params(3, config, 64)
+    want = np.asarray(
+        siren_decode_batch(_host_dequant(params, scheme), 30.0, 300, interpret=True)
+    )
+    got = np.asarray(
+        siren_decode_batch_quant(params, scheme, 30.0, 300, interpret=True)
+    )
+    assert got.shape == want.shape == (3, 300, 64)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_quant_decode_fm_l0fp32():
+    """The shipped FM storage scheme (int8_g32_l0fp32): FM multipliers in
+    the kernel, first layer fp32 master by construction."""
+    config = SIRENConfig(64, 2, 30.0, "t64")
+    params = _batched_params(2, config, 32, seed=9)
+    scheme = "int8_g32_l0fp32"
+    want = np.asarray(
+        siren_decode_batch(
+            _host_dequant(params, scheme), 30.0, 256, interpret=True, fm_mult=32.0
+        )
+    )
+    got = np.asarray(
+        siren_decode_batch_quant(
+            params, scheme, 30.0, 256, interpret=True, fm_mult=32.0
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # l0fp32 really keeps the fp32 master on layer 0
+    ops, layout = pack_resident_params(params, scheme)
+    assert layout[0][0] == "dense"
+    np.testing.assert_array_equal(np.asarray(ops[0]), np.asarray(params[0][0]))
+
+
+def test_resident_bytes_shrink_with_bits():
+    """Resident HBM bytes follow the bit width; int4 beats fp32 ~6-8x on
+    the weight-dominated layers and the codes byte count is exact."""
+    config = SIRENConfig(256, 3, 30.0, "medium")
+    params = _batched_params(2, config, 128)
+    fp32_bytes = sum(
+        int(np.prod(w.shape)) * 4 + int(np.prod(b.shape)) * 4 for w, b in params
+    )
+    sizes = {}
+    for scheme in ("int8_g32", "int6_g64", "int4_g128"):
+        ops, layout = pack_resident_params(params, scheme)
+        sizes[scheme] = resident_param_bytes(ops)
+        # at-rest vs resident: resident adds only the fp32-vs-fp16 scale
+        # and bias width (and fp32 layer 0), never more than 2x the stored
+        # accounting and far under fp32.
+        stored = sum(
+            param_bytes(
+                [(np.asarray(w)[i], np.asarray(b)[i]) for w, b in params], scheme
+            )
+            for i in range(2)
+        )
+        assert sizes[scheme] < 2 * stored
+    assert sizes["int4_g128"] < sizes["int6_g64"] < sizes["int8_g32"]
+    assert sizes["int4_g128"] * 6 < fp32_bytes
+    assert sizes["int8_g32"] * 3 < fp32_bytes
+
+    # Packed code planes really carry bits/8 bytes per weight element.
+    ops4, layout4 = pack_resident_params(params, "int4_g128")
+    hidden_codes = ops4[2]  # layer 1: first op is the packed plane
+    assert layout4[1][0] == "int4"
+    assert hidden_codes.dtype == jnp.int8
+    assert hidden_codes.shape == (2, 128, 256)  # 256 rows -> 128 packed
+
+
+def test_quant_attention_matches_host_dequant():
+    from nerf_attention_tpu.ops.siren_attention_pallas import (
+        siren_attention_decode_fused,
+    )
+
+    config = SIRENConfig(64, 2, 30.0, "t64")
+    n, d, t, s = 2, 32, 8, 300
+    keys = jax.random.split(jax.random.PRNGKey(21), 6)
+    k_params = _batched_params(n, config, d, seed=4)
+    v_params = _batched_params(n, config, d, seed=5)
+    k_mean = jax.random.normal(keys[0], (n, 1, d)) * 0.3
+    v_mean = jax.random.normal(keys[1], (n, 1, d)) * 0.3
+    k_std = jnp.abs(k_mean) + 0.7
+    v_std = jnp.abs(v_mean) + 0.5
+    q = jax.random.normal(keys[2], (n, t, d)) * 0.8
+
+    scheme = "int6_g64"
+    want = np.asarray(
+        siren_attention_decode_fused(
+            _host_dequant(k_params, scheme), _host_dequant(v_params, scheme),
+            k_mean, k_std, v_mean, v_std, q, 30.0, s,
+            tile=128, interpret=True, sin_impl="fast",
+        )
+    )
+    got = np.asarray(
+        siren_attention_decode_quant(
+            k_params, v_params, k_mean, k_std, v_mean, v_std, q,
+            scheme, 30.0, s, tile=128, interpret=True, sin_impl="fast",
+        )
+    )
+    assert got.shape == want.shape == (n, t, d)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_quant_decode_reuses_prepacked_payload():
+    """`packed=` short-circuits packing — serving keeps payloads packed
+    across steps; result identical to packing in-call."""
+    config = SIRENConfig(64, 1, 30.0, "tiny")
+    params = _batched_params(2, config, 16)
+    packed = pack_resident_params(params, "int4_g32")
+    a = np.asarray(
+        siren_decode_batch_quant(
+            params, "int4_g32", 30.0, 128, interpret=True, packed=packed
+        )
+    )
+    b = np.asarray(
+        siren_decode_batch_quant(params, "int4_g32", 30.0, 128, interpret=True)
+    )
+    np.testing.assert_array_equal(a, b)

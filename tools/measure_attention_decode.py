@@ -54,6 +54,13 @@ def main() -> None:
         "--ladder", type=str, default=None,
         help="comma-separated seq_len override (smoke tests)",
     )
+    parser.add_argument(
+        "--quant_schemes", type=str, default="int8_g32,int6_g64,int4_g128",
+        help="comma-separated quantized-RESIDENT fused legs ('' disables): "
+        "the kernel's HBM operands are the bit-packed payloads "
+        "(ops/siren_quant_pallas.py), so param_bytes_resident is the "
+        "on-device footprint, not the at-rest one",
+    )
     args = parser.parse_args()
     ladder = [int(x) for x in args.ladder.split(",")] if args.ladder else LADDER
 
@@ -132,25 +139,81 @@ def main() -> None:
         ]
         return replicate_stats(deltas)
 
+    schemes = [s for s in args.quant_schemes.split(",") if s]
+    packed = {}
+    if schemes:
+        from nerf_attention_tpu.ops.siren_quant_pallas import (
+            pack_resident_params,
+            resident_param_bytes,
+            siren_attention_decode_quant,
+        )
+
+        for sch in schemes:
+            packed[sch] = (
+                pack_resident_params(k_params, sch),
+                pack_resident_params(v_params, sch),
+            )
+
+    def time_quant(sch, seq_len, reps):
+        """Dependent-loop timer for the quantized-resident fused kernel.
+
+        The perturbation rides the final-layer bias operand (always dq
+        fp32 in the packed layout) of both nets plus the query block, so
+        the pallas_call cannot be hoisted out of the timing loop.
+        """
+        (k_ops, k_layout), (v_ops, v_layout) = packed[sch]
+
+        @jax.jit
+        def run(ko, vo, qq, n_iter):
+            def body(_, carry):
+                (ko, vo, qv), acc = carry
+                out = siren_attention_decode_quant(
+                    None, None, k_mean, k_std, v_mean, v_std, qv, sch,
+                    omega, seq_len, sin_impl=args.sin_impl, causal=False,
+                    packed=((ko, k_layout), (vo, v_layout)),
+                )
+                delta = jnp.mean(out).astype(jnp.float32) * 1e-30
+                ko2 = tuple(ko[:-1]) + (ko[-1] + delta,)
+                vo2 = tuple(vo[:-1]) + (vo[-1] + delta,)
+                return ((ko2, vo2, qv + delta), acc + delta)
+
+            return jax.lax.fori_loop(
+                0, n_iter, body, ((ko, vo, qq), jnp.float32(0.0))
+            )[1]
+
+        deltas = [
+            v * 1e3
+            for v in _per_iter_samples(
+                run, tuple(k_ops), tuple(v_ops), q,
+                reps=reps, samples=args.samples,
+            )
+        ]
+        return replicate_stats(deltas)
+
     omega = float(config.omega_0)
     rows = []
     parity = None
+    quant_parity = {}
     for seq_len in ladder:
         t0 = time.perf_counter()
 
         def fused(kp, vp, qq, _s=seq_len):
             return siren_attention_decode_fused(
                 kp, vp, k_mean, k_std, v_mean, v_std, qq, omega, _s,
-                sin_impl=args.sin_impl, causal=False,
+                sin_impl=args.sin_impl, causal=False, interpret=not _on_tpu(),
             )
 
         def twopass(kp, vp, qq, _s=seq_len):
             k_hat = (
-                siren_decode_batch(kp, omega, _s, sin_impl=args.sin_impl)
+                siren_decode_batch(
+                    kp, omega, _s, sin_impl=args.sin_impl, interpret=not _on_tpu()
+                )
                 * k_std + k_mean
             )
             v_hat = (
-                siren_decode_batch(vp, omega, _s, sin_impl=args.sin_impl)
+                siren_decode_batch(
+                    vp, omega, _s, sin_impl=args.sin_impl, interpret=not _on_tpu()
+                )
                 * v_std + v_mean
             )
             allowed = jnp.ones((t, _s), bool)
@@ -185,6 +248,63 @@ def main() -> None:
         fused_ms = time_variant(fused, operands, reps)
         twopass_ms = time_variant(twopass, operands, reps)
         cache_ms = time_variant(cache_attn, operands, reps, extras=(k_cache, v_cache))
+        quant_rows = {}
+        for sch in schemes:
+            if sch not in quant_parity:
+                # parity vs the plain fused kernel on host-dequantized nets:
+                # the same dequantized fp32 weights, so agreement is fp32
+                # op-order noise.
+                from nerf_attention_tpu.ops.quantize import quantize_params
+
+                def _dq(params, _sch=sch):
+                    n_nets = params[0][0].shape[0]
+                    per = [
+                        quantize_params(
+                            [(np.asarray(w)[i], np.asarray(b)[i]) for w, b in params],
+                            _sch,
+                        )[1]
+                        for i in range(n_nets)
+                    ]
+                    return [
+                        (
+                            jnp.stack([per[i][li][0] for i in range(n_nets)]),
+                            jnp.stack([per[i][li][1] for i in range(n_nets)]),
+                        )
+                        for li in range(len(params))
+                    ]
+
+                a = np.asarray(
+                    siren_attention_decode_quant(
+                        None, None, k_mean, k_std, v_mean, v_std, q, sch,
+                        omega, seq_len, sin_impl=args.sin_impl, causal=False,
+                        packed=packed[sch],
+                    )
+                )
+                b = np.asarray(
+                    siren_attention_decode_fused(
+                        _dq(k_params), _dq(v_params), k_mean, k_std, v_mean,
+                        v_std, q, omega, seq_len, sin_impl=args.sin_impl,
+                        causal=False, interpret=not _on_tpu(),
+                    )
+                )
+                quant_parity[sch] = {
+                    "seq_len": seq_len,
+                    "max_abs_err": float(np.abs(a - b).max()),
+                }
+                log(f"  parity quant[{sch}]-vs-fused-dequant @S={seq_len}: "
+                    f"max {quant_parity[sch]['max_abs_err']:.2e}")
+            q_ms = time_quant(sch, seq_len, reps)
+            quant_rows[sch] = {
+                "ms": q_ms,
+                "param_bytes_resident": resident_param_bytes(
+                    packed[sch][0][0]
+                ) + resident_param_bytes(packed[sch][1][0]),
+                "over_fp32_fused": q_ms["median"] / max(fused_ms["median"], 1e-12),
+            }
+            log(f"  S={seq_len}: quant[{sch}] {q_ms['median']:.4f}ms "
+                f"[{q_ms['q25']:.4f},{q_ms['q75']:.4f}]  "
+                f"resident {quant_rows[sch]['param_bytes_resident']/1024:.0f} KiB "
+                f"({quant_rows[sch]['over_fp32_fused']:.2f}x fp32-fused)")
         kv_bytes = 2 * n * seq_len * d * 4
         row = {
             "seq_len": seq_len,
@@ -197,6 +317,7 @@ def main() -> None:
             "kv_bytes_fp32": kv_bytes,
             "param_bytes_fp32": param_bytes,
             "compression": kv_bytes / max(param_bytes, 1),
+            "quant_resident": quant_rows,
         }
         rows.append(row)
         log(
@@ -219,6 +340,8 @@ def main() -> None:
         "sin_impl": args.sin_impl,
         "samples_per_point": args.samples,
         "parity_fused_vs_twopass": parity,
+        "parity_quant_vs_fused_dequant": quant_parity,
+        "quant_schemes": schemes,
         "ladder": rows,
     }
     with open(out_dir / "attention_decode.json", "w") as f:
