@@ -98,6 +98,7 @@ from nerf_attention_tpu.serve_plan import (
     build_plan,
     build_tiered_plan,
     fit_reprice,
+    latent_units_from_json,
     law_cost,
     recommend_probes,
     reprice_units,
@@ -176,6 +177,7 @@ __all__ = [
     "build_plan",
     "apply_layer_windows",
     "build_tiered_plan",
+    "latent_units_from_json",
     "measure_model_entropy",
     "law_cost",
     "fit_reprice",

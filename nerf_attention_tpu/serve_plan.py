@@ -217,6 +217,60 @@ def tiered_units_from_policy_json(
     return units
 
 
+def latent_units_from_json(
+    data: dict, schemes: list[str] | None = None
+) -> list[dict]:
+    """Plan units for an MLA LATENT cache (round 5).
+
+    DeepSeek-style Multi-head Latent Attention stores one latent per
+    (layer, token) shared by every head, so the serving unit is the
+    LAYER, and the measured winner on that surface is the quantized-
+    latent ladder, not SIREN fits (`tools/mla_latent_study.py`,
+    FINDINGS "MLA"): the tiers here are quantization schemes of the
+    latent tensor itself. ``data`` is a ``mla_latent_units.json`` the
+    study emits — per-layer mean attention entropy, fp16 round-trip
+    proxy, and per-scheme measured SOLO costs (1 − output cosine with
+    only that layer's latent quantized, vs the exact-latent decode).
+    ``schemes`` restricts the tier menu. Feed the result to
+    ``build_tiered_plan`` unchanged.
+    """
+    if not data.get("mla_latent"):
+        raise ValueError(
+            "not an MLA latent-units artifact (missing mla_latent: true) — "
+            "produced by tools/mla_latent_study.py"
+        )
+    units = []
+    for u in data["units"]:
+        options = u["options"]
+        if schemes is not None:
+            have = {o["scheme"] for o in options}
+            missing = [s for s in schemes if s not in have]
+            if missing:
+                raise ValueError(
+                    f"schemes {missing} not in the latent artifact's tiers "
+                    f"({sorted(have)})"
+                )
+            options = [o for o in options if o["scheme"] in schemes]
+        units.append(
+            {
+                "layer": int(u["layer"]),
+                "kv_head": int(u.get("kv_head", 0)),
+                "entropy_nats": float(u["entropy_nats"]),
+                "proxy": float(u["proxy"]),
+                "raw_bytes": int(u["raw_bytes"]),
+                "options": [
+                    {
+                        "scheme": o["scheme"],
+                        "cost": max(float(o["cost"]), 0.0),
+                        "stored_bytes": int(o["stored_bytes"]),
+                    }
+                    for o in options
+                ],
+            }
+        )
+    return units
+
+
 def apply_layer_windows(
     units: list[dict], layer_windows: list[int | None], seq_len: int
 ) -> list[dict]:
@@ -747,6 +801,13 @@ def main(argv: list[str] | None = None) -> None:
         help="fit_results.json — costs PREDICTED via the two-factor law "
         "(requires --entropy_json)",
     )
+    src.add_argument(
+        "--latent_json", type=str, default=None,
+        help="mla_latent_units.json (tools/mla_latent_study.py) — MLA "
+        "latent cache: per-LAYER units tiered over the quantized-latent "
+        "ladder with measured solo costs (always a tiered plan; --scheme "
+        "takes a comma-separated tier subset)",
+    )
     parser.add_argument(
         "--entropy_json", type=str, default=None,
         help="measured per-(layer, kv-head) attention entropies: "
@@ -813,16 +874,30 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = parser.parse_args(argv)
 
-    if (args.policy_json is None) == (args.fits is None):
-        parser.error("pass exactly one of --policy_json / --fits")
+    n_sources = sum(
+        x is not None for x in (args.policy_json, args.fits, args.latent_json)
+    )
+    if n_sources != 1:
+        parser.error(
+            "pass exactly one of --policy_json / --fits / --latent_json"
+        )
     if args.fits is not None and args.entropy_json is None:
         parser.error("--fits mode requires --entropy_json")
-    if args.policy_json is not None and (
+    if args.fits is None and (
         args.entropy_json is not None or args.law_json is not None
     ):
         parser.error(
             "--entropy_json/--law_json only apply in --fits mode; "
-            "--policy_json plans use the artifact's measured solo costs"
+            "measured-cost plans use the artifact's own solo costs"
+        )
+    if args.latent_json is not None and (
+        args.tiered or args.layer_windows is not None
+        or args.recommend_probes is not None or args.reprice_probes is not None
+    ):
+        parser.error(
+            "--latent_json plans are always tiered over the latent "
+            "quantization ladder; --tiered/--layer_windows/probe flags "
+            "don't apply (MLA latents are full-attention, per-layer units)"
         )
 
     if args.tiered and args.policy_json is None:
@@ -843,7 +918,20 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     reprice_model = None
-    if args.policy_json is not None:
+    if args.latent_json is not None:
+        with open(args.latent_json) as f:
+            data = json.load(f)
+        subset = (
+            [s.strip() for s in args.scheme.split(",") if s.strip()]
+            if args.scheme
+            else None
+        )
+        units = latent_units_from_json(data, schemes=subset)
+        print(
+            f"MLA latent plan: {len(units)} per-layer latent units, tiers "
+            f"{sorted({o['scheme'] for u in units for o in u['options']})}"
+        )
+    elif args.policy_json is not None:
         with open(args.policy_json) as f:
             data = json.load(f)
         if args.tiered:
@@ -953,7 +1041,7 @@ def main(argv: list[str] | None = None) -> None:
         if lw:
             windows = [int(w) or None for w in lw]
             print("Layer windows read from the policy artifact")
-    else:
+    elif args.fits is not None:
         # measure-entropy records the checkpoint's window layer map.
         lw = ent_meta.get("layer_windows")
         if lw and any(lw):
@@ -979,10 +1067,22 @@ def main(argv: list[str] | None = None) -> None:
             f"units (S={seq_len})"
         )
 
-    builder = build_tiered_plan if args.tiered else build_plan
+    builder = (
+        build_tiered_plan
+        if (args.tiered or args.latent_json is not None)
+        else build_plan
+    )
     plan = builder(
         units, cost_target=args.cost_target, safety=args.safety
     )
+    if args.latent_json is not None:
+        plan["mla_latent"] = True
+        plan["caveats"].append(
+            "MLA latent tiers: costs are per-layer solo quantization "
+            "decodes; composed plans measured additive in the study's "
+            "executed leg (tiered_plan_validation_latent, "
+            "tools/mla_latent_study.py)"
+        )
     if reprice_model is not None:
         plan["reprice_model"] = reprice_model
         if reprice_model["rms_log_residual"] > REPRICE_RESIDUAL_WARN:

@@ -78,3 +78,38 @@ def test_mla_latent_study_cli(tmp_path):
     mat = res["strategies"]["materialized"][0]["stored_bytes_per_layer"]
     lat = res["strategies"]["latent"][0]["stored_bytes_per_layer"]
     assert mat > 3 * lat
+
+    # --- round-5 planner surface: per-layer latent units + executed plan ---
+    units = res["latent_units"]
+    assert len(units) == 2  # --layers 2
+    for u in units:
+        assert u["raw_bytes"] == res["raw_latent_fp16_bytes_per_layer"]
+        assert {o["scheme"] for o in u["options"]} == {
+            "fp16", "int8", "int4_g32"
+        }
+        for o in u["options"]:
+            assert o["cost"] >= 0 and o["stored_bytes"] > 0
+            assert -1.0 <= o["latent_cosine"] <= 1.0
+    assert len(res["layer_entropy_nats"]) == 2
+    for v in res["tiered_plan_validation_latent"]:
+        assert v["measured_cost"] >= 0
+        # executed composed plan stays within an order of magnitude of the
+        # solo-cost sum whenever anything was served
+        if v["n_served"] and v["predicted_cost"] > 1e-5:
+            assert 0.05 <= v["measured_over_predicted"] <= 20.0
+
+    # the units artifact round-trips through serve-plan --latent_json
+    units_path = tmp_path / "mla_latent_units.json"
+    assert units_path.exists()
+    from nerf_attention_tpu.serve_plan import main as serve_plan_main
+
+    plan_path = tmp_path / "latent_plan.json"
+    serve_plan_main(
+        [
+            "--latent_json", str(units_path),
+            "--cost_target", "0.05", "--out", str(plan_path),
+        ]
+    )
+    plan = json.loads(plan_path.read_text())
+    assert plan["mla_latent"] is True
+    assert plan["n_units"] == 2

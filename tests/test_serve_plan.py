@@ -792,3 +792,105 @@ def test_cli_fits_mode_windows_from_entropy_json(tmp_path, capsys):
     assert by[(1, 0)]["raw_bytes"] == full_raw
     assert by[(0, 0)]["raw_bytes"] == round(full_raw * 128 / 2048)
     assert by[(0, 0)]["window_rows"] == 128
+
+
+# --- MLA latent mode (round 5) ---------------------------------------------
+
+from nerf_attention_tpu.serve_plan import latent_units_from_json  # noqa: E402
+
+
+def _latent_artifact():
+    """Synthetic mla_latent_units.json: 3 layers, 3-tier ladder where
+    deeper layers quantize more cheaply (lower cost), and fp16 never
+    saves bytes (stored == raw — the baseline tier)."""
+    raw = 32768
+    units = []
+    for layer in range(3):
+        units.append(
+            {
+                "layer": layer,
+                "kv_head": 0,
+                "entropy_nats": 3.0 + layer,
+                "proxy": 0.9999,
+                "raw_bytes": raw,
+                "options": [
+                    {"scheme": "fp16", "cost": 1e-6, "stored_bytes": raw},
+                    {
+                        "scheme": "int8_g32",
+                        "cost": 1e-4 / (layer + 1),
+                        "stored_bytes": raw // 4,
+                    },
+                    {
+                        "scheme": "int4_g64",
+                        "cost": 2e-3 / (layer + 1),
+                        "stored_bytes": raw // 8,
+                    },
+                ],
+            }
+        )
+    return {
+        "mla_latent": True,
+        "model": {"num_hidden_layers": 3, "latent_dim": 32, "seq_len": 512},
+        "raw_latent_fp16_bytes_per_layer": raw,
+        "units": units,
+    }
+
+
+def test_latent_units_feed_tiered_plan():
+    units = latent_units_from_json(_latent_artifact())
+    assert [u["layer"] for u in units] == [0, 1, 2]
+    plan = build_tiered_plan(units, cost_target=0.01)
+    # every layer serves (int tiers save bytes at tiny cost); with spare
+    # budget the upgrade phase buys int4 where the cost allows
+    assert plan["n_served"] == 3
+    served_schemes = {r["scheme"] for r in plan["plan"] if r["serve"]}
+    assert served_schemes <= {"int8_g32", "int4_g64"}
+    assert plan["net_bytes_saved"] > 0
+
+    # scheme subset restricts the tier menu
+    only8 = latent_units_from_json(_latent_artifact(), schemes=["int8_g32"])
+    plan8 = build_tiered_plan(only8, cost_target=0.01)
+    assert {r["scheme"] for r in plan8["plan"] if r["serve"]} == {"int8_g32"}
+
+    with pytest.raises(ValueError):
+        latent_units_from_json(_latent_artifact(), schemes=["int2_g64"])
+    with pytest.raises(ValueError):
+        latent_units_from_json({"units": []})  # missing the marker
+
+
+def test_cli_latent_mode(tmp_path):
+    art = tmp_path / "mla_latent_units.json"
+    art.write_text(json.dumps(_latent_artifact()))
+    out = tmp_path / "plan.json"
+    main(
+        [
+            "--latent_json", str(art),
+            "--cost_target", "0.01", "--out", str(out),
+        ]
+    )
+    plan = json.loads(out.read_text())
+    assert plan["tiered"] is True and plan["mla_latent"] is True
+    assert plan["n_served"] == 3
+    assert all("scheme" in r for r in plan["plan"])
+    assert any("latent tiers" in c.lower() for c in plan["caveats"])
+
+    # --scheme subsets tiers in latent mode too
+    main(
+        [
+            "--latent_json", str(art), "--scheme", "fp16,int8_g32",
+            "--cost_target", "0.01", "--out", str(out),
+        ]
+    )
+    sub = json.loads(out.read_text())
+    assert {r["scheme"] for r in sub["plan"] if r["serve"]} == {"int8_g32"}
+
+    # conflicting flags are rejected loudly
+    for extra in (
+        ["--tiered"],
+        ["--layer_windows", "128"],
+        ["--recommend_probes", "2"],
+        ["--policy_json", "x.json"],
+        ["--entropy_json", "y.json"],
+    ):
+        with pytest.raises(SystemExit):
+            main(["--latent_json", str(art), *extra])

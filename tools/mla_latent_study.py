@@ -177,6 +177,133 @@ def run_study(
                 f"output {cos:.6f}"
             )
 
+    # --- the serving-planner surface: per-LAYER latent units (round 5) ---
+    # The quantized-latent ladder wins on this architecture (measured
+    # below/r4), so the planner's MLA tiers are the ladder, not SIREN
+    # fits. Each layer's latent is the unit an operator stores/evicts
+    # independently; its SOLO cost is measured by decoding with only that
+    # layer's latent quantized. The emitted ``mla_latent_units.json`` is
+    # the ``serve-plan --latent_json`` input schema.
+    from nerf_attention_tpu.serve_plan import build_tiered_plan
+
+    @jax.jit
+    def decode_mat_ent(p, toks, pos, k_c, v_c):
+        _, _, ent = jax.vmap(
+            lambda t, q: mla_decode_step(config, p, t, q, k_c, v_c),
+            in_axes=(0, 0),
+        )(toks, pos)
+        return ent  # (n_queries, L, H)
+
+    ent_layer = np.asarray(
+        decode_mat_ent(params, tokens, positions, keys, values)
+    ).mean(axis=(0, 2))  # (L,) mean attention entropy per layer, nats
+
+    lat_quant = {}  # scheme -> (L, S, dl) dequantized-latent view
+    lat_cos = {}
+    for scheme in latent_schemes:
+        lq = np.stack(
+            [quantize_array(lat_np[l], scheme, axis=1)[1] for l in range(n_l)]
+        )
+        lat_quant[scheme] = lq
+        num = np.sum(lq * lat_np, axis=(1, 2))
+        den = np.maximum(
+            np.linalg.norm(lq, axis=(1, 2)) * np.linalg.norm(lat_np, axis=(1, 2)),
+            1e-12,
+        )
+        lat_cos[scheme] = num / den  # (L,) latent round-trip cosine
+
+    h_true_lat = decode_lat(params, tokens, positions, jnp.asarray(lat_np))
+
+    def lat_out_cos(lat_c) -> float:
+        h_hat = decode_lat(params, tokens, positions, jnp.asarray(lat_c))
+        num = np.sum(np.asarray(h_hat) * np.asarray(h_true_lat), -1)
+        den = np.maximum(
+            np.linalg.norm(np.asarray(h_hat), axis=-1)
+            * np.linalg.norm(np.asarray(h_true_lat), axis=-1),
+            1e-12,
+        )
+        return float((num / den).mean())
+
+    MIN_COST = 1e-6
+    solo_cost = {
+        scheme: np.empty(n_l) for scheme in latent_schemes
+    }
+    for scheme in latent_schemes:
+        for l in range(n_l):
+            solo = lat_np.copy()
+            solo[l] = lat_quant[scheme][l]
+            solo_cost[scheme][l] = max(1.0 - lat_out_cos(solo), MIN_COST)
+
+    latent_units = [
+        {
+            "layer": l,
+            "kv_head": 0,  # the latent is shared by every head
+            "entropy_nats": float(ent_layer[l]),
+            # proxy slot (the law's fit-quality axis): the fp16 round-trip
+            # cosine — the latent surface is lossless at the fp16 bar.
+            "proxy": float(lat_cos[latent_schemes[0]][l]),
+            "raw_bytes": int(raw_lat_bytes),
+            "options": [
+                {
+                    "scheme": scheme,
+                    "cost": float(solo_cost[scheme][l]),
+                    "stored_bytes": int(tensor_bytes((s, dl), scheme, axis=1)),
+                    "latent_cosine": float(lat_cos[scheme][l]),
+                }
+                for scheme in latent_schemes
+            ],
+        }
+        for l in range(n_l)
+    ]
+    units_artifact = {
+        "mla_latent": True,
+        "model": {
+            "num_hidden_layers": n_l,
+            "latent_dim": dl,
+            "seq_len": s,
+            "n_queries": n_queries,
+            "seed": seed,
+        },
+        "raw_latent_fp16_bytes_per_layer": int(raw_lat_bytes),
+        "units": latent_units,
+    }
+    with open(output_dir / "mla_latent_units.json", "w") as f:
+        json.dump(units_artifact, f, indent=2)
+
+    # Execute the tiered plan: every layer at its planned tier AT ONCE —
+    # the cross-layer additivity measurement the per-layer solos assume.
+    tiered_validation = []
+    for target in (0.001, 0.01):
+        plan = build_tiered_plan(latent_units, cost_target=target)
+        composed = lat_np.copy()
+        for row in plan["plan"]:
+            if row["serve"]:
+                composed[row["layer"]] = lat_quant[row["scheme"]][row["layer"]]
+        measured = max(1.0 - lat_out_cos(composed), 0.0)
+        tiered_validation.append(
+            {
+                "cost_target": target,
+                "n_served": plan["n_served"],
+                "schemes_served": sorted(
+                    {r["scheme"] for r in plan["plan"] if r["serve"]}
+                ),
+                "predicted_cost": plan["predicted_cost_at_cut"],
+                "measured_cost": measured,
+                "measured_over_predicted": measured
+                / max(plan["predicted_cost_at_cut"], MIN_COST),
+                "stored_bytes_served": plan["stored_bytes_served"],
+                "net_bytes_saved": plan["net_bytes_saved"],
+            }
+        )
+        if verbose:
+            v = tiered_validation[-1]
+            print(
+                f"  latent tiered@{target:g}: served {v['n_served']}/{n_l} "
+                f"{v['schemes_served']} pred {v['predicted_cost']:.2e} "
+                f"measured {v['measured_cost']:.2e} "
+                f"(x{v['measured_over_predicted']:.2f})"
+            )
+
     # --- SIREN strategies across the config registry ---
     strategies: dict[str, list] = {"materialized": [], "latent": []}
     targets_k = np.asarray(keys).reshape(n_l * n_h, s, dk)
@@ -260,6 +387,9 @@ def run_study(
         "raw_materialized_fp16_bytes_per_layer": raw_mat_bytes,
         "raw_latent_fp16_bytes_per_layer": raw_lat_bytes,
         "baselines": baselines,
+        "latent_units": latent_units,
+        "layer_entropy_nats": [float(e) for e in ent_layer],
+        "tiered_plan_validation_latent": tiered_validation,
         "strategies": strategies,
         "wall_seconds": time.perf_counter() - t0,
     }
