@@ -239,6 +239,19 @@ def main() -> None:
         "rows and skip net-negative units",
     )
     parser.add_argument(
+        "--hp_softcap", type=float, default=None,
+        help="head_policy: gemma2-style attention logit soft-capping "
+        "(logits -> cap * tanh(logits / cap)) on the hermetic model — "
+        "stresses the entropy law where the logit range it is computed "
+        "from is compressed",
+    )
+    parser.add_argument(
+        "--hp_nope", action="store_true",
+        help="head_policy: cohere2-style NoPE — full-attention layers get "
+        "NO rope (with --hp_window the sliding layers keep it, the "
+        "command-r7b pattern; alone, every layer is position-blind)",
+    )
+    parser.add_argument(
         "--hp_seed", type=int, default=0,
         help="head_policy: model init / gain-shuffle / fit seed (the "
         "3-seed replication in benchmarks/r4/head_policy uses 0, 1, 2)",
@@ -478,6 +491,8 @@ def main() -> None:
             sink_lo=args.hp_sink_offsets[0],
             sink_hi=args.hp_sink_offsets[1],
             sliding_window=args.hp_window,
+            attn_logit_softcap=args.hp_softcap,
+            nope=args.hp_nope,
             seed=args.hp_seed,
             schemes=(
                 tuple(s.strip() for s in args.schemes.split(",") if s.strip())

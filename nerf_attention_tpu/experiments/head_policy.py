@@ -331,6 +331,8 @@ def run_head_policy_experiment(
     sink_lo: float = -4.0,
     sink_hi: float = 18.0,
     sliding_window: int | None = None,
+    attn_logit_softcap: float | None = None,
+    nope: bool = False,
     schemes: tuple[str, ...] = ("int8_g32_l0fp32",),
     qat_epochs: int = 300,
     budget_points: int = 8,
@@ -387,6 +389,13 @@ def run_head_policy_experiment(
         if sliding_window
         else None
     )
+    # Round-5 stress axes (VERDICT #4): `attn_logit_softcap` compresses the
+    # logit range the entropies are computed from (gemma2's cap*tanh(x/cap)
+    # — does the (1-proxy)*e^-H law survive a squashed-H axis?); `nope`
+    # turns FULL-attention layers position-blind (cohere2's
+    # rope_skip_full_layers — with --hp_window, sliding layers keep rope,
+    # the true command-r7b pattern; without, every layer is NoPE), changing
+    # what position structure the SIRENs can exploit.
     config = LlamaConfig(
         vocab_size=512,
         hidden_size=hidden_size,
@@ -399,6 +408,8 @@ def run_head_policy_experiment(
         moe_style=moe_style,
         attn_sinks=attn_sinks,
         layer_windows=layer_windows,
+        attn_logit_softcap=attn_logit_softcap,
+        rope_skip_full_layers=nope,
     )
     n_l, n_kv, d, s = num_layers, num_kv_heads, head_dim, seq_len
     n_units = n_l * n_kv
@@ -967,6 +978,8 @@ def run_head_policy_experiment(
             "num_local_experts": num_local_experts,
             "moe_style": moe_style if num_local_experts else None,
             "attn_sinks": attn_sinks,
+            "attn_logit_softcap": attn_logit_softcap,
+            "nope": nope,
             "layer_windows": (
                 [w or 0 for w in layer_windows] if layer_windows else None
             ),

@@ -491,3 +491,45 @@ def test_run_head_policy_experiment_tiny_windows(tmp_path: Path):
         assert row["n_skipped_net_negative"] == expect_skipped
         assert row["n_served"] <= 4 - expect_skipped
         assert row["net_bytes_saved"] >= 0  # skip rule guarantees this
+
+
+def test_run_head_policy_softcap_and_nope(tmp_path: Path):
+    """Round-5 stress axes: gemma2-style logit softcap and cohere2-style
+    NoPE thread through to the hermetic model (metadata recorded, the
+    flags measurably change the decode), and the sweep still completes
+    with valid units under both."""
+    common = dict(
+        seq_len=48, n_queries=4, epochs=10, config_name="tiny",
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        hidden_size=64, intermediate_size=128, schemes=("fp16",),
+        budget_points=2, n_random=1, seed=0, verbose=False,
+    )
+    base = run_head_policy_experiment(tmp_path / "base", **common)
+    soft = run_head_policy_experiment(
+        tmp_path / "soft", attn_logit_softcap=5.0, **common
+    )
+    assert soft["model"]["attn_logit_softcap"] == 5.0
+    # a tight cap squashes the gained heads' logits -> entropies rise
+    # relative to the uncapped model somewhere in the grid
+    e_base = np.array([u["entropy_nats"] for u in base["units"]])
+    e_soft = np.array([u["entropy_nats"] for u in soft["units"]])
+    assert not np.allclose(e_base, e_soft)
+    assert e_soft.mean() > e_base.mean()
+    for u in soft["units"]:
+        assert 0.0 <= u["solo_cost"] <= 2.0
+
+    nope = run_head_policy_experiment(
+        tmp_path / "nope", nope=True, sliding_window=8, **common
+    )
+    assert nope["model"]["nope"] is True
+    assert nope["model"]["layer_windows"] == [8, 0]
+    # NoPE really removes rope on the full layer: its K slice differs
+    # from the roped baseline's while geometry matches
+    w_nope = run_head_policy_experiment(
+        tmp_path / "w", nope=False, sliding_window=8, **common
+    )
+    e_np = np.array([u["entropy_nats"] for u in nope["units"]])
+    e_w = np.array([u["entropy_nats"] for u in w_nope["units"]])
+    assert not np.allclose(e_np, e_w)
+    for u in nope["units"]:
+        assert 0.0 <= u["solo_cost"] <= 2.0
