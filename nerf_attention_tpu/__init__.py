@@ -90,6 +90,7 @@ from nerf_attention_tpu.ops.siren_quant_pallas import (
     resident_param_bytes,
     siren_attention_decode_quant,
     siren_decode_batch_quant,
+    siren_decode_batch_quant_sharded,
 )
 from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
 from nerf_attention_tpu.measure_entropy import measure_model_entropy
@@ -148,6 +149,7 @@ __all__ = [
     "siren_attention_decode_fused",
     "siren_attention_decode_quant",
     "siren_decode_batch_quant",
+    "siren_decode_batch_quant_sharded",
     "pack_resident_params",
     "resident_param_bytes",
     "llama_decode_rollout",

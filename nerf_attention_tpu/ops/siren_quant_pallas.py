@@ -370,6 +370,55 @@ def siren_decode_batch_quant(
     )
 
 
+def siren_decode_batch_quant_sharded(
+    params,
+    scheme: str,
+    omega: float,
+    seq_len: int,
+    mesh,
+    axis: str = "fit",
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+    sin_impl: str = "exact",
+    fm_mult: float | None = None,
+    packed=None,
+):
+    """Quantized-resident batched decode with the network axis over a mesh.
+
+    The serving scale-out of `siren_decode_batch_quant`: every packed
+    operand carries a leading network axis (codes planes, scales, biases
+    alike), so the whole payload shards with zero collectives — each
+    device holds only its shard's PACKED bytes, keeping the resident-HBM
+    win per chip. N must divide the mesh size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
+
+    if packed is None:
+        packed = pack_resident_params(params, scheme)
+    ops, layout = packed
+    n = int(ops[0].shape[0])
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        raise ValueError(f"network count {n} not divisible by mesh size {n_dev}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    leaf = P(axis, None, None)
+    body = lambda ops_local: _decode_batch_quant_jit(
+        tuple(ops_local), layout, float(omega), seq_len, DEFAULT_TILE,
+        interpret, compute_dtype, sin_impl, fm_mult,
+    )
+    fn = shard_map_compat(
+        body, mesh=mesh, in_specs=(tuple(leaf for _ in ops),), out_specs=leaf
+    )
+    sharded_ops = tuple(
+        jax.device_put(o, NamedSharding(mesh, leaf)) for o in ops
+    )
+    return fn(sharded_ops)
+
+
 def _attn_quant_kernel(
     *refs, k_layout: tuple, v_layout: tuple, omega: float, seq_len: int,
     tile: int, n_tiles: int, n_layers: int, n_queries: int, compute_dtype,

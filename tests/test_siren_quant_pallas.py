@@ -170,3 +170,35 @@ def test_quant_decode_reuses_prepacked_payload():
         siren_decode_batch_quant(params, "int4_g32", 30.0, 128, interpret=True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_quant_decode_matches_local():
+    """shard_map over the network axis: each device holds only its shard's
+    PACKED bytes; zero collectives, so outputs match the local kernel
+    exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.ops.siren_quant_pallas import (
+        siren_decode_batch_quant_sharded,
+    )
+
+    config = SIRENConfig(64, 1, 30.0, "tiny")
+    n = 4
+    params = _batched_params(n, config, 16, seed=11)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("fit",))
+    local = np.asarray(
+        siren_decode_batch_quant(params, "int4_g32", 30.0, 128, interpret=True)
+    )
+    sharded = np.asarray(
+        siren_decode_batch_quant_sharded(
+            params, "int4_g32", 30.0, 128, mesh, interpret=True
+        )
+    )
+    np.testing.assert_allclose(sharded, local, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        siren_decode_batch_quant_sharded(
+            [(w[:3], b[:3]) for w, b in params], "int4_g32", 30.0, 128,
+            mesh, interpret=True,
+        )
