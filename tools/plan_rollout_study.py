@@ -425,6 +425,69 @@ def run_seed(
     }
 
 
+def plot_study(results: dict, out_png: Path) -> None:
+    """Two panels: multi-token drift per budget, and measured-vs-predicted.
+
+    Budgets are ordered magnitudes -> one-hue sequential ramp (darker =
+    tighter budget spent); the full-swap anchor is neutral gray. Seeds
+    overlay as thin lines of the same budget color.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    seeds = results["seeds"]
+    budgets = [r["cost_target"] for r in seeds[0]["budgets"]]
+    # single-hue sequential: light -> dark with budget index
+    shades = [plt.cm.Blues(0.4 + 0.5 * i / max(len(budgets) - 1, 1))
+              for i in range(len(budgets))]
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10.5, 4.2))
+    for bi, target in enumerate(budgets):
+        for si, sd in enumerate(seeds):
+            row = sd["budgets"][bi]
+            ax1.plot(
+                range(1, len(row["per_step_cosine"]) + 1),
+                row["per_step_cosine"],
+                color=shades[bi], lw=1.4, alpha=0.85,
+                label=f"target {target:g}" if si == 0 else None,
+            )
+    for sd in seeds:
+        ax1.axhline(
+            1.0 - sd["full_swap_mean_cost"], color="0.55", lw=1.0, ls="--",
+            label="full swap (mean)" if sd is seeds[0] else None,
+        )
+    ax1.set_xlabel("generated token index")
+    ax1.set_ylabel("output cosine vs all-HBM rollout")
+    ax1.set_title("Planned rollout drift over generated tokens")
+    ax1.grid(alpha=0.3)
+    ax1.legend(fontsize=8)
+
+    for bi, target in enumerate(budgets):
+        xs = [sd["budgets"][bi]["predicted_cost_at_cut"] for sd in seeds]
+        ys = [sd["budgets"][bi]["rollout_mean_cost"] for sd in seeds]
+        ax2.plot(
+            xs, ys, "o", ms=7, color=shades[bi], label=f"target {target:g}"
+        )
+    lims = ax2.get_xlim()
+    lo = min(lims[0], ax2.get_ylim()[0])
+    hi = max(lims[1], ax2.get_ylim()[1])
+    span = [max(lo, 1e-7), hi]
+    ax2.plot(span, span, "-", color="0.7", lw=1.0, label="y = x (additive)")
+    ax2.set_xscale("log")
+    ax2.set_yscale("log")
+    ax2.set_xlabel("plan's predicted cost (sum of per-step solos)")
+    ax2.set_ylabel("measured multi-token rollout cost")
+    ax2.set_title("Per-step algebra vs executed rollout")
+    ax2.grid(alpha=0.3, which="both")
+    ax2.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+    print(f"wrote {out_png}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         description="Execute serve-plans as multi-token rollouts"
@@ -485,6 +548,7 @@ def main(argv: list[str] | None = None) -> None:
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=1))
     print(f"wrote {args.out}")
+    plot_study(results, args.out.with_suffix(".png"))
 
 
 if __name__ == "__main__":
