@@ -98,6 +98,52 @@ def measure_model_entropy(
     )
 
 
+def measure_mla_entropy(config, params, token_ids, *, n_queries: int = 8):
+    """(num_layers,) mean attention entropy for an MLA model (round 5).
+
+    The MLA serving unit is the LAYER — every head reads one shared latent
+    (`models/mla_jax.py`), so the per-(layer, kv-head) grouping of
+    :func:`measure_model_entropy` collapses to a per-layer mean over query
+    heads. Feeds the per-layer latent tiers of ``serve-plan --latent_json``
+    (`tools/mla_latent_study.py` measures the matching solo costs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_attention_tpu.models.mla_jax import (
+        mla_decode_step,
+        mla_prefill_kv,
+    )
+
+    ids = jnp.asarray(token_ids, jnp.int32)
+    s = int(ids.shape[0])
+    if not 0 < n_queries <= s:
+        raise ValueError(f"n_queries must be in [1, {s}], got {n_queries}")
+    keys, values = mla_prefill_kv(config, params, ids)
+    toks = ids[s - n_queries : s]
+    pos = jnp.arange(s - n_queries, s, dtype=jnp.int32)
+
+    @jax.jit
+    def decode_all(toks, pos):
+        _, _, ent = jax.vmap(
+            lambda t, q: mla_decode_step(config, params, t, q, keys, values),
+            in_axes=(0, 0),
+        )(toks, pos)
+        return ent  # (n_queries, L, H)
+
+    return np.asarray(decode_all(toks, pos)).mean(axis=(0, 2))
+
+
+def _is_mla_checkpoint(model_dir: Path) -> bool:
+    import json as _json
+
+    cfg = Path(model_dir) / "config.json"
+    if not cfg.exists():
+        return False
+    with open(cfg) as f:
+        return _json.load(f).get("model_type") in ("deepseek_v2", "deepseek_v3")
+
+
 def main(argv: list[str] | None = None) -> None:
     from nerf_attention_tpu.utils.compile_cache import enable as _enable_cache
 
@@ -114,6 +160,13 @@ def main(argv: list[str] | None = None) -> None:
         "--random_init", action="store_true",
         help="hermetic random-init model instead of a checkpoint (demo/test "
         "path; random init has near-uniform entropies)",
+    )
+    parser.add_argument(
+        "--mla_random_init", action="store_true",
+        help="hermetic random-init DeepSeek-style MLA model: per-LAYER "
+        "latent units (the latent is shared by every head), one entropy "
+        "column per layer — the serve-plan --latent_json geometry. MLA "
+        "checkpoints are auto-detected under --model",
     )
     parser.add_argument("--seq_len", type=int, default=512)
     parser.add_argument(
@@ -146,8 +199,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = parser.parse_args(argv)
 
-    if (args.model is None) == (not args.random_init):
-        parser.error("pass exactly one of --model / --random_init")
+    n_sources = sum(
+        [args.model is not None, args.random_init, args.mla_random_init]
+    )
+    if n_sources != 1:
+        parser.error(
+            "pass exactly one of --model / --random_init / --mla_random_init"
+        )
     geometry = {
         "layers": args.layers, "heads": args.heads,
         "kv_heads": args.kv_heads, "head_dim": args.head_dim,
@@ -168,13 +226,38 @@ def main(argv: list[str] | None = None) -> None:
             )
     elif args.text is not None:
         parser.error(
-            "--text only applies to --model; --random_init measures over "
+            "--text only applies to --model; random inits measure over "
             "random token ids (random init has no meaningful vocabulary)"
         )
+    if args.mla_random_init and args.sinks:
+        parser.error("--sinks does not apply to MLA (no attention sinks)")
     if not 0 < args.queries <= args.seq_len:
         parser.error(f"--queries must be in [1, --seq_len={args.seq_len}]")
 
-    if args.random_init:
+    mla = False
+    if args.mla_random_init:
+        from nerf_attention_tpu.models.mla_jax import MLAConfig, init_random_mla
+
+        mla = True
+        seed = 0 if args.seed is None else args.seed
+        config = MLAConfig(
+            model_type="deepseek_v3",
+            vocab_size=args.vocab or 512,
+            hidden_size=args.hidden or 128,
+            intermediate_size=args.intermediate or 256,
+            num_hidden_layers=args.layers or 4,
+            num_attention_heads=args.heads or 8,
+            kv_lora_rank=32,
+            qk_nope_head_dim=args.head_dim or 16,
+            qk_rope_head_dim=8,
+            v_head_dim=args.head_dim or 16,
+        )
+        params = init_random_mla(config, seed=seed)
+        ids = np.random.RandomState(seed).randint(
+            0, config.vocab_size, args.seq_len
+        )
+        source = f"mla_random_init(seed={seed})"
+    elif args.random_init:
         from nerf_attention_tpu.models.llama_jax import (
             LlamaConfig,
             init_random_llama,
@@ -223,8 +306,45 @@ def main(argv: list[str] | None = None) -> None:
                 f"--queries {args.queries} > the {ids.shape[0]} tokens the "
                 f"text provides"
             )
-        config, params = load_llama_params(Path(args.model))
+        if _is_mla_checkpoint(Path(args.model)):
+            from nerf_attention_tpu.models.mla_jax import load_mla_params
+
+            mla = True
+            config, params = load_mla_params(Path(args.model))
+        else:
+            config, params = load_llama_params(Path(args.model))
         source = str(args.model)
+
+    if mla:
+        # MLA: the serving unit is the layer (one shared latent per token),
+        # so the dense layout has ONE column per layer — serve-plan's
+        # latent mode and load_entropy_json both accept it directly.
+        ent_l = measure_mla_entropy(config, params, ids, n_queries=args.queries)
+        result = {
+            "entropy_nats": [[float(e)] for e in ent_l],
+            "mla_latent": True,
+            "latent_dim": int(config.latent_dim),
+            "raw_latent_fp16_bytes_per_layer": int(
+                ids.shape[0] * config.latent_dim * 2
+            ),
+            "attn_sinks": False,
+            "layer_windows": [0] * int(config.num_hidden_layers),
+            "model": source,
+            "num_hidden_layers": int(config.num_hidden_layers),
+            "seq_len": int(ids.shape[0]),
+            "n_queries": int(args.queries),
+            "uniform_entropy_nats": float(np.log(ids.shape[0])),
+        }
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(
+            f"Measured per-layer MLA entropies over {args.queries} queries at "
+            f"S={ids.shape[0]}: {ent_l.min():.2f}-{ent_l.max():.2f} nats "
+            f"(uniform = {np.log(ids.shape[0]):.2f}) -> {out}"
+        )
+        return
 
     sink_extra = {}
     if config.attn_sinks:

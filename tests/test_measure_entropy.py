@@ -143,3 +143,35 @@ def test_cli_sinks_writes_cache_fields_and_serve_plan_consumes(tmp_path):
     # --sinks is a random_init knob; checkpoints carry their own config
     with pytest.raises(SystemExit):
         main(["--model", "/nonexistent", "--sinks"])
+
+
+def test_cli_mla_random_init_per_layer_units(tmp_path):
+    """MLA path (round 5): one entropy column per LAYER (the latent is
+    shared by every head), latent-dim byte context included, and the
+    output loads through serve_plan's entropy reader."""
+    out = tmp_path / "mla_entropy.json"
+    main(
+        [
+            "--mla_random_init", "--seq_len", "48", "--queries", "4",
+            "--layers", "3", "--heads", "4", "--hidden", "64",
+            "--intermediate", "128", "--vocab", "128", "--head_dim", "16",
+            "--out", str(out),
+        ]
+    )
+    data = json.loads(out.read_text())
+    assert data["mla_latent"] is True
+    assert np.asarray(data["entropy_nats"]).shape == (3, 1)
+    assert data["latent_dim"] > 0
+    assert data["raw_latent_fp16_bytes_per_layer"] == 48 * data["latent_dim"] * 2
+    assert all(0 < e[0] <= np.log(48) + 1e-6 for e in data["entropy_nats"])
+
+    from nerf_attention_tpu.serve_plan import load_entropy_json
+
+    ent = load_entropy_json(out)
+    assert set(ent) == {(0, 0), (1, 0), (2, 0)}
+
+    # cross-mode flags rejected
+    with pytest.raises(SystemExit):
+        main(["--mla_random_init", "--sinks"])
+    with pytest.raises(SystemExit):
+        main(["--mla_random_init", "--random_init"])
