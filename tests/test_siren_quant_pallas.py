@@ -202,3 +202,19 @@ def test_sharded_quant_decode_matches_local():
             [(w[:3], b[:3]) for w, b in params], "int4_g32", 30.0, 128,
             mesh, interpret=True,
         )
+
+
+@pytest.mark.parametrize("scheme", ["int6_g64", "int4_g32"])
+def test_quant_decode_odd_row_counts(scheme):
+    """Plane packing pads row counts that don't divide the plane factor
+    (2 for nibbles, 4 for 2-bit fields); the unpack slice must recover
+    exactly the real rows."""
+    config = SIRENConfig(72, 1, 30.0, "odd")  # 72 rows: /2 ok, /4 ok
+    params = _batched_params(2, config, 20, seed=13)
+    want = np.asarray(
+        siren_decode_batch(_host_dequant(params, scheme), 30.0, 100, interpret=True)
+    )
+    got = np.asarray(
+        siren_decode_batch_quant(params, scheme, 30.0, 100, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
