@@ -422,10 +422,22 @@ def siren_decode_batch_quant_sharded(
 def _attn_quant_kernel(
     *refs, k_layout: tuple, v_layout: tuple, omega: float, seq_len: int,
     tile: int, n_tiles: int, n_layers: int, n_queries: int, compute_dtype,
-    sin_impl: str, fm: bool, causal: bool,
+    sin_impl: str, fm: bool, causal: bool, stats: bool = False,
 ):
-    """Quantized-resident twin of `siren_attention_pallas._attn_kernel`."""
-    out_ref = refs[-1]
+    """Quantized-resident twin of `siren_attention_pallas._attn_kernel`.
+
+    ``stats=True`` additionally writes the online-softmax running max m
+    and denominator l per query row — the sufficient statistics for
+    EXACTLY merging this attention segment with extra columns computed
+    outside the kernel (the hybrid decode step's self column:
+    softmax([cache, self]) = (l·e^{m-M}·o + e^{s-M}·v_self) / (l·e^{m-M}
+    + e^{s-M}) with M = max(m, s)).
+    """
+    if stats:
+        out_ref, m_ref, l_ref = refs[-3], refs[-2], refs[-1]
+        refs = refs[:-2]
+    else:
+        out_ref = refs[-1]
     nk = sum(_ops_per_layer(e) for e in k_layout)
     nv = sum(_ops_per_layer(e) for e in v_layout)
     k_refs = _build_views(k_layout, list(refs[:nk]))
@@ -483,20 +495,24 @@ def _attn_quant_kernel(
         jnp.zeros((t_pad, 1), jnp.float32),
         jnp.zeros((t_pad, d), jnp.float32),
     )
-    _, l, acc = jax.lax.fori_loop(0, n_tiles, body, init)
+    m, l, acc = jax.lax.fori_loop(0, n_tiles, body, init)
     out_ref[0] = (acc / l).astype(out_ref.dtype)
+    if stats:
+        m_ref[0] = m.astype(m_ref.dtype)
+        l_ref[0] = l.astype(l_ref.dtype)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "k_layout", "v_layout", "omega", "seq_len", "tile", "interpret",
-        "compute_dtype", "sin_impl", "fm_mult", "causal",
+        "compute_dtype", "sin_impl", "fm_mult", "causal", "stats",
     ),
 )
 def _attn_quant_jit(
     k_ops, v_ops, k_mean, k_std, v_mean, v_std, q, k_layout, v_layout,
     omega, seq_len, tile, interpret, compute_dtype, sin_impl, fm_mult, causal,
+    stats=False,
 ):
     n, n_queries, d = q.shape
     n_layers = len(k_layout)
@@ -539,17 +555,24 @@ def _attn_quant_jit(
         sin_impl=sin_impl,
         fm=fm_mult is not None,
         causal=causal,
+        stats=stats,
     )
     resident = sum(int(np.prod(o.shape)) * jnp.dtype(o.dtype).itemsize
                    for o in list(k_ops) + list(v_ops))
-    out = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, t_pad, d), lambda ni: (ni, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec(
+        (1, t_pad, 1), lambda ni: (ni, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, t_pad, d), jnp.float32)
+    stat_shape = jax.ShapeDtypeStruct((n, t_pad, 1), jnp.float32)
+    result = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, t_pad, d), lambda ni: (ni, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, t_pad, d), jnp.float32),
+        out_specs=(out_spec, stat_spec, stat_spec) if stats else out_spec,
+        out_shape=(out_shape, stat_shape, stat_shape) if stats else out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -561,7 +584,14 @@ def _attn_quant_jit(
         ),
         interpret=interpret,
     )(*flat)
-    return out[:, :n_queries, :]
+    if stats:
+        out, m, l = result
+        return (
+            out[:, :n_queries, :],
+            m[:, :n_queries, 0],
+            l[:, :n_queries, 0],
+        )
+    return result[:, :n_queries, :]
 
 
 def siren_attention_decode_quant(
@@ -582,6 +612,7 @@ def siren_attention_decode_quant(
     fm_mult: float | None = None,
     causal: bool = True,
     packed: tuple | None = None,
+    return_stats: bool = False,
 ):
     """Attention-from-parameters with quantized weights resident in HBM.
 
@@ -590,7 +621,14 @@ def siren_attention_decode_quant(
     V-hat tiles are dequantized AND reconstructed in VMEM and consumed by
     the online softmax without ever existing in HBM — at any precision.
     ``packed`` short-circuits with prior ``(k_packed, v_packed)`` results
-    from :func:`pack_resident_params`.
+    from :func:`pack_resident_params`. ``scheme='fp32'`` runs the exact
+    master weights through the same kernel (the unquantized variant).
+
+    ``return_stats=True`` returns ``(o, m, l)`` with m/l each (N, T) —
+    the online softmax's running max and denominator, sufficient to merge
+    this segment EXACTLY with extra attention columns computed outside
+    (the hybrid decode step's self column —
+    `models.llama_jax.llama_decode_step_hybrid`).
     """
     if packed is None:
         packed = (
@@ -605,5 +643,5 @@ def siren_attention_decode_quant(
         jnp.asarray(k_mean), jnp.asarray(k_std),
         jnp.asarray(v_mean), jnp.asarray(v_std),
         jnp.asarray(q), k_layout, v_layout, float(omega), seq_len, tile,
-        interpret, compute_dtype, sin_impl, fm_mult, causal,
+        interpret, compute_dtype, sin_impl, fm_mult, causal, return_stats,
     )

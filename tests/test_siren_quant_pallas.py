@@ -218,3 +218,57 @@ def test_quant_decode_odd_row_counts(scheme):
         siren_decode_batch_quant(params, scheme, 30.0, 100, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_attention_stats_enable_exact_segment_merge():
+    """return_stats=True: (m, l) are the online softmax's sufficient
+    statistics — merging the kernel's segment with an extra self column
+    computed OUTSIDE the kernel must equal softmax over the concatenated
+    logits directly."""
+    import math
+
+    config = SIRENConfig(64, 1, 30.0, "t64")
+    n, d, t, s = 2, 32, 4, 200
+    k_params = _batched_params(n, config, d, seed=6)
+    v_params = _batched_params(n, config, d, seed=7)
+    km = jnp.zeros((n, 1, d)); ks = jnp.ones((n, 1, d))
+    q = jax.random.normal(jax.random.PRNGKey(8), (n, t, d)) * 0.8
+    scheme = "int8_g32"
+
+    o, m, l = siren_attention_decode_quant(
+        k_params, v_params, km, ks, km, ks, q, scheme, 30.0, s,
+        tile=128, interpret=True, sin_impl="fast", causal=False,
+        return_stats=True,
+    )
+    o, m, l = np.asarray(o), np.asarray(m), np.asarray(l)
+    assert o.shape == (n, t, d) and m.shape == l.shape == (n, t)
+
+    # self column: an extra (key, value) pair per head
+    k_self = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (n, d))) * 0.5
+    v_self = np.asarray(jax.random.normal(jax.random.PRNGKey(10), (n, d))) * 0.5
+    s_self = np.einsum("ntd,nd->nt", np.asarray(q), k_self) / math.sqrt(d)
+    big = np.maximum(m, s_self)
+    w_cache = l * np.exp(m - big)
+    w_self = np.exp(s_self - big)
+    merged = (
+        w_cache[..., None] * o + w_self[..., None] * v_self[:, None, :]
+    ) / (w_cache + w_self)[..., None]
+
+    # oracle: softmax over [reconstructed rows, self] directly
+    from nerf_attention_tpu.models.siren import positions, siren_apply
+    dq = _host_dequant(k_params, scheme)
+    dqv = _host_dequant(v_params, scheme)
+    from nerf_attention_tpu.ops.fastmath import fast_sin
+    for ni in range(n):
+        kp = [(np.asarray(w)[ni], np.asarray(b)[ni]) for w, b in dq]
+        vp = [(np.asarray(w)[ni], np.asarray(b)[ni]) for w, b in dqv]
+        k_hat = np.asarray(siren_apply(kp, 30.0, positions(s), sin=fast_sin))
+        v_hat = np.asarray(siren_apply(vp, 30.0, positions(s), sin=fast_sin))
+        logits = np.concatenate(
+            [np.asarray(q)[ni] @ k_hat.T / math.sqrt(d),
+             s_self[ni][:, None]], axis=1,
+        )
+        p = np.exp(logits - logits.max(axis=1, keepdims=True))
+        p /= p.sum(axis=1, keepdims=True)
+        want = p[:, :-1] @ v_hat + p[:, -1:][..., None][:, 0] * v_self[ni]
+        np.testing.assert_allclose(merged[ni], want, atol=5e-5, rtol=1e-4)
