@@ -29,6 +29,7 @@ from nerf_attention_tpu.extract import (
     extract_kv_cache_synthetic,
     get_sample_text,
 )
+from nerf_attention_tpu.models.llama_hybrid import make_hybrid_decode_step
 from nerf_attention_tpu.models.llama_jax import (
     llama_decode_rollout,
     llama_decode_step,
@@ -154,6 +155,7 @@ __all__ = [
     "resident_param_bytes",
     "llama_decode_rollout",
     "llama_decode_step",
+    "make_hybrid_decode_step",
     "llama_prefill_kv",
     "llama_prefill_kv_pp",
     "llama_prefill_kv_sp",
