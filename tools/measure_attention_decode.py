@@ -247,7 +247,17 @@ def main() -> None:
         operands = (k_params, v_params, q)
         fused_ms = time_variant(fused, operands, reps)
         twopass_ms = time_variant(twopass, operands, reps)
-        cache_ms = time_variant(cache_attn, operands, reps, extras=(k_cache, v_cache))
+        # Raw cache attention is ~10-50x cheaper than the fused kernel: at
+        # the fused rep count its two-point difference sits below tunnel
+        # noise and every sample hits the timer's 1e-12 clamp (measured:
+        # a 2.7e-12 ms "median" at S=2048).  Scale reps up so the work is
+        # measurable, and flag the row when the clamp still fires.
+        cache_ms = time_variant(
+            cache_attn, operands, reps * 16, extras=(k_cache, v_cache)
+        )
+        cache_clamped = cache_ms["median"] * 1e-3 <= 1.5e-12 / (3 * reps * 16)
+        if cache_clamped:
+            cache_ms = dict(cache_ms, below_noise=True)
         quant_rows = {}
         for sch in schemes:
             if sch not in quant_parity:
@@ -313,7 +323,11 @@ def main() -> None:
             "cache_attn_ms": cache_ms,
             "speedup_vs_twopass": twopass_ms["median"]
             / max(fused_ms["median"], 1e-12),
-            "fused_over_cache": fused_ms["median"] / max(cache_ms["median"], 1e-12),
+            "fused_over_cache": (
+                None
+                if cache_clamped
+                else fused_ms["median"] / max(cache_ms["median"], 1e-12)
+            ),
             "kv_bytes_fp32": kv_bytes,
             "param_bytes_fp32": param_bytes,
             "compression": kv_bytes / max(param_bytes, 1),
