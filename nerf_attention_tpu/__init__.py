@@ -29,7 +29,10 @@ from nerf_attention_tpu.extract import (
     extract_kv_cache_synthetic,
     get_sample_text,
 )
-from nerf_attention_tpu.models.llama_hybrid import make_hybrid_decode_step
+from nerf_attention_tpu.models.llama_hybrid import (
+    make_hybrid_decode_step,
+    make_hybrid_rollout,
+)
 from nerf_attention_tpu.models.llama_jax import (
     llama_decode_rollout,
     llama_decode_step,
@@ -156,6 +159,7 @@ __all__ = [
     "llama_decode_rollout",
     "llama_decode_step",
     "make_hybrid_decode_step",
+    "make_hybrid_rollout",
     "llama_prefill_kv",
     "llama_prefill_kv_pp",
     "llama_prefill_kv_sp",

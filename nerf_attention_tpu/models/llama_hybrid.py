@@ -19,6 +19,13 @@ softmax's (m, l) sufficient statistics, so:
     softmax over [reconstructed rows, self] — they differ only in WHERE
     K-hat/V-hat materialize (VMEM tiles vs an HBM buffer).
 
+`make_hybrid_rollout` extends the step to the multi-token serving loop:
+one `lax.scan` over T teacher-forced tokens where served units carry
+only a (T, d) tail buffer of post-fit rows (exact three-segment merge:
+params kernel / tail / self) and unserved units a pre-allocated (S+T)
+buffer — the between-refits serving architecture, parity-tested against
+`llama_decode_rollout` over a reconstruction-swapped buffer.
+
 Scope: the vanilla dense llama attention family (no sinks / windows /
 softcap / qk-norm / MoE / parallel residual — those families' serving
 behavior is studied through the buffer-swap surface). The layer loop is
@@ -84,6 +91,43 @@ def _select_rows(units, rows):
     return [(np.asarray(w)[rows], np.asarray(b)[rows]) for w, b in units]
 
 
+def _build_layer_assets(
+    served, k_units, v_units, km, ks, vm, vs, scheme, n_kv, d
+):
+    """Per-layer served/unserved split + packed payloads (load-time work).
+
+    Returns (layer_assets, resident_bytes): each asset dict has the
+    served/unserved index arrays and, for served rows, the bit-packed
+    parameter payloads plus their denormalization stats.
+    """
+    km = np.asarray(km, np.float32).reshape(-1, 1, d)
+    ks = np.asarray(ks, np.float32).reshape(-1, 1, d)
+    vm = np.asarray(vm, np.float32).reshape(-1, 1, d)
+    vs = np.asarray(vs, np.float32).reshape(-1, 1, d)
+    layer_assets = []
+    resident = 0
+    for l in range(served.shape[0]):
+        srv = np.where(served[l])[0]
+        uns = np.where(~served[l])[0]
+        rows = l * n_kv + srv
+        assets = {"srv": srv, "uns": uns}
+        if srv.size:
+            assets["k_packed"] = pack_resident_params(
+                _select_rows(k_units, rows), scheme
+            )
+            assets["v_packed"] = pack_resident_params(
+                _select_rows(v_units, rows), scheme
+            )
+            resident += resident_param_bytes(assets["k_packed"][0])
+            resident += resident_param_bytes(assets["v_packed"][0])
+            assets["km"] = jnp.asarray(km[rows])
+            assets["ks"] = jnp.asarray(ks[rows])
+            assets["vm"] = jnp.asarray(vm[rows])
+            assets["vs"] = jnp.asarray(vs[rows])
+        layer_assets.append(assets)
+    return layer_assets, resident
+
+
 def make_hybrid_decode_step(
     config: LlamaConfig,
     params: dict,
@@ -133,32 +177,10 @@ def make_hybrid_decode_step(
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    km = np.asarray(k_mean, np.float32).reshape(-1, 1, d)
-    ks = np.asarray(k_std, np.float32).reshape(-1, 1, d)
-    vm = np.asarray(v_mean, np.float32).reshape(-1, 1, d)
-    vs = np.asarray(v_std, np.float32).reshape(-1, 1, d)
-
-    layer_assets = []
-    resident = 0
-    for l in range(n_l):
-        srv = np.where(served[l])[0]
-        uns = np.where(~served[l])[0]
-        rows = l * n_kv + srv
-        assets = {"srv": srv, "uns": uns}
-        if srv.size:
-            assets["k_packed"] = pack_resident_params(
-                _select_rows(k_units, rows), scheme
-            )
-            assets["v_packed"] = pack_resident_params(
-                _select_rows(v_units, rows), scheme
-            )
-            resident += resident_param_bytes(assets["k_packed"][0])
-            resident += resident_param_bytes(assets["v_packed"][0])
-            assets["km"] = jnp.asarray(km[rows])
-            assets["ks"] = jnp.asarray(ks[rows])
-            assets["vm"] = jnp.asarray(vm[rows])
-            assets["vs"] = jnp.asarray(vs[rows])
-        layer_assets.append(assets)
+    layer_assets, resident = _build_layer_assets(
+        served, k_units, v_units, k_mean, k_std, v_mean, v_std, scheme,
+        n_kv, d,
+    )
 
     act = _mlp_act(config.hidden_act)
     scale = 1.0 / math.sqrt(d)
@@ -253,3 +275,251 @@ def make_hybrid_decode_step(
         "scheme": scheme,
     }
     return jax.jit(step), info
+
+
+def make_hybrid_rollout(
+    config: LlamaConfig,
+    params: dict,
+    served,
+    k_units,
+    v_units,
+    k_mean,
+    k_std,
+    v_mean,
+    v_std,
+    omega: float,
+    *,
+    seq_len: int,
+    rollout_tokens: int,
+    scheme: str = "fp32",
+    fm_mult: float | None = None,
+    sin_impl: str = "fast",
+    interpret: bool | None = None,
+    tile: int = 512,
+):
+    """T-token serving loop with served units holding ZERO prefix cache.
+
+    The hybrid decode step generalized to the multi-token regime — the
+    realistic serving architecture between refits: the fitted prefix
+    (positions [0, seq_len)) of a served unit lives ONLY as its packed
+    SIREN payload; tokens generated after the fit accumulate in a small
+    (T, d) HBM *tail* buffer until the next refit folds them in
+    (FINDINGS' incremental-absolute maintenance path). Per step the
+    served attention is the exact three-segment online softmax:
+
+      params segment  — quant kernel over the fitted S rows, (m, l) stats;
+      tail segment    — generated rows [0, t), masked HBM attention;
+      self column     — the step's own k/v.
+
+    Unserved units keep a standard pre-allocated (S+T) cache buffer with
+    the decode mask (rows < position visible), bit-for-bit the math of
+    `llama_decode_rollout` over a swapped buffer. The whole T-token loop
+    is ONE jitted `lax.scan` — one dispatch, same as the all-HBM rollout.
+
+    Teacher-forced like `llama_decode_rollout` (no lm_head in the weight
+    contract): token t of ``token_ids`` decodes at position seq_len + t
+    and appends its own K/V.
+
+    Returns ``(rollout, info)``: ``rollout(token_ids (T,), cache_k_uns,
+    cache_v_uns) -> (hs (T, hidden), (tail_k, tail_v))`` where the caches
+    are per-layer (n_unserved_l, seq_len, d) prefix rows and the returned
+    tails are per-layer (n_served_l, T, d). ``info`` adds the HBM
+    accounting: ``hbm_bytes_hybrid`` (unserved prefix+tail buffers +
+    served tails + packed payloads) vs ``hbm_bytes_full`` (the all-HBM
+    rollout's (S+T) buffer for every unit).
+    """
+    _require_vanilla(config)
+    served = np.asarray(served, bool)
+    n_l, n_kv = served.shape
+    n_q, d = config.num_attention_heads, config.head_dim
+    group = n_q // n_kv
+    if n_l != config.num_hidden_layers or n_kv != config.num_key_value_heads:
+        raise ValueError(
+            f"served mask {served.shape} does not match the config "
+            f"({config.num_hidden_layers}, {config.num_key_value_heads})"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    layer_assets, resident = _build_layer_assets(
+        served, k_units, v_units, k_mean, k_std, v_mean, v_std, scheme,
+        n_kv, d,
+    )
+    act = _mlp_act(config.hidden_act)
+    scale = 1.0 / math.sqrt(d)
+    s, t_steps = int(seq_len), int(rollout_tokens)
+    neg = jnp.float32(-1e30)
+
+    def rollout(token_ids, cache_k_uns, cache_v_uns):
+        lp_all = params["layers"]
+        inv_freq = jnp.asarray(_rope_frequencies(config))
+        rope_sc = jnp.float32(config.attention_scaling)
+
+        # pre-allocate: unserved (n_uns, S+T, d) buffers, served (n_srv, T, d) tails
+        uns_k, uns_v, tail_k, tail_v = [], [], [], []
+        for l in range(n_l):
+            a = layer_assets[l]
+            n_uns, n_srv = a["uns"].size, a["srv"].size
+            pad = jnp.zeros((n_uns, t_steps, d), jnp.float32)
+            uns_k.append(jnp.concatenate([cache_k_uns[l], pad], axis=1))
+            uns_v.append(jnp.concatenate([cache_v_uns[l], pad], axis=1))
+            tail_k.append(jnp.zeros((n_srv, t_steps, d), jnp.float32))
+            tail_v.append(jnp.zeros((n_srv, t_steps, d), jnp.float32))
+
+        def step(carry, xs):
+            uns_k, uns_v, tail_k, tail_v = carry
+            tok, t = xs
+            position = jnp.int32(s) + t
+            h = params["embed"][tok][None, :]
+            if config.scale_embeddings:
+                h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+            angles = position.astype(jnp.float32) * inv_freq
+            angles = _duplicate_angles(config, angles)[None, :]
+            cos = (jnp.cos(angles) * rope_sc).astype(h.dtype)
+            sin = (jnp.sin(angles) * rope_sc).astype(h.dtype)
+            uns_col = jnp.arange(s + t_steps)[None, None, :] < position
+            tail_col = jnp.arange(t_steps)[None, None, :] < t
+
+            new_uk, new_uv, new_tk, new_tv = [], [], [], []
+            for l in range(n_l):
+                lp = {key: leaf[l] for key, leaf in lp_all.items()}
+                a = layer_assets[l]
+                x = _norm(config, h, lp["input_norm"])
+                q = (x @ lp["q"] + lp["q_bias"]).reshape(1, n_q, d)
+                q = q.transpose(1, 0, 2)
+                k = (x @ lp["k"] + lp["k_bias"]).reshape(1, n_kv, d)
+                k = k.transpose(1, 0, 2)
+                v = (x @ lp["v"] + lp["v_bias"]).reshape(1, n_kv, d)
+                v = v.transpose(1, 0, 2)
+                q = _apply_rope(q, cos, sin)
+                k = _apply_rope(k, cos, sin)
+                qg = q.reshape(n_kv, group, d)
+                k_self, v_self = k[:, 0, :], v[:, 0, :]
+                s_self = (
+                    jnp.einsum(
+                        "ngd,nd->ng", qg, k_self,
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )
+
+                attn = jnp.zeros((n_kv, group, d), jnp.float32)
+                if a["uns"].size:
+                    uns = tuple(int(i) for i in a["uns"])
+                    ck, cv = uns_k[l], uns_v[l]
+                    logits = (
+                        jnp.einsum(
+                            "ugd,ukd->ugk", qg[uns, :, :], ck,
+                            preferred_element_type=jnp.float32,
+                        )
+                        * scale
+                    )
+                    logits = jnp.where(uns_col, logits, neg)
+                    full = jnp.concatenate(
+                        [logits, s_self[uns, :][:, :, None]], axis=-1
+                    )
+                    p = jax.nn.softmax(full, axis=-1)
+                    o_uns = jnp.einsum(
+                        "ugk,ukd->ugd", p[..., :-1], cv,
+                        preferred_element_type=jnp.float32,
+                    ) + p[..., -1][..., None] * v_self[uns, :][:, None, :]
+                    attn = attn.at[uns, :, :].set(o_uns)
+                    new_uk.append(
+                        jax.lax.dynamic_update_slice(
+                            ck,
+                            k_self[uns, :][:, None, :],
+                            (0, position, 0),
+                        )
+                    )
+                    new_uv.append(
+                        jax.lax.dynamic_update_slice(
+                            cv,
+                            v_self[uns, :][:, None, :],
+                            (0, position, 0),
+                        )
+                    )
+                else:
+                    new_uk.append(uns_k[l])
+                    new_uv.append(uns_v[l])
+                if a["srv"].size:
+                    srv = tuple(int(i) for i in a["srv"])
+                    o_k, m_k, l_k = siren_attention_decode_quant(
+                        None, None, a["km"], a["ks"], a["vm"], a["vs"],
+                        qg[srv, :, :], scheme, omega, s, tile=tile,
+                        interpret=interpret, sin_impl=sin_impl,
+                        fm_mult=fm_mult, causal=False,
+                        packed=(a["k_packed"], a["v_packed"]),
+                        return_stats=True,
+                    )
+                    tk, tv = tail_k[l], tail_v[l]
+                    t_logits = (
+                        jnp.einsum(
+                            "ugd,ukd->ugk", qg[srv, :, :], tk,
+                            preferred_element_type=jnp.float32,
+                        )
+                        * scale
+                    )
+                    t_logits = jnp.where(tail_col, t_logits, neg)
+                    local = jnp.concatenate(
+                        [t_logits, s_self[srv, :][:, :, None]], axis=-1
+                    )  # (n_srv, group, T+1)
+                    m_loc = jnp.max(local, axis=-1)
+                    big = jnp.maximum(m_k, m_loc)
+                    p_loc = jnp.exp(local - big[..., None])
+                    w_loc = jnp.sum(p_loc, axis=-1)
+                    o_loc = jnp.einsum(
+                        "ugk,ukd->ugd", p_loc[..., :-1], tv,
+                        preferred_element_type=jnp.float32,
+                    ) + p_loc[..., -1][..., None] * v_self[srv, :][:, None, :]
+                    w_k = l_k * jnp.exp(m_k - big)
+                    merged = (w_k[..., None] * o_k + o_loc) / (
+                        w_k + w_loc
+                    )[..., None]
+                    attn = attn.at[srv, :, :].set(merged)
+                    new_tk.append(
+                        jax.lax.dynamic_update_slice(
+                            tk, k_self[srv, :][:, None, :], (0, t, 0)
+                        )
+                    )
+                    new_tv.append(
+                        jax.lax.dynamic_update_slice(
+                            tv, v_self[srv, :][:, None, :], (0, t, 0)
+                        )
+                    )
+                else:
+                    new_tk.append(tail_k[l])
+                    new_tv.append(tail_v[l])
+
+                attn_flat = attn.reshape(1, n_q * d).astype(h.dtype)
+                h = h + attn_flat @ lp["o"] + lp["o_bias"]
+                x2 = _norm(config, h, lp["post_norm"])
+                h = h + _ffn(config, x2, lp, act)
+
+            carry = (
+                tuple(new_uk), tuple(new_uv), tuple(new_tk), tuple(new_tv)
+            )
+            return carry, h[0]
+
+        init = (tuple(uns_k), tuple(uns_v), tuple(tail_k), tuple(tail_v))
+        ts = jnp.arange(t_steps, dtype=jnp.int32)
+        (_, _, tail_k, tail_v), hs = jax.lax.scan(
+            step, init, (token_ids, ts)
+        )
+        return hs, (tail_k, tail_v)
+
+    n_served = int(served.sum())
+    n_units = n_l * n_kv
+    n_uns_total = n_units - n_served
+    row = d * 4  # one fp32 (d,) cache row
+    info = {
+        "n_served": n_served,
+        "n_units": n_units,
+        "scheme": scheme,
+        "resident_param_bytes": int(resident),
+        "hbm_bytes_hybrid": int(
+            resident
+            + 2 * n_uns_total * (s + t_steps) * row
+            + 2 * n_served * t_steps * row
+        ),
+        "hbm_bytes_full": int(2 * n_units * (s + t_steps) * row),
+    }
+    return jax.jit(rollout), info

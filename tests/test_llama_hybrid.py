@@ -172,6 +172,70 @@ def test_hybrid_quant_scheme_tracks_dequant_buffer_swap():
     assert info["scheme"] == "int8_g32"
 
 
+def test_hybrid_rollout_matches_buffer_swap_rollout():
+    """T-token hybrid rollout (served units: params + tail only) must
+    equal `llama_decode_rollout` over a reconstruction-swapped (S+T)
+    buffer — same softmax rows per step, different residency."""
+    from nerf_attention_tpu.models.llama_hybrid import make_hybrid_rollout
+    from nerf_attention_tpu.models.llama_jax import llama_decode_rollout
+
+    config, params, ids, keys, values, k_units, v_units, km, ks, vm, vs = (
+        _fixture(seed=2)
+    )
+    served = np.asarray([[True, False], [True, True], [False, False]], bool)
+    t_steps = 6
+    rng = np.random.RandomState(5)
+    gen_ids = jnp.asarray(rng.randint(0, 64, t_steps), jnp.int32)
+
+    ck_swap, cv_swap = _swapped_buffers(
+        keys, values, served, k_units, v_units, km, ks, vm, vs
+    )
+    pad = jnp.zeros((N_L, N_KV, t_steps, D), jnp.float32)
+    kbuf = jnp.concatenate([ck_swap, pad], axis=2)
+    vbuf = jnp.concatenate([cv_swap, pad], axis=2)
+    hs_ref, _, (k_new, v_new), _ = llama_decode_rollout(
+        config, params, gen_ids, jnp.int32(S), kbuf, vbuf
+    )
+
+    rollout, info = make_hybrid_rollout(
+        config, params, served, k_units, v_units, km, ks, vm, vs, OMEGA,
+        seq_len=S, rollout_tokens=t_steps, scheme="fp32", sin_impl="fast",
+        interpret=True, tile=64,
+    )
+    cache_k_uns = tuple(
+        jnp.asarray(np.asarray(keys)[l][~served[l]]) for l in range(N_L)
+    )
+    cache_v_uns = tuple(
+        jnp.asarray(np.asarray(values)[l][~served[l]]) for l in range(N_L)
+    )
+    hs, (tail_k, tail_v) = rollout(gen_ids, cache_k_uns, cache_v_uns)
+
+    np.testing.assert_allclose(
+        np.asarray(hs), np.asarray(hs_ref), atol=5e-4, rtol=1e-4
+    )
+    # served tails must hold exactly the appended per-step K/V rows
+    kn = np.asarray(k_new)[:, :, :, 0, :]  # (T, L, n_kv, d)
+    for l in range(N_L):
+        srv = np.where(served[l])[0]
+        if srv.size:
+            np.testing.assert_allclose(
+                np.asarray(tail_k[l]),
+                kn[:, l, srv, :].transpose(1, 0, 2),
+                atol=5e-4, rtol=1e-4,
+            )
+    # accounting identity (the HBM *win* needs serving-scale S and an int
+    # scheme — at this tiny S the fp32-packed net outweighs 100 cache rows)
+    row = D * 4
+    n_srv = int(served.sum())
+    n_uns = N_L * N_KV - n_srv
+    assert info["hbm_bytes_full"] == 2 * N_L * N_KV * (S + t_steps) * row
+    assert info["hbm_bytes_hybrid"] == (
+        info["resident_param_bytes"]
+        + 2 * n_uns * (S + t_steps) * row
+        + 2 * n_srv * t_steps * row
+    )
+
+
 def test_hybrid_rejects_non_vanilla():
     config, params, *_ = _fixture()
     bad = LlamaConfig(
