@@ -47,3 +47,45 @@ def test_plan_rollout_study_tiny(tmp_path):
     for leg in seed["recon_legs"]:
         assert leg["resident_bytes"] > 0
         assert leg["recon_ms"] >= 0
+
+
+def test_plan_rollout_study_hybrid_leg(tmp_path):
+    """--hybrid: the served set of the top-budget plan runs as a zero-
+    prefix-cache hybrid rollout; parity vs the buffer-swap twin must be
+    ~exact (same softmax rows), and the HBM accounting must favor the
+    hybrid only through its tail/resident terms."""
+    out = tmp_path / "plan_rollout_hybrid.json"
+    main(
+        [
+            "--out", str(out),
+            "--seq_len", "64",
+            "--rollout_tokens", "4",
+            "--budgets", "0.2",
+            "--seeds", "0",
+            "--epochs", "60",
+            "--config", "tiny",
+            "--timing_reps", "1",
+            "--schemes", "master", "int8_g32",
+            "--hybrid",
+        ]
+    )
+    data = json.loads(out.read_text())
+    (seed,) = data["seeds"]
+    legs = seed["hybrid_legs"]
+    assert [leg["scheme"] for leg in legs] == ["fp32", "int8_g32"]
+    for leg in legs:
+        assert leg["n_served"] > 0
+        assert leg["parity_cos_vs_buffer_swap_min"] > 0.9999
+        assert leg["tokens_per_s"] > 0
+        assert leg["hbm_bytes_full"] > 0
+        # HBM accounting identity (s=64, T=4, d=32 fp32 rows; the byte
+        # formula itself is unit-tested in test_llama_hybrid)
+        n_units = 8 * 4
+        row = 32 * 4
+        n_uns = n_units - leg["n_served"]
+        assert leg["hbm_bytes_full"] == 2 * n_units * (64 + 4) * row
+        assert leg["hbm_bytes_hybrid"] == (
+            leg["resident_param_bytes"]
+            + 2 * n_uns * (64 + 4) * row
+            + 2 * leg["n_served"] * 4 * row
+        )

@@ -64,6 +64,7 @@ def run_seed(
     n_queries: int,
     impl: str,
     timing_reps: int,
+    hybrid: bool = False,
     verbose: bool = True,
 ) -> dict:
     import jax
@@ -406,6 +407,109 @@ def run_seed(
                     flush=True,
                 )
 
+    # --- hybrid rollout: served units carry ZERO prefix cache ----------
+    hybrid_legs = []
+    if hybrid:
+        from nerf_attention_tpu.models.llama_hybrid import make_hybrid_rollout
+
+        top_plan = build_tiered_plan(units, cost_target=budgets[-1])
+        served_mask = np.zeros((n_l, n_kv), bool)
+        for r in top_plan["plan"]:
+            if r["serve"]:
+                served_mask[r["layer"], r["kv_head"]] = True
+        plan_degenerate = not served_mask.any()
+        if plan_degenerate:
+            # Tiny-shape smoke runs: the byte-skip rule can leave the plan
+            # empty (stored > raw at small S). Measure the hybrid surface
+            # anyway on the cheapest-cost quarter, flagged as such.
+            order = np.argsort(costs["master"])[: max(1, n_units // 4)]
+            served_mask.reshape(-1)[order] = True
+        n_srv = int(served_mask.sum())
+        k_unit_params = [
+            (np.asarray(w)[:n_units], np.asarray(b)[:n_units])
+            for w, b in fit.params
+        ]
+        v_unit_params = [
+            (np.asarray(w)[n_units:], np.asarray(b)[n_units:])
+            for w, b in fit.params
+        ]
+        km, ks = fit.target_mean[:n_units], fit.target_std[:n_units]
+        vm, vs = fit.target_mean[n_units:], fit.target_std[n_units:]
+        cache_k_uns = tuple(
+            jnp.asarray(np.asarray(ck)[l][~served_mask[l]]) for l in range(n_l)
+        )
+        cache_v_uns = tuple(
+            jnp.asarray(np.asarray(cv)[l][~served_mask[l]]) for l in range(n_l)
+        )
+        for sch in ["fp32"] + [s_ for s_ in schemes if s_ != "master"]:
+            roll_fn, info = make_hybrid_rollout(
+                config, params, served_mask, k_unit_params, v_unit_params,
+                km, ks, vm, vs, net.omega_0, seq_len=s,
+                rollout_tokens=t_steps, scheme=sch, sin_impl="fast",
+                interpret=jax.default_backend() != "tpu",
+            )
+            h_hyb, _ = roll_fn(gen_ids, cache_k_uns, cache_v_uns)
+            h_hyb = np.asarray(h_hyb)
+            # buffer-swap twin at the SAME uniform assignment (parity arm)
+            view_sch = "master" if sch == "fp32" else sch
+            kb, vb = base_k.copy(), base_v.copy()
+            k_hat, v_hat = recons[view_sch]
+            m3 = served_mask[:, :, None, None]
+            kb[:, :, :s] = np.where(m3, k_hat, np.asarray(ck))
+            vb[:, :, :s] = np.where(m3, v_hat, np.asarray(cv))
+            h_swap = np.asarray(
+                rollout(params, gen_ids, jnp.asarray(kb), jnp.asarray(vb))
+            )
+            parity_cos = _cos(h_hyb, h_swap)
+            drift_cos = _cos(h_hyb, h_base)
+
+            @jax.jit
+            def hybrid_timed(toks, ck_t, cv_t, n, _roll=roll_fn):
+                def body(_, carry):
+                    ck_c, cv_c = carry
+                    hs, _ = _roll(toks, ck_c, cv_c)
+                    delta = (jnp.mean(hs) * 1e-30).astype(jnp.float32)
+                    ck_c = tuple(c + delta for c in ck_c)
+                    return ck_c, cv_c
+
+                ck_c, cv_c = jax.lax.fori_loop(
+                    0, n, body, (ck_t, cv_t)
+                )
+                return sum(jnp.sum(c) for c in ck_c)
+
+            hyb_samples = _per_iter_samples(
+                hybrid_timed, gen_ids, cache_k_uns, cache_v_uns,
+                reps=max(2, timing_reps // 2), samples=3,
+            )
+            hyb_stats = replicate_stats(hyb_samples)
+            hybrid_legs.append(
+                {
+                    "scheme": sch,
+                    "n_served": n_srv,
+                    "plan_degenerate_fallback": plan_degenerate,
+                    "tokens_per_s": t_steps / hyb_stats["median"],
+                    "rollout_s_stats": hyb_stats,
+                    "hbm_bytes_hybrid": info["hbm_bytes_hybrid"],
+                    "hbm_bytes_full": info["hbm_bytes_full"],
+                    "resident_param_bytes": info["resident_param_bytes"],
+                    "parity_cos_vs_buffer_swap_min": float(parity_cos.min()),
+                    "drift_mean_cost": float(
+                        np.maximum(1.0 - drift_cos.mean(), 0.0)
+                    ),
+                    "drift_final_step_cosine": float(drift_cos[-1]),
+                }
+            )
+            if verbose:
+                leg = hybrid_legs[-1]
+                print(
+                    f"[seed {seed}] hybrid {sch}: {n_srv}/{n_units} served "
+                    f"{leg['tokens_per_s']:.0f} tok/s (base {base_tps:.0f}) | "
+                    f"HBM {leg['hbm_bytes_hybrid']/1024:.0f} KiB vs full "
+                    f"{leg['hbm_bytes_full']/1024:.0f} KiB | parity "
+                    f"{leg['parity_cos_vs_buffer_swap_min']:.6f}",
+                    flush=True,
+                )
+
     return {
         "seed": seed,
         "solo_costs": {sch: [float(c) for c in costs[sch]] for sch in schemes},
@@ -421,6 +525,7 @@ def run_seed(
         "full_swap_mean_cost": float(np.maximum(1.0 - full_cos.mean(), 0.0)),
         "full_swap_final_step_cosine": float(full_cos[-1]),
         "recon_legs": recon_legs,
+        "hybrid_legs": hybrid_legs,
         "wall_s": time.perf_counter() - t0,
     }
 
@@ -507,6 +612,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--impl", default="auto")
     parser.add_argument("--timing_reps", type=int, default=None,
                         help="rollouts per timing leg (default: 5 TPU, 2 CPU)")
+    parser.add_argument("--hybrid", action="store_true",
+                        help="add hybrid-rollout legs: top-budget served set "
+                        "attended straight from packed parameters "
+                        "(models/llama_hybrid.make_hybrid_rollout) — zero "
+                        "prefix cache HBM for served units")
     args = parser.parse_args(argv)
 
     from nerf_attention_tpu.utils import compile_cache
@@ -543,6 +653,7 @@ def main(argv: list[str] | None = None) -> None:
                 n_queries=args.n_queries,
                 impl=args.impl,
                 timing_reps=reps,
+                hybrid=args.hybrid,
             )
         )
     args.out.parent.mkdir(parents=True, exist_ok=True)
