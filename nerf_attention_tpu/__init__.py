@@ -93,6 +93,7 @@ from nerf_attention_tpu.ops.siren_quant_pallas import (
     pack_resident_params,
     resident_param_bytes,
     siren_attention_decode_quant,
+    siren_attention_decode_quant_sharded,
     siren_decode_batch_quant,
     siren_decode_batch_quant_sharded,
 )
@@ -152,6 +153,7 @@ __all__ = [
     "siren_attention_decode",
     "siren_attention_decode_fused",
     "siren_attention_decode_quant",
+    "siren_attention_decode_quant_sharded",
     "siren_decode_batch_quant",
     "siren_decode_batch_quant_sharded",
     "pack_resident_params",

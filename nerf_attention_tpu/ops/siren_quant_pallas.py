@@ -645,3 +645,91 @@ def siren_attention_decode_quant(
         jnp.asarray(q), k_layout, v_layout, float(omega), seq_len, tile,
         interpret, compute_dtype, sin_impl, fm_mult, causal, return_stats,
     )
+
+
+def siren_attention_decode_quant_sharded(
+    k_params,
+    v_params,
+    k_mean,
+    k_std,
+    v_mean,
+    v_std,
+    q,
+    scheme: str,
+    omega: float,
+    seq_len: int,
+    mesh,
+    axis: str = "fit",
+    tile: int = DEFAULT_TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+    sin_impl: str = "fast",
+    fm_mult: float | None = None,
+    causal: bool = True,
+    packed: tuple | None = None,
+    return_stats: bool = False,
+):
+    """Quantized-resident attention-from-parameters, heads over a mesh.
+
+    The serving scale-out of `siren_attention_decode_quant` and the
+    multi-chip form of the hybrid serving engine's kernel segment
+    (`models/llama_hybrid.py`): each device holds ONLY its heads' packed
+    payload bytes (every packed operand — code planes, scales, biases —
+    carries the leading net axis, so the whole payload shards with zero
+    collectives), reconstructs K-hat/V-hat tiles in VMEM, and runs the
+    online softmax for its heads. With ``return_stats=True`` the per-head
+    (m, l) statistics come back sharded the same way, so a TP hybrid
+    step can merge tail/self columns shard-locally — still zero
+    collectives until the model's own o-projection all-reduce. Head
+    count must divide the mesh size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_attention_tpu.parallel.mesh import shard_map_compat
+
+    if packed is None:
+        packed = (
+            pack_resident_params(k_params, scheme),
+            pack_resident_params(v_params, scheme),
+        )
+    (k_ops, k_layout), (v_ops, v_layout) = packed
+    n = q.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        raise ValueError(f"head count {n} not divisible by mesh size {n_dev}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    leaf = P(axis, None, None)
+    stat = P(axis, None)
+
+    def body(k_ops_l, v_ops_l, km, ks, vm, vs, qq):
+        return _attn_quant_jit(
+            tuple(k_ops_l), tuple(v_ops_l), km, ks, vm, vs, qq,
+            k_layout, v_layout, float(omega), seq_len, tile, interpret,
+            compute_dtype, sin_impl, fm_mult, causal, return_stats,
+        )
+
+    fn = shard_map_compat(
+        body,
+        mesh=mesh,
+        in_specs=(
+            tuple(leaf for _ in k_ops),
+            tuple(leaf for _ in v_ops),
+            leaf, leaf, leaf, leaf, leaf,
+        ),
+        out_specs=(leaf, stat, stat) if return_stats else leaf,
+    )
+    shard = lambda x, spec: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, spec)
+    )
+    d = q.shape[-1]
+    return fn(
+        tuple(shard(o, leaf) for o in k_ops),
+        tuple(shard(o, leaf) for o in v_ops),
+        shard(jnp.asarray(k_mean, jnp.float32).reshape(n, 1, d), leaf),
+        shard(jnp.asarray(k_std, jnp.float32).reshape(n, 1, d), leaf),
+        shard(jnp.asarray(v_mean, jnp.float32).reshape(n, 1, d), leaf),
+        shard(jnp.asarray(v_std, jnp.float32).reshape(n, 1, d), leaf),
+        shard(q, leaf),
+    )

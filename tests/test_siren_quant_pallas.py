@@ -272,3 +272,50 @@ def test_attention_stats_enable_exact_segment_merge():
         p /= p.sum(axis=1, keepdims=True)
         want = p[:, :-1] @ v_hat + p[:, -1:][..., None][:, 0] * v_self[ni]
         np.testing.assert_allclose(merged[ni], want, atol=5e-5, rtol=1e-4)
+
+
+def test_sharded_quant_attention_matches_local_with_stats():
+    """Sharded quant attention-from-parameters: packed payload per shard,
+    zero collectives — output AND (m, l) stats must match the local
+    kernel exactly, so a TP hybrid step can merge shard-locally."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nerf_attention_tpu.ops.siren_quant_pallas import (
+        siren_attention_decode_quant_sharded,
+    )
+
+    config = SIRENConfig(64, 1, 30.0, "t64")
+    n, d, t, s = 4, 32, 4, 160
+    k_params = _batched_params(n, config, d, seed=21)
+    v_params = _batched_params(n, config, d, seed=22)
+    km = jnp.zeros((n, 1, d)); ks = jnp.ones((n, 1, d))
+    q = jax.random.normal(jax.random.PRNGKey(23), (n, t, d)) * 0.8
+    mesh = Mesh(np.array(jax.devices()[:2]), ("fit",))
+
+    o_l, m_l, l_l = siren_attention_decode_quant(
+        k_params, v_params, km, ks, km, ks, q, "int8_g32", 30.0, s,
+        tile=64, interpret=True, causal=False, return_stats=True,
+    )
+    o_s, m_s, l_s = siren_attention_decode_quant_sharded(
+        k_params, v_params, km, ks, km, ks, q, "int8_g32", 30.0, s,
+        mesh, tile=64, interpret=True, causal=False, return_stats=True,
+    )
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_l), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_l), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_l), atol=1e-6)
+
+    # plain (no-stats) path too
+    o_s2 = siren_attention_decode_quant_sharded(
+        k_params, v_params, km, ks, km, ks, q, "int8_g32", 30.0, s,
+        mesh, tile=64, interpret=True, causal=False,
+    )
+    np.testing.assert_allclose(np.asarray(o_s2), np.asarray(o_l), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        siren_attention_decode_quant_sharded(
+            [(w[:3], b[:3]) for w, b in k_params],
+            [(w[:3], b[:3]) for w, b in v_params],
+            km[:3], ks[:3], km[:3], ks[:3], q[:3], "int8_g32", 30.0, s,
+            mesh, tile=64, interpret=True, causal=False,
+        )
