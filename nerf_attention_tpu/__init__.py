@@ -47,6 +47,8 @@ from nerf_attention_tpu.models.mla_jax import (
     mla_decode_rollout,
     mla_decode_step,
     mla_decode_step_absorbed,
+    mla_decode_step_absorbed_quant,
+    pack_mla_latent_stack,
     mla_decode_step_latent,
     mla_prefill_kv,
     shard_mla_params,
@@ -98,6 +100,11 @@ from nerf_attention_tpu.ops.siren_quant_pallas import (
     siren_decode_batch_quant_sharded,
 )
 from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
+from nerf_attention_tpu.ops.mla_quant_pallas import (
+    mla_absorbed_attention_quant,
+    pack_resident_latent,
+    resident_latent_bytes,
+)
 from nerf_attention_tpu.measure_entropy import measure_model_entropy
 from nerf_attention_tpu.serve_plan import (
     apply_layer_windows,
@@ -172,6 +179,11 @@ __all__ = [
     "mla_decode_rollout",
     "mla_decode_step",
     "mla_decode_step_absorbed",
+    "mla_decode_step_absorbed_quant",
+    "pack_mla_latent_stack",
+    "mla_absorbed_attention_quant",
+    "pack_resident_latent",
+    "resident_latent_bytes",
     "mla_decode_step_latent",
     "mla_prefill_kv",
     "shard_mla_params",

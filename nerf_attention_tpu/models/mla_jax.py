@@ -775,6 +775,121 @@ def mla_decode_step_absorbed(
     return h[0], lat_new, entropy
 
 
+def pack_mla_latent_stack(
+    latents, scheme: str, tile: int | None = None
+) -> tuple[tuple, tuple]:
+    """Pack an (L, S, latent_dim) latent cache into quant-RESIDENT operands.
+
+    Per-layer `ops/mla_quant_pallas.pack_resident_latent` (the ladder's
+    exact `quantize_array(axis=1)` grid — each layer its own scales, the
+    unit an operator stores and evicts independently), stacked along a
+    leading layer axis so the packed payload rides `lax.scan` like the
+    fp32 cache it replaces. Returns ``(stacked_ops, layout)`` for
+    `mla_decode_step_absorbed_quant`.
+    """
+    from nerf_attention_tpu.ops.mla_quant_pallas import (
+        DEFAULT_TILE,
+        pack_resident_latent,
+    )
+
+    lat = np.asarray(latents, np.float32)
+    if tile is None:
+        tile = min(DEFAULT_TILE, max(64, lat.shape[1]))
+    per_layer = [pack_resident_latent(l, scheme, tile=tile) for l in lat]
+    layout = per_layer[0][1]
+    stacked = tuple(
+        jnp.stack([ops[i] for ops, _ in per_layer])
+        for i in range(len(per_layer[0][0]))
+    )
+    return stacked, layout
+
+
+@partial(jax.jit, static_argnames=("config", "layout"))
+def mla_decode_step_absorbed_quant(
+    config: MLAConfig,
+    params: dict,
+    token_id: jax.Array,
+    position: jax.Array,
+    packed_ops: tuple,
+    layout: tuple,
+):
+    """Absorbed decode step over a QUANT-RESIDENT latent cache.
+
+    The round-5 closure of the MLA serving story: the quantized-latent
+    ladder won the storage frontier (int4_g64 30.1× at 0.99904,
+    `benchmarks/r4/mla_latent/`), and with this step the packed codes are
+    the DEVICE cache too — `ops/mla_quant_pallas.py` dequantizes each
+    latent tile in VMEM inside the absorbed attention, so fp32 latent
+    rows never exist in HBM. Same return contract as
+    `mla_decode_step_absorbed`; parity vs that step over the
+    host-dequantized latent is fp32 op-order noise
+    (`tests/test_mla_quant_pallas.py`). ``packed_ops``/``layout`` come
+    from `pack_mla_latent_stack`. The new token's latent row is returned
+    exact (fp32) — appending to the stored cache re-quantizes at the
+    operator's cadence, the incremental-absolute maintenance story.
+    """
+    from nerf_attention_tpu.ops.mla_quant_pallas import (
+        mla_absorbed_attention_quant,
+    )
+
+    n_q = config.num_attention_heads
+    r, nope, dv = (
+        config.kv_lora_rank,
+        config.qk_nope_head_dim,
+        config.v_head_dim,
+    )
+    h = params["embed"][token_id][None, :]
+    position = jnp.asarray(position, jnp.int32)
+    cos, sin = _rope_tables(config, position[None], h.dtype)
+    n_dense = config.num_dense_layers
+
+    def layer(h, lp, lat_ops, moe):
+        x = _rms_norm(h, lp["input_norm"], config.rms_norm_eps)
+        q_nope, q_pe, latent_new = _q_and_latent(config, x, lp, cos, sin)
+        kv_b = lp["kv_b"].reshape(r, n_q, nope + dv)
+        w_uk, w_uv = kv_b[..., :nope], kv_b[..., nope:]
+        q_lat = jnp.einsum("hqn,rhn->hqr", q_nope, w_uk)
+        q_cat = jnp.concatenate([q_lat[:, 0], q_pe[:, 0]], axis=-1)
+        o_lat, entropy = mla_absorbed_attention_quant(
+            q_cat, (list(lat_ops), layout), latent_new, position,
+            kv_lora_rank=r, scale=config.attn_scale,
+        )
+        attn = jnp.einsum(
+            "hr,rhd->hd", o_lat.astype(w_uv.dtype), w_uv
+        ).reshape(1, n_q * dv)
+        h = _ffn_tail(config, h, attn, lp, moe)
+        return h, (latent_new, entropy)
+
+    outs = []
+
+    def run(layers, moe, h, ops_slice):
+        def scan_layer(h, xs):
+            lp = xs[0]
+            lat_ops = xs[1:]
+            return layer(h, lp, lat_ops, moe)
+
+        return jax.lax.scan(scan_layer, h, (layers, *ops_slice))
+
+    if "dense_layers" in params:
+        h, out = run(
+            params["dense_layers"], False, h,
+            tuple(o[:n_dense] for o in packed_ops),
+        )
+        outs.append(out)
+    if "moe_layers" in params:
+        h, out = run(
+            params["moe_layers"], True, h,
+            tuple(o[n_dense:] for o in packed_ops),
+        )
+        outs.append(out)
+    lat_new, entropy = (
+        tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+        if len(outs) > 1
+        else outs[0]
+    )
+    return h[0], lat_new, entropy
+
+
 @partial(jax.jit, static_argnames=("config", "attn_impl"))
 def mla_decode_rollout(
     config: MLAConfig,
