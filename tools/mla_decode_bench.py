@@ -79,6 +79,13 @@ def main() -> None:
         help="comma-separated seq_len override (smoke tests)",
     )
     parser.add_argument("--reps", type=int, default=None)
+    parser.add_argument(
+        "--quant_schemes", type=str, default="int8_g32,int4_g64",
+        help="comma-separated quant-RESIDENT absorbed legs ('' disables): "
+        "the latent cache rides as bit-packed codes in HBM and "
+        "dequantizes in VMEM (ops/mla_quant_pallas.py) — the ladder's "
+        "storage win made true on-device",
+    )
     args = parser.parse_args()
     ladder = [int(x) for x in args.ladder.split(",")] if args.ladder else LADDER
 
@@ -249,6 +256,36 @@ def main() -> None:
             np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         )
 
+    qschemes = [x for x in args.quant_schemes.split(",") if x]
+    if qschemes:
+        from nerf_attention_tpu.models.mla_jax import (
+            mla_decode_step_absorbed_quant,
+            pack_mla_latent_stack,
+        )
+        from nerf_attention_tpu.ops.mla_quant_pallas import (
+            resident_latent_bytes,
+        )
+
+        quant_parity = {}
+        for sch in qschemes:
+            ops0, layout0 = pack_mla_latent_stack(
+                np.asarray(lat, np.float32), sch
+            )
+            h_q = np.asarray(
+                mla_decode_step_absorbed_quant(
+                    config, params, token, s0, tuple(ops0), layout0
+                )[0],
+                np.float32,
+            )
+            quant_parity[sch] = {
+                "cos_vs_absorbed": cosine(h_q, h_abs),
+                "max_abs_vs_absorbed": float(np.abs(h_q - h_abs).max()),
+            }
+            log(
+                f"quant[{sch}] @S={s0}: cos(quant, abs)="
+                f"{quant_parity[sch]['cos_vs_absorbed']:.6f}"
+            )
+
     results["parity"] = {
         "seq_len": s0,
         "cos_absorbed_vs_materialized": cosine(h_abs, h_mat),
@@ -259,6 +296,8 @@ def main() -> None:
         "cos_pallas_vs_absorbed": cosine(h_pal, h_abs),
         "max_abs_pallas_vs_absorbed": float(np.abs(h_pal - h_abs).max()),
     }
+    if qschemes:
+        results["parity"]["quant_resident"] = quant_parity
     log(f"parity @S={s0}: cos(abs, mat)={results['parity']['cos_absorbed_vs_materialized']:.6f}")
 
     for s in ladder:
@@ -288,6 +327,29 @@ def main() -> None:
                 f"{row['step_ms'][name]['median']:8.3f} ms  "
                 f"(iqr {row['step_ms'][name]['iqr']:.3f}, "
                 f"wall {time.time() - t0:.0f}s)"
+            )
+        for sch in qschemes:
+            ops_s, layout_s = pack_mla_latent_stack(
+                np.asarray(lat, np.float32), sch
+            )
+
+            def step_q(p, tok, pos, *o, _l=layout_s):
+                return mla_decode_step_absorbed_quant(
+                    config, p, tok, pos, tuple(o), _l
+                )
+
+            name = f"absorbed_quant_{sch}"
+            t0 = time.time()
+            row["step_ms"][name] = time_step(step_q, tuple(ops_s), s)
+            row["cache_bytes"][f"quant_{sch}_resident"] = (
+                resident_latent_bytes(ops_s)
+            )
+            log(
+                f"S={s:6d}  {name:22s}  "
+                f"{row['step_ms'][name]['median']:8.3f} ms  "
+                f"resident {resident_latent_bytes(ops_s) / 1e6:.1f} MB vs "
+                f"latent {lat_bytes / 1e6:.1f} MB  "
+                f"(wall {time.time() - t0:.0f}s)"
             )
         med = {k: v["median"] for k, v in row["step_ms"].items()}
         row["speedup_absorbed_over"] = {
