@@ -100,6 +100,11 @@ from nerf_attention_tpu.ops.siren_quant_pallas import (
     siren_decode_batch_quant_sharded,
 )
 from nerf_attention_tpu.ops.mla_absorbed_pallas import mla_absorbed_attention
+from nerf_attention_tpu.ops.kv_quant_pallas import (
+    kv_cache_attention_quant,
+    pack_kv_unit_stack,
+    resident_kv_bytes,
+)
 from nerf_attention_tpu.ops.mla_quant_pallas import (
     mla_absorbed_attention_quant,
     pack_resident_latent,
@@ -182,6 +187,9 @@ __all__ = [
     "mla_decode_step_absorbed_quant",
     "pack_mla_latent_stack",
     "mla_absorbed_attention_quant",
+    "kv_cache_attention_quant",
+    "pack_kv_unit_stack",
+    "resident_kv_bytes",
     "pack_resident_latent",
     "resident_latent_bytes",
     "mla_decode_step_latent",
