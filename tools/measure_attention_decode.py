@@ -258,6 +258,62 @@ def main() -> None:
         cache_clamped = cache_ms["median"] * 1e-3 <= 1.5e-12 / (3 * reps * 16)
         if cache_clamped:
             cache_ms = dict(cache_ms, below_noise=True)
+
+        # Quant-RESIDENT raw-cache attention (round 5): the fp32 cache
+        # baseline's K/V ride as bit-packed codes, dequantized per tile
+        # in VMEM (ops/kv_quant_pallas.py). Cache attention is
+        # HBM-bandwidth-bound, so fewer resident bytes should read as
+        # lower latency (the MLA result on the GQA surface).
+        kv_quant_rows = {}
+        if schemes:
+            from nerf_attention_tpu.ops.kv_quant_pallas import (
+                kv_cache_attention_quant,
+                pack_kv_unit_stack,
+                resident_kv_bytes,
+            )
+
+            ck_np = np.asarray(k_cache)
+            cv_np = np.asarray(v_cache)
+            for sch in schemes:
+                pk = pack_kv_unit_stack(ck_np, sch)
+                pv = pack_kv_unit_stack(cv_np, sch)
+
+                def kvq_timed(qq, n, _pk=pk, _pv=pv):
+                    def body(_, carry):
+                        qq_c, acc = carry
+                        out = kv_cache_attention_quant(
+                            qq_c, _pk, _pv, seq_len,
+                            scale=1.0 / np.sqrt(d),
+                            interpret=not _on_tpu(),
+                        )
+                        delta = jnp.mean(out).astype(jnp.float32) * 1e-30
+                        return qq_c + delta, acc + delta
+
+                    return jax.lax.fori_loop(
+                        0, n, body, (qq, jnp.float32(0.0))
+                    )[1]
+
+                kvq_samples = _per_iter_samples(
+                    jax.jit(kvq_timed), q, reps=reps * 4, samples=args.samples
+                )
+                kvq_stats = replicate_stats([v * 1e3 for v in kvq_samples])
+                kv_quant_rows[sch] = {
+                    "ms": kvq_stats,
+                    "cache_bytes_resident": resident_kv_bytes(pk[0])
+                    + resident_kv_bytes(pv[0]),
+                    "over_fp32_cache": (
+                        None
+                        if cache_clamped
+                        else kvq_stats["median"]
+                        / max(cache_ms["median"], 1e-12)
+                    ),
+                }
+                log(
+                    f"  S={seq_len}: kv_cache_quant[{sch}] "
+                    f"{kvq_stats['median']:.4f}ms  resident "
+                    f"{kv_quant_rows[sch]['cache_bytes_resident']/1024:.0f} "
+                    f"KiB (fp32 cache {2 * n * seq_len * d * 4/1024:.0f} KiB)"
+                )
         quant_rows = {}
         for sch in schemes:
             if sch not in quant_parity:
@@ -332,6 +388,7 @@ def main() -> None:
             "param_bytes_fp32": param_bytes,
             "compression": kv_bytes / max(param_bytes, 1),
             "quant_resident": quant_rows,
+            "kv_cache_quant_resident": kv_quant_rows,
         }
         rows.append(row)
         log(
