@@ -30,8 +30,10 @@ from nerf_attention_tpu.extract import (
     get_sample_text,
 )
 from nerf_attention_tpu.models.llama_hybrid import (
+    llama_decode_step_quantcache,
     make_hybrid_decode_step,
     make_hybrid_rollout,
+    pack_llama_kv_cache,
 )
 from nerf_attention_tpu.models.llama_jax import (
     llama_decode_rollout,
@@ -174,6 +176,8 @@ __all__ = [
     "llama_decode_step",
     "make_hybrid_decode_step",
     "make_hybrid_rollout",
+    "llama_decode_step_quantcache",
+    "pack_llama_kv_cache",
     "llama_prefill_kv",
     "llama_prefill_kv_pp",
     "llama_prefill_kv_sp",

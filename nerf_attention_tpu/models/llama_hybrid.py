@@ -40,6 +40,7 @@ decode story is the per-layer latency profile
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -523,3 +524,125 @@ def make_hybrid_rollout(
         "hbm_bytes_full": int(2 * n_units * (s + t_steps) * row),
     }
     return jax.jit(rollout), info
+
+
+def pack_llama_kv_cache(keys, values, scheme: str, tile: int = 512):
+    """Pack an (L, n_kv, S, d) llama KV cache into quant-RESIDENT operands.
+
+    Per-(layer, kv-head) `ops/kv_quant_pallas.pack_kv_unit_stack`
+    (`quantize_array(axis=1)` grid — every unit its own scale rows, the
+    slice an operator stores/evicts independently), with the leading unit
+    axis reshaped to (L, n_kv, ...) so the packed payload rides
+    `lax.scan` over layers exactly like the fp32 buffers it replaces.
+    Returns ``(packed_k_ops, packed_v_ops, layout)``.
+    """
+    from nerf_attention_tpu.ops.kv_quant_pallas import pack_kv_unit_stack
+
+    keys = np.asarray(keys, np.float32)
+    n_l, n_kv, s, d = keys.shape
+    k_ops, layout = pack_kv_unit_stack(
+        keys.reshape(n_l * n_kv, s, d), scheme, tile=tile
+    )
+    v_ops, layout_v = pack_kv_unit_stack(
+        np.asarray(values, np.float32).reshape(n_l * n_kv, s, d),
+        scheme, tile=tile,
+    )
+    assert layout_v == layout
+    k_ops = tuple(o.reshape(n_l, n_kv, *o.shape[1:]) for o in k_ops)
+    v_ops = tuple(o.reshape(n_l, n_kv, *o.shape[1:]) for o in v_ops)
+    return k_ops, v_ops, layout
+
+
+@partial(jax.jit, static_argnames=("config", "layout"))
+def llama_decode_step_quantcache(
+    config: LlamaConfig,
+    params: dict,
+    token_id,
+    position,
+    packed_k: tuple,
+    packed_v: tuple,
+    layout: tuple,
+):
+    """One decode step over a fully QUANT-RESIDENT KV cache.
+
+    The GQA twin of `mla_jax.mla_decode_step_absorbed_quant`: the step's
+    cache operands are the bit-packed codes from `pack_llama_kv_cache` —
+    fp32 K/V rows never exist in HBM. Per layer the cache segment runs
+    through `ops/kv_quant_pallas.kv_cache_attention_quant` (streamed
+    VMEM dequant, decode mask rows < position, (m, l) stats) and merges
+    EXACTLY with the self column — the same online-softmax algebra as
+    the hybrid step, so parity vs `llama_decode_step` over the
+    host-dequantized buffer is fp32 op-order noise
+    (`tests/test_kv_quant_pallas.py`). Vanilla dense llama family (the
+    `make_hybrid_decode_step` scope); other families serve through the
+    fp32 buffer surface. Returns (h (hidden,), (k_new, v_new) each
+    (L, n_kv, 1, d)) — the appended rows, exact fp32 (re-quantized into
+    the stored cache at the operator's cadence).
+    """
+    from nerf_attention_tpu.ops.kv_quant_pallas import (
+        kv_cache_attention_quant,
+    )
+
+    _require_vanilla(config)
+    n_l = config.num_hidden_layers
+    n_kv, n_q, d = (
+        config.num_key_value_heads,
+        config.num_attention_heads,
+        config.head_dim,
+    )
+    group = n_q // n_kv
+    act = _mlp_act(config.hidden_act)
+    scale = 1.0 / math.sqrt(d)
+
+    h = params["embed"][token_id][None, :]
+    if config.scale_embeddings:
+        h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
+    position = jnp.asarray(position, jnp.int32)
+    inv_freq = jnp.asarray(_rope_frequencies(config))
+    angles = position.astype(jnp.float32) * inv_freq
+    angles = _duplicate_angles(config, angles)[None, :]
+    sc = jnp.float32(config.attention_scaling)
+    cos = (jnp.cos(angles) * sc).astype(h.dtype)
+    sin = (jnp.sin(angles) * sc).astype(h.dtype)
+    n_k = len(packed_k)
+
+    def scan_layer(h, xs):
+        lp = xs[0]
+        k_ops_l = tuple(xs[1 : 1 + n_k])
+        v_ops_l = tuple(xs[1 + n_k :])
+        x = _norm(config, h, lp["input_norm"])
+        q = (x @ lp["q"] + lp["q_bias"]).reshape(1, n_q, d).transpose(1, 0, 2)
+        k = (x @ lp["k"] + lp["k_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
+        v = (x @ lp["v"] + lp["v_bias"]).reshape(1, n_kv, d).transpose(1, 0, 2)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        qg = q.reshape(n_kv, group, d)
+        k_self, v_self = k[:, 0, :], v[:, 0, :]
+        s_self = (
+            jnp.einsum(
+                "ngd,nd->ng", qg, k_self, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        o, m, lden = kv_cache_attention_quant(
+            qg, (k_ops_l, layout), (v_ops_l, layout), position,
+            scale=scale, return_stats=True,
+        )
+        big = jnp.maximum(m, s_self)
+        w_cache = lden * jnp.exp(m - big)
+        w_self = jnp.exp(s_self - big)
+        merged = (
+            w_cache[..., None] * o
+            + w_self[..., None] * v_self[:, None, :]
+        ) / (w_cache + w_self)[..., None]
+        attn_flat = merged.reshape(1, n_q * d).astype(h.dtype)
+        h = h + attn_flat @ lp["o"] + lp["o_bias"]
+        x2 = _norm(config, h, lp["post_norm"])
+        h = h + _ffn(config, x2, lp, act)
+        return h, (k[:, None, 0, :], v[:, None, 0, :])
+
+    layers = {key: leaf for key, leaf in params["layers"].items()}
+    h, (k_new, v_new) = jax.lax.scan(
+        scan_layer, h, (layers, *packed_k, *packed_v)
+    )
+    return h[0], (k_new, v_new)

@@ -126,3 +126,77 @@ def test_kv_quant_resident_bytes_and_guards():
         kv_cache_attention_quant(
             q[:2], pk, pv, 128, scale=0.1, interpret=True
         )
+
+
+def test_llama_decode_step_quantcache_matches_buffer():
+    """`llama_decode_step_quantcache` over packed codes must equal
+    `llama_decode_step` over the host-dequantized buffer — same softmax
+    rows (cache segment via stats merge + exact self column)."""
+    from nerf_attention_tpu.models.llama_hybrid import (
+        llama_decode_step_quantcache,
+        pack_llama_kv_cache,
+    )
+    from nerf_attention_tpu.models.llama_jax import (
+        LlamaConfig,
+        init_random_llama,
+        llama_decode_step,
+        llama_prefill_kv,
+    )
+
+    config = LlamaConfig(
+        vocab_size=64,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+    )
+    params = init_random_llama(config, seed=0)
+    rng = np.random.RandomState(0)
+    s = 100
+    ids = jnp.asarray(rng.randint(0, 64, s + 1), jnp.int32)
+    keys, values = llama_prefill_kv(config, params, ids[:s])
+
+    for scheme in ["int8_g32", "int4_g64"]:
+        ck_dq = np.stack(
+            [
+                np.stack(
+                    [
+                        quantize_array(np.asarray(keys)[l, h], scheme, axis=1)[1]
+                        for h in range(2)
+                    ]
+                )
+                for l in range(3)
+            ]
+        )
+        cv_dq = np.stack(
+            [
+                np.stack(
+                    [
+                        quantize_array(
+                            np.asarray(values)[l, h], scheme, axis=1
+                        )[1]
+                        for h in range(2)
+                    ]
+                )
+                for l in range(3)
+            ]
+        )
+        h_ref, (kn_ref, vn_ref), _ = llama_decode_step(
+            config, params, ids[s], jnp.int32(s),
+            jnp.asarray(ck_dq), jnp.asarray(cv_dq),
+        )
+        pk, pv, layout = pack_llama_kv_cache(keys, values, scheme, tile=64)
+        h_q, (kn_q, vn_q) = llama_decode_step_quantcache(
+            config, params, ids[s], jnp.int32(s), pk, pv, layout
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_q), np.asarray(h_ref), atol=2e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(kn_q), np.asarray(kn_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(vn_q), np.asarray(vn_ref), atol=1e-5
+        )
