@@ -80,7 +80,8 @@ def _dequant_tile(kind: str, refs, tile: int, group: int, qmax: int):
     Mirrors `mla_quant_pallas._dequant_block`, reading through the
     leading blocked unit axis (``ref[0]``).
     """
-    scale = refs[-1][0]  # (tile//group, d) fp32
+    # Block may carry sublane padding past the real tile//group rows.
+    scale = refs[-1][0][: tile // group]  # (tile//group, d) fp32
     if kind == "int8":
         codes = refs[0][0].astype(jnp.float32)
     elif kind == "int4":

@@ -85,6 +85,21 @@ def pack_resident_latent(
         ((0, n_tiles * g_per_tile - scale.shape[0]), (0, 0)),
         constant_values=np.finfo(np.float16).tiny,
     )
+    # Mosaic requires block sublane dims divisible by 8: pad each tile's
+    # scale rows from g_per_tile to a multiple of 8 (the kernel slices
+    # back to the real rows). Costs (g_pad - g)·d·4 B/tile — noise.
+    g_pad = -(-g_per_tile // 8) * 8
+    if g_pad != g_per_tile:
+        scale = np.concatenate(
+            [
+                np.pad(
+                    s_t,
+                    ((0, g_pad - g_per_tile), (0, 0)),
+                    constant_values=np.finfo(np.float16).tiny,
+                )
+                for s_t in scale.reshape(n_tiles, g_per_tile, d)
+            ]
+        )
 
     ops: list = []
     if bits == 8:
@@ -133,7 +148,8 @@ def resident_latent_bytes(ops) -> int:
 
 def _dequant_block(kind: str, refs, tile: int, group: int, qmax: int):
     """Rebuild one (tile, D) fp32 latent block from its VMEM plane refs."""
-    scale = refs[-1][:]  # (tile//group, D) fp32
+    # Block may carry sublane padding past the real tile//group rows.
+    scale = refs[-1][:][: tile // group]  # (tile//group, D) fp32
     if kind == "int8":
         codes = refs[0][:].astype(jnp.float32)
     elif kind == "int4":
@@ -281,8 +297,9 @@ def mla_absorbed_attention_quant(
                      memory_space=pltpu.VMEM)
         for rt in rows_per_tile
     ]
+    scale_rows = int(ops[-1].shape[0]) // n_tiles  # g_per_tile, 8-padded
     scale_spec = pl.BlockSpec(
-        (tile // group, latent_dim), lambda ti: (ti, 0),
+        (scale_rows, latent_dim), lambda ti: (ti, 0),
         memory_space=pltpu.VMEM,
     )
     o_lat, ent = pl.pallas_call(

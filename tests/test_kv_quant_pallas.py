@@ -115,8 +115,10 @@ def test_kv_quant_resident_bytes_and_guards():
     ck, cv, q = _fixture(128)
     pk = pack_kv_unit_stack(ck, "int4_g64", tile=64)
     pv = pack_kv_unit_stack(cv, "int4_g64", tile=64)
-    # int4: 0.5 B codes + 4/64 B scales per elem vs 4 B fp32
-    assert resident_kv_bytes(pk[0]) < 0.15 * ck.nbytes
+    # int4: 0.5 B codes + scale rows sublane-padded to 8 per tile
+    # (tile=64, g=1→8: 8/64·4 = 0.5 B/elem of scales here; production
+    # tiles amortize to ~0.07 B)
+    assert resident_kv_bytes(pk[0]) < 0.27 * ck.nbytes
     pv8 = pack_kv_unit_stack(cv, "int8_g32", tile=64)
     with pytest.raises(ValueError, match="layouts differ"):
         kv_cache_attention_quant(

@@ -62,13 +62,17 @@ def test_quant_absorbed_close_to_exact_and_smaller():
         q, jnp.asarray(latent), new, s,
         kv_lora_rank=R, scale=0.13, tile=tile, interpret=True,
     )
-    # code bytes + fp32-stored (fp16-valued) scale rows: int8_g32 =
-    # (1 + 4/32)/4 = 0.28125 of fp32; int4_g64 = (0.5 + 4/64)/4 = 0.1406
+    # code bytes + fp32-stored (fp16-valued) scale rows, with per-tile
+    # sublane padding of the scale rows to a multiple of 8 (Mosaic block
+    # constraint): at this small tile=128 the padding inflates scales —
+    # int8_g32 g=4→8: (1 + 8/128·4)/4 = 0.3125; int4_g64 g=2→8:
+    # (0.5 + 8/128·4)/4 = 0.1875. Production tiles (512+) sit near the
+    # unpadded 0.281 / 0.141.
     # cosine bars are for RANDOM gaussian latents (no structure — the
     # hardest case; the ladder's 0.99904 int4 figure is on model latents)
     for scheme, max_ratio, cos_bar in [
-        ("int8_g32", 0.29, 0.9995),
-        ("int4_g64", 0.145, 0.99),
+        ("int8_g32", 0.33, 0.9995),
+        ("int4_g64", 0.20, 0.99),
     ]:
         packed = pack_resident_latent(latent, scheme, tile=tile)
         o_q, _ = mla_absorbed_attention_quant(
