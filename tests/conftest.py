@@ -25,6 +25,24 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Tests must NOT read the repo's persistent .jax_cache: it mixes
+# executables compiled by TPU/tunnel processes and by OTHER host CPUs
+# across sessions (cross-machine CPU AOT loads already warn about
+# feature mismatch), and a suite run was measured wedging forever inside
+# compilation_cache.get_executable_and_time during the study stage's
+# fit compile. Pointing the cache at a throwaway dir isolates the suite
+# (utils/compile_cache.enable() respects an explicit setting); CPU
+# compiles at test shapes are cheap.
+import tempfile
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        tempfile.mkdtemp(prefix="jax_cache_tests_"),
+    )
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
