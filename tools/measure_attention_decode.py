@@ -278,11 +278,15 @@ def main() -> None:
                 pk = pack_kv_unit_stack(ck_np, sch)
                 pv = pack_kv_unit_stack(cv_np, sch)
 
-                def kvq_timed(qq, n, _pk=pk, _pv=pv):
+                # Packed ops ride as TRACED operands (not closure
+                # constants): closed-over arrays bake into the compile
+                # payload — measured 275 MB cache entries / tunnel bodies
+                # at S=32768 before this was threaded.
+                def kvq_timed(qq, k_ops_t, v_ops_t, n, _lk=pk[1], _lv=pv[1]):
                     def body(_, carry):
                         qq_c, acc = carry
                         out = kv_cache_attention_quant(
-                            qq_c, _pk, _pv, seq_len,
+                            qq_c, (k_ops_t, _lk), (v_ops_t, _lv), seq_len,
                             scale=1.0 / np.sqrt(d),
                             interpret=not _on_tpu(),
                         )
@@ -294,7 +298,8 @@ def main() -> None:
                     )[1]
 
                 kvq_samples = _per_iter_samples(
-                    jax.jit(kvq_timed), q, reps=reps * 4, samples=args.samples
+                    jax.jit(kvq_timed), q, tuple(pk[0]), tuple(pv[0]),
+                    reps=reps * 4, samples=args.samples,
                 )
                 kvq_stats = replicate_stats([v * 1e3 for v in kvq_samples])
                 kv_quant_rows[sch] = {
