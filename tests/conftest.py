@@ -25,17 +25,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Tests must NOT read the repo's persistent .jax_cache: it mixes
-# executables compiled by TPU/tunnel processes and by OTHER host CPUs
-# across sessions (cross-machine CPU AOT loads already warn about
-# feature mismatch), and a suite run was measured wedging forever inside
-# compilation_cache.get_executable_and_time during the study stage's
-# fit compile. Pointing the cache at a throwaway dir isolates the suite
-# (utils/compile_cache.enable() respects an explicit setting); CPU
-# compiles at test shapes are cheap.
+# The persistent compilation cache must be OFF in tests: XLA:CPU
+# executable (de)serialization on this image wedges indefinitely for
+# large programs (faulthandler-captured twice — once in
+# get_executable_and_time on a repo .jax_cache entry, once in
+# put_executable_and_time's executable.serialize() writing to a FRESH
+# temp dir; the image's jaxlib also warns its XLA:CPU AOT machine
+# features don't match this host). The study stage's fit program is big
+# enough to cross the 1 s write threshold and hang the whole suite at
+# ~85%. Disabling the cache sidesteps serialize entirely — CPU compiles
+# at test shapes are cheap. The dir redirect is belt-and-braces for
+# anything that re-enables the flag (utils/compile_cache.enable()
+# respects an explicit dir setting).
 import tempfile
 
 try:
+    jax.config.update("jax_enable_compilation_cache", False)
     jax.config.update(
         "jax_compilation_cache_dir",
         tempfile.mkdtemp(prefix="jax_cache_tests_"),
